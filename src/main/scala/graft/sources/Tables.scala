@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Parquet table loading for the harness star schema (repo TESTDATA.md).
+  *
+  * Reference analog: CSV entity-table loading (reference eval.py:45-48,
+  * models/utils.py:36-40). Here the harness fixtures are parquet; CSV
+  * loading for DeepMatcher-style ER datasets lives in [[ErSources]].
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S1: columnar scan with pushdown — projections/filters applied by the
+    * caller reach the parquet reader via Catalyst (PushedFilters).
+    *
+    * events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects by default; nanosAsLong surfaces it as LongType and
+    * [[load]] rebuilds a proper TimestampType `ts` (micros precision —
+    * all our event-time bucketing is ≥ second granularity).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+}
+
+/** CSV source/sink for DeepMatcher-convention ER datasets
+  * (reference eval.py:45-48: tableA/tableB/train/valid/test CSVs).
+  */
+object ErSources {
+  /** S1 CSV variant: header + inferred schema, as pd.read_csv does. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S2: CSV sink (reference eval.py:172-173). coalesce(1) keeps
+    * golden-file compatibility for small explanation outputs; large
+    * outputs should pass coalesce = false.
+    */
+  def writeCsv(df: DataFrame, path: String, coalesce: Boolean = true): Unit = {
+    val out = if (coalesce) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+}
