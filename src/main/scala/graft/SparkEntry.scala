@@ -10,17 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * a full CERTA saliency explanation computed by the live explainer.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q04_region_revenue")(spark, "/root/testdata/sf0.001")
+    queries("q25_certa_saliency")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.ErQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.queries.ErQueries.oracles
 }

@@ -1,0 +1,184 @@
+package graft.candidates
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextSim
+import graft.matcher.ERModel
+import graft.schema.PairSchema
+
+/** Support-pair search (reference local_explain.py:82-197): find records
+  * of the opposite source that the model pairs with the probe record at
+  * the wanted polarity, similarity-ordered so the search terminates
+  * early.
+  *
+  * Spark-first re-expression of the reference's batched driver loop
+  * (local_explain.py:112-128): instead of predicting 4k-row pandas
+  * slices until k qualify, we
+  *   1. cap the candidate space to the reference's total prediction
+  *      budget (`batch × 20`) with TakeOrderedAndProject (no full sort,
+  *      no full shuffle),
+  *   2. score the whole capped set in one distributed pass,
+  *   3. compute per-batch qualifying counts (≤ 20 tiny rows on the
+  *      driver) and keep exactly the batches the reference would have
+  *      consumed.
+  * Result set matches the reference's early-exit semantics while doing
+  * one job instead of ≤ 20 sequential ones. At 100 TB the crossJoin
+  * candidate generator swaps for an LSH blocking join (see
+  * graft.dedup.MinHashLsh) — the scoring/early-exit pipeline is
+  * unchanged.
+  */
+object Candidates {
+
+  /** Deterministic stand-in for a seeded random shuffle order. */
+  def shuffleKey(a: Column, b: Column, seed: Long): Column =
+    xxhash64(a.cast("string"), b.cast("string"), lit(seed))
+
+  /** J3 + A7 + O1 + O2 + P5: candidates for `probe` against `source`.
+    *
+    * @param probeIsLeft true when the probe is the left record and
+    *                    `source` supplies right candidates (reference
+    *                    lj=True), false for the dual.
+    */
+  def findCandidates(
+      probe: DataFrame,
+      source: DataFrame,
+      probeIsLeft: Boolean,
+      findPositives: Boolean,
+      model: ERModel,
+      numCandidates: Int,
+      maxPredict: Int = -1,
+      seed: Long = 42L,
+      batched: Boolean = true,
+      schema: PairSchema = PairSchema.default): DataFrame = {
+
+    val pairs0 =
+      if (probeIsLeft) schema.assemblePair(probe, source)
+      else schema.assemblePair(source, probe)
+    // O7 prediction cap: seeded pseudo-random subset. xxhash64 of the
+    // ids replaces the reference's unseeded sample(frac=1) — same
+    // "uniform random order" effect but deterministic across retries
+    // and engines (SURVEY.md §7 determinism requirement).
+    val pairs =
+      if (maxPredict > 0)
+        pairs0.orderBy(shuffleKey(col(schema.lid), col(schema.rid), seed)).limit(maxPredict)
+      else pairs0
+
+    // A7 similarity of probe text vs the varied side's text.
+    val (probeCols, variedCols) = {
+      val l = pairs.columns.filter(c => c.startsWith(schema.lprefix) && c != schema.lid)
+      val r = pairs.columns.filter(c => c.startsWith(schema.rprefix) && c != schema.rid)
+      if (probeIsLeft) (l, r) else (r, l)
+    }
+    val score = TextSim.tokenCosine(
+      TextSim.recordText(probeCols.map(col).toIndexedSeq),
+      TextSim.recordText(variedCols.map(col).toIndexedSeq))
+
+    // O1 similarity order: descending when hunting positives
+    // (reference ascending = not find_positives). Ties broken by ids for
+    // determinism (pandas relies on stable sort of the input order).
+    val ordCols: Seq[Column] =
+      (if (findPositives) score.desc else score.asc) +:
+        Seq(col(schema.lid).cast("string").asc, col(schema.rid).cast("string").asc)
+
+    val batch = numCandidates * 4
+    if (!batched) {
+      val scored = model.predict(pairs)
+      val qual = if (findPositives) col("match_score") > 0.5 else col("match_score") < 0.5
+      scored.filter(qual)
+    } else {
+      // O2 early-exit batching, distributed. Budget cap first: the
+      // reference never predicts more than 20 batches.
+      val capped = pairs.orderBy(ordCols: _*).limit(batch * 20)
+      val w = Window.orderBy(ordCols: _*)
+      val withBatch = model.predict(capped)
+        .withColumn("__batch", ((row_number().over(w) - 1) / batch).cast("int"))
+      val qual = if (findPositives) col("match_score") > 0.5 else col("match_score") < 0.5
+      val cached = withBatch.withColumn("__qual", qual).cache()
+      try {
+        val total = cached.count()
+        // reference splits = min(20, n/batch); we keep a final partial
+        // batch (max(1, ...)) so sub-batch-sized sources still yield
+        // support — the reference degenerates to empty there.
+        val splits = math.min(20L, math.max(1L, total / batch)).toInt
+        val perBatch = cached.filter(col("__qual"))
+          .groupBy(col("__batch")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // consume batches until numCandidates qualify (reference
+        // while len(result) < k && i < splits)
+        var cum = 0L
+        var consumed = 0
+        while (cum < numCandidates && consumed < splits) {
+          cum += perBatch.getOrElse(consumed, 0L)
+          consumed += 1
+        }
+        cached.filter(col("__qual") && col("__batch") < consumed)
+          .drop("__batch", "__qual")
+      } finally cached.unpersist()
+    }
+  }
+
+  /** get_support (reference local_explain.py:162-197): symmetric
+    * candidate search for both probe records, balanced to equal size,
+    * shuffled (seeded), composite-id tagged, polarity-filtered.
+    */
+  def support(
+      lRecord: DataFrame,
+      rRecord: DataFrame,
+      lsource: DataFrame,
+      rsource: DataFrame,
+      classToExplain: Int,
+      model: ERModel,
+      numTriangles: Int,
+      maxPredict: Int = -1,
+      useLeft: Boolean = true,
+      useRight: Boolean = true,
+      useAll: Boolean = false,
+      seed: Long = 42L,
+      schema: PairSchema = PairSchema.default): (Boolean, DataFrame) = {
+
+    val findPositives = classToExplain == 0
+    val numCandidates = numTriangles / 2
+    val spark = lsource.sparkSession
+
+    def empty: DataFrame = {
+      import org.apache.spark.sql.types.StructType
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
+    }
+
+    val c4r1 = if (useRight)
+      findCandidates(lRecord, rsource, probeIsLeft = true, findPositives, model,
+        numCandidates, maxPredict, seed, batched = !useAll, schema).cache()
+    else empty
+    val c4r2 = if (useLeft)
+      findCandidates(rRecord, lsource, probeIsLeft = false, findPositives, model,
+        numCandidates, maxPredict, seed, batched = !useAll, schema).cache()
+    else empty
+
+    val n1 = if (useRight) c4r1.count() else 0L
+    val n2 = if (useLeft) c4r2.count() else 0L
+    val both = math.min(n1, n2)
+    val maxLen = if (both == 0) math.max(n1, n2) else both
+
+    // O6 balance via seeded sample-to-n (reference sample(n=max_len))
+    def cap(df: DataFrame, n: Long, have: Long): DataFrame =
+      if (have > n)
+        df.orderBy(shuffleKey(col(schema.lid), col(schema.rid), seed)).limit(n.toInt)
+      else df
+
+    val parts = Seq(
+      if (n1 > 0) Some(cap(c4r1, maxLen, n1)) else None,
+      if (n2 > 0) Some(cap(c4r2, maxLen, n2)) else None).flatten
+    if (parts.isEmpty) return (findPositives, empty)
+
+    // O5 seeded shuffle of the union (reference sample(frac=1))
+    val candidates = parts.reduce(_ unionByName _)
+      .withColumn("id", schema.pairId(col(schema.lid), col(schema.rid)))
+      .withColumn("__shuffle", shuffleKey(col("id"), lit(""), seed + 1))
+
+    val neighborhood =
+      if (findPositives) candidates.filter(col("match_score") >= 0.5)
+      else candidates.filter(col("match_score") < 0.5)
+    (findPositives, neighborhood)
+  }
+}

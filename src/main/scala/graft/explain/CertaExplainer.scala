@@ -1,0 +1,190 @@
+package graft.explain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.candidates.Candidates
+import graft.matcher.ERModel
+import graft.perturb.Perturb
+import graft.schema.PairSchema
+import graft.triangles.Triangles
+
+/** The explanation result (reference explain.py:155's return tuple).
+  *
+  * @param saliency   one row per pair attribute: (attribute, saliency)
+  * @param pss        probability of sufficiency per attribute set:
+  *                   (alteredAttributes: array, attrSet: "a/b"-joined, pos)
+  * @param cfSummary  the antichain of minimal max-probability sets
+  * @param cfExamples counterfactual pair rows ⊕ bookkeeping ⊕ attr_count
+  * @param triangles  the open triangles used: (u, v, w)
+  */
+final case class Explanation(
+    saliency: DataFrame,
+    pss: DataFrame,
+    cfSummary: DataFrame,
+    cfExamples: DataFrame,
+    triangles: DataFrame)
+
+/** CERTA explainer (reference explain.py:34-158, §3.1 of SURVEY.md),
+  * Spark-native: the driver orchestrates the stage sequence and the
+  * per-depth lattice loop (with the reference's monotonicity shortcut,
+  * triangles_method.py:301-327); every stage body is a distributed
+  * DataFrame program. No per-triangle driver loops anywhere.
+  */
+final class CertaExplainer(
+    lsource: DataFrame,
+    rsource: DataFrame,
+    schema: PairSchema = PairSchema.default,
+    seed: Long = 42L) extends Serializable {
+
+  private val spark: SparkSession = lsource.sparkSession
+
+  /** Explain the model's prediction on (lRecord, rRecord): 1-row
+    * un-prefixed entity frames, as in reference explain(l_tuple, r_tuple).
+    */
+  def explain(
+      lRecord: DataFrame,
+      rRecord: DataFrame,
+      model: ERModel,
+      numTriangles: Int = 100,
+      attrLengthOpt: Int = -1,
+      maxPredict: Int = -1,
+      useLeft: Boolean = true,
+      useRight: Boolean = true): Explanation = {
+
+    val lAttrs = lRecord.columns.filter(_ != "id").toIndexedSeq
+    val rAttrs = rRecord.columns.filter(_ != "id").toIndexedSeq
+    val attrLength =
+      if (attrLengthOpt > 0) attrLengthOpt else math.min(lAttrs.size, rAttrs.size)
+
+    // stage 2: original prediction (1-row job; driver argmax O8)
+    val pairUnderExplanation = schema.assemblePair(lRecord, rRecord)
+    val orig = model.predict(pairUnderExplanation)
+      .select(col("nomatch_score"), col("match_score")).head()
+    val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
+
+    // stage 3: support search
+    val (_, neighborhood) = Candidates.support(
+      lRecord, rRecord, lsource, rsource, pc, model, numTriangles,
+      maxPredict, useLeft, useRight, seed = seed, schema = schema)
+    if (neighborhood.columns.isEmpty) return emptyExplanation()
+
+    val nSupport = neighborhood.count()
+    if (nSupport == 0) return emptyExplanation()
+
+    // O3 head+tail truncation in the seeded shuffle order
+    // (reference local_explain.py:63-64)
+    val half = numTriangles / 2
+    val seqd = neighborhood.withColumn("__seq",
+      row_number().over(Window.orderBy(col("__shuffle"), col("id"))))
+    val truncated =
+      if (nSupport > numTriangles)
+        seqd.filter(col("__seq") <= half || col("__seq") > lit(nSupport) - half)
+      else seqd
+
+    // F9 label from score; pair under explanation labeled with pc
+    val pairCols = pairUnderExplanation.columns.toIndexedSeq
+    val support = truncated
+      .withColumn("label", when(col("match_score") >= 0.5, 1).otherwise(0))
+      .select((pairCols.map(col) :+ col("id") :+ col("label")): _*)
+    val firstRow = pairUnderExplanation
+      .withColumn("id", schema.pairId(col(schema.lid), col(schema.rid)))
+      .withColumn("label", lit(pc))
+    val supportPairs = firstRow.unionByName(support).cache()
+
+    // stage 4: triangle discovery
+    val triangles = Triangles.discover(supportPairs, schema).cache()
+    val nTriangles = triangles.count()
+    if (nTriangles == 0) return emptyExplanation()
+
+    // stage 5: lattice-stratified perturb & predict with monotonicity
+    // shortcut (reference perturb_predict, triangles_method.py:266-334)
+    val classScoreCol = if (pc == 1) "match_score" else "nomatch_score"
+    var allGood = false
+    var totalFlipped = 0L
+    val rankings = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val flippedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    for (a <- 1 until attrLength) {
+      val perturbations = Perturb.forDepth(
+        triangles, lsource, rsource, a, pc, schema)
+      if (!allGood) {
+        val preds = model.predict(perturbations)
+          .withColumn("__flip", col(classScoreCol) < 0.5)
+          .cache()
+        val nPert = preds.count()
+        val nFlip = preds.filter(col("__flip")).count()
+        if (nPert > 0) {
+          rankings += preds.groupBy(col("alteredAttributes"))
+            .agg(sum(when(col("__flip"), 1L).otherwise(0L)).as("cnt"))
+          flippedParts += preds.filter(col("__flip")).drop("__flip")
+          totalFlipped += nFlip
+          if (nFlip == nPert) allGood = true
+        }
+      } else {
+        // synthesize flipped scores for deeper levels without model calls
+        val synth = perturbations
+          .withColumn("match_score", lit(if (pc == 1) 0.0 else 1.0))
+          .withColumn("nomatch_score", lit(if (pc == 1) 1.0 else 0.0))
+          .cache()
+        val nPert = synth.count()
+        rankings += synth.groupBy(col("alteredAttributes"))
+          .agg(count(lit(1)).as("cnt"))
+        flippedParts += synth
+        totalFlipped += nPert
+      }
+    }
+    if (rankings.isEmpty) return emptyExplanation()
+
+    // stage 6a: A2 aggregate rankings → probability of sufficiency
+    val rankingsAll = rankings.reduce(_ unionByName _)
+    val pss = rankingsAll
+      .groupBy(col("alteredAttributes"))
+      .agg((sum(col("cnt")) / lit(nTriangles.toDouble)).as("pos"))
+      .withColumn("attrSet", array_join(col("alteredAttributes"), "/"))
+      .cache()
+
+    // stage 6b: A3 saliency = base + per-attribute flip mass
+    val flips = (totalFlipped + nTriangles).toDouble
+    val base = nTriangles / flips
+    val pairAttrNames =
+      lAttrs.map(schema.lprefix + _) ++ rAttrs.map(schema.rprefix + _)
+    import spark.implicits._
+    val attrFrame = pairAttrNames.toDF("attribute")
+    val perAttrFlips = rankingsAll
+      .select(explode(col("alteredAttributes")).as("attribute"), col("cnt"))
+      .groupBy(col("attribute")).agg(sum(col("cnt")).as("flipCnt"))
+    val saliency = attrFrame
+      .join(perAttrFlips, Seq("attribute"), "left")
+      .select(col("attribute"),
+        (lit(base) + coalesce(col("flipCnt"), lit(0L)) / lit(flips)).as("saliency"))
+
+    // stage 6c: A4 cf_summary — max-probability sets, minimal-antichain
+    // filtered via a left-anti subset-containment self-join
+    // (reference cf_summary, triangles_method.py:254-263)
+    val maxPos = pss.agg(max(col("pos"))).head().getDouble(0)
+    val atMax = pss.filter(col("pos") === maxPos)
+    val cfSummary = atMax.alias("a")
+      .join(atMax.alias("b"),
+        size(array_except(col("b.alteredAttributes"), col("a.alteredAttributes"))) === 0 &&
+          size(col("b.alteredAttributes")) < size(col("a.alteredAttributes")),
+        "left_anti")
+      .select(col("alteredAttributes"), col("attrSet"), col("pos"))
+
+    // stage 6d: CF examples — flipped rows restricted to summary sets,
+    // deduplicated, ordered by set size (reference explain.py:73-77)
+    val flippedAll = flippedParts.reduce(_ unionByName _)
+    val cfExamples = flippedAll
+      .join(cfSummary.select(col("alteredAttributes")), Seq("alteredAttributes"), "left_semi")
+      .dropDuplicates("copiedValues", "alteredAttributes", "droppedValues")
+      .withColumn("attr_count", size(col("alteredAttributes")))
+      .orderBy(col("attr_count"))
+
+    Explanation(saliency, pss, cfSummary, cfExamples, triangles)
+  }
+
+  private def emptyExplanation(): Explanation = {
+    val e = spark.emptyDataFrame
+    Explanation(e, e, e, e, e)
+  }
+}

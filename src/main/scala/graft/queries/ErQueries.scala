@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.explain.{CertaExplainer, Explanation}
+import graft.matcher.TokenCosineModel
+import graft.sources.Tables
+import graft.triangles.Triangles
+
+/** ER-operator queries on the harness data: `part` as both sides of a
+  * self-ER problem (FIXTURES.md §B), brand as the blocking key, type
+  * equality as ground-truth label. q20-q23 are DuckDB-checkable
+  * re-expressions of the CERTA dataflow stages (J3-blocking, J4, A7,
+  * A1); q25-q27 run the real explainer end-to-end (not SQL-expressible
+  * → rows-only checks).
+  */
+object ErQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def pp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"), col("p_size"))
+
+  // ---------------------------------------------------------------- q20
+  /** Blocked candidate-pair generation (J3 at scale: equi-join on the
+    * blocking key instead of a cross join — the SURVEY §4 scale path)
+    * with match labels, per-block stats.
+    */
+  def q20ErPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = pp(s, dir)
+    val a = p.select(p.columns.map(c => col(c).as("l_" + c)).toIndexedSeq: _*)
+    val b = p.select(p.columns.map(c => col(c).as("r_" + c)).toIndexedSeq: _*)
+    a.join(b, col("l_p_brand") === col("r_p_brand") &&
+        col("l_p_partkey") < col("r_p_partkey"))
+      .groupBy(col("l_p_brand").as("brand"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("l_p_type") === col("r_p_type"), 1L).otherwise(0L)).as("n_matches"))
+      .orderBy(col("brand"))
+  }
+
+  val q20Sql: String =
+    """SELECT a.p_brand AS brand, COUNT(*) AS n_pairs,
+      |  SUM(CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END) AS n_matches
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |GROUP BY a.p_brand ORDER BY brand""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** J4 triangle discovery on a deterministic labeled pair set (one
+    * brand, 10% key sample to bound fan-out): positives ⋈ negatives on
+    * the shared pivot, both orientations — the graft.triangles.Triangles
+    * join shape, verified against SQL.
+    */
+  def q21ErTriangles(s: SparkSession, dir: String): DataFrame = {
+    val p = pp(s, dir)
+      .filter(col("p_brand") === "Brand#13" && pmod(col("p_partkey"), lit(10)) === 0)
+    val a = p.select(col("p_partkey").as("lk"), col("p_type").as("lt"))
+    val b = p.select(col("p_partkey").as("rk"), col("p_type").as("rt"))
+    val pairs = a.join(b, col("lk") < col("rk"))
+      .withColumn("label", when(col("lt") === col("rt"), 1).otherwise(0))
+      .select(col("lk"), col("rk"), col("label")).cache()
+    val pos = pairs.filter(col("label") === 1)
+    val neg = pairs.filter(col("label") === 0)
+    val leftOpen = pos.select(col("lk").as("pl"), col("rk").as("pr"))
+      .join(neg.select(col("lk").as("nl"), col("rk").as("nr")), col("pr") === col("nr"))
+      .filter(col("pl") =!= col("nl"))
+    val rightOpen = pos.select(col("lk").as("pl"), col("rk").as("pr"))
+      .join(neg.select(col("lk").as("nl"), col("rk").as("nr")), col("pl") === col("nl"))
+      .filter(col("pr") =!= col("nr"))
+    leftOpen.agg(count(lit(1)).as("n_left_open"))
+      .crossJoin(rightOpen.agg(count(lit(1)).as("n_right_open")))
+      .withColumn("n_total", col("n_left_open") + col("n_right_open"))
+  }
+
+  val q21Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_type FROM part
+      |  WHERE p_brand = 'Brand#13' AND p_partkey % 10 = 0),
+      |pairs AS (
+      |  SELECT a.p_partkey AS lk, b.p_partkey AS rk,
+      |    CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS label
+      |  FROM p a JOIN p b ON a.p_partkey < b.p_partkey),
+      |pos AS (SELECT * FROM pairs WHERE label = 1),
+      |neg AS (SELECT * FROM pairs WHERE label = 0),
+      |lo AS (SELECT COUNT(*) AS n_left_open FROM pos JOIN neg
+      |  ON pos.rk = neg.rk AND pos.lk <> neg.lk),
+      |ro AS (SELECT COUNT(*) AS n_right_open FROM pos JOIN neg
+      |  ON pos.lk = neg.lk AND pos.rk <> neg.rk)
+      |SELECT n_left_open, n_right_open, n_left_open + n_right_open AS n_total
+      |FROM lo CROSS JOIN ro""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** A7 similarity banding: token-set jaccard of part names within each
+    * brand block — integer-count output so the oracle is exact.
+    */
+  def q22ErJaccard(s: SparkSession, dir: String): DataFrame = {
+    val p = pp(s, dir).withColumn("toks", array_distinct(split(col("p_name"), " ")))
+    val a = p.select(col("p_partkey").as("lk"), col("p_brand").as("brand"),
+      col("toks").as("ltoks"))
+    val b = p.select(col("p_partkey").as("rk"), col("p_brand").as("rbrand"),
+      col("toks").as("rtoks"))
+    val inter = size(array_intersect(col("ltoks"), col("rtoks")))
+    val uni = size(array_distinct(concat(col("ltoks"), col("rtoks"))))
+    a.join(b, col("brand") === col("rbrand") && col("lk") < col("rk"))
+      .withColumn("jac", inter.cast("double") / uni.cast("double"))
+      .groupBy(col("brand"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_similar"),
+        sum(when(col("jac") === 0.0, 1L).otherwise(0L)).as("n_disjoint"))
+      .orderBy(col("brand"))
+  }
+
+  val q22Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_brand, list_distinct(string_split(p_name, ' ')) AS toks
+      |  FROM part)
+      |SELECT a.p_brand AS brand, COUNT(*) AS n_pairs,
+      |  SUM(CASE WHEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5
+      |    THEN 1 ELSE 0 END) AS n_similar,
+      |  SUM(CASE WHEN len(list_intersect(a.toks, b.toks)) = 0
+      |    THEN 1 ELSE 0 END) AS n_disjoint
+      |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |GROUP BY a.p_brand ORDER BY brand""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** A1 flip-count ranking, SQL-expressible analog: perturb each matched
+    * pair by copying one attribute from a per-brand support record
+    * (max_by key), score with the deterministic type-equality model,
+    * count flips per altered attribute — the getAttributeRanking shape
+    * (reference triangles_method.py:376-381) end to end.
+    */
+  def q23ErSensitivity(s: SparkSession, dir: String): DataFrame = {
+    val p = pp(s, dir)
+    val a = p.select(col("p_partkey").as("lk"), col("p_brand").as("brand"),
+      col("p_type").as("l_type"))
+    val b = p.select(col("p_partkey").as("rk"), col("p_brand").as("rbrand"),
+      col("p_type").as("r_type"))
+    val matched = a.join(b, col("brand") === col("rbrand") &&
+      col("lk") < col("rk") && col("l_type") === col("r_type"))
+    val supp = p.groupBy(col("p_brand").as("sbrand"))
+      .agg(max_by(col("p_type"), col("p_partkey")).as("s_type"))
+    val perturbed = matched
+      .join(broadcast(supp), col("brand") === col("sbrand"))
+      .withColumn("attr", explode(typedLit(Seq("p_name", "p_size", "p_type"))))
+      .withColumn("flipped",
+        col("attr") === "p_type" && col("s_type") =!= col("r_type"))
+    perturbed.groupBy(col("attr"))
+      .agg(count(lit(1)).as("n_pert"),
+        sum(when(col("flipped"), 1L).otherwise(0L)).as("n_flips"))
+      .orderBy(col("attr"))
+  }
+
+  val q23Sql: String =
+    """WITH matched AS (
+      |  SELECT a.p_brand AS brand, b.p_type AS r_type
+      |  FROM part a JOIN part b ON a.p_brand = b.p_brand
+      |    AND a.p_partkey < b.p_partkey AND a.p_type = b.p_type),
+      |supp AS (
+      |  SELECT p_brand AS sbrand, max_by(p_type, p_partkey) AS s_type
+      |  FROM part GROUP BY p_brand),
+      |perturbed AS (
+      |  SELECT brand, r_type, s_type, unnest(['p_name', 'p_size', 'p_type']) AS attr
+      |  FROM matched JOIN supp ON brand = sbrand)
+      |SELECT attr, COUNT(*) AS n_pert,
+      |  SUM(CASE WHEN attr = 'p_type' AND s_type <> r_type THEN 1 ELSE 0 END) AS n_flips
+      |FROM perturbed GROUP BY attr ORDER BY attr""".stripMargin
+
+  // ----------------------------------------------------- q25-q27 (rows-only)
+  /** Entity sources for the live explainer: parts as string records. */
+  private def erSource(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey").as("id"),
+      col("p_name").as("name"),
+      col("p_brand").as("brand"),
+      col("p_type").as("ptype"),
+      col("p_size").cast("string").as("psize"))
+
+  // One explanation per (sfDir) — q25/q26/q27 share it.
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Explanation]
+
+  private def explained(s: SparkSession, dir: String): Explanation =
+    cache.getOrElseUpdate(dir, {
+      val src = erSource(s, dir)
+      val l = src.filter(col("id") === 0)
+      val r = src.filter(col("id") === 0)
+      new CertaExplainer(src, src).explain(l, r, TokenCosineModel(),
+        numTriangles = 10)
+    })
+
+  /** Full CERTA saliency explanation (reference explain.py:34-158) of a
+    * self-match on part 0 — live explainer, rows-only check.
+    */
+  def q25CertaSaliency(s: SparkSession, dir: String): DataFrame =
+    explained(s, dir).saliency.orderBy(col("attribute"))
+
+  /** Probability-of-sufficiency table (A2) from the same explanation. */
+  def q26CertaPss(s: SparkSession, dir: String): DataFrame =
+    explained(s, dir).pss.select(col("attrSet"), col("pos")).orderBy(col("attrSet"))
+
+  /** Open triangles used by the same explanation (J4 output). */
+  def q27CertaTriangles(s: SparkSession, dir: String): DataFrame =
+    explained(s, dir).triangles.orderBy(col("u"), col("v"), col("w"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_er_pairs" -> (q20ErPairs _),
+    "q21_er_triangles" -> (q21ErTriangles _),
+    "q22_er_jaccard" -> (q22ErJaccard _),
+    "q23_er_sensitivity" -> (q23ErSensitivity _),
+    "q25_certa_saliency" -> (q25CertaSaliency _),
+    "q26_certa_pss" -> (q26CertaPss _),
+    "q27_certa_triangles" -> (q27CertaTriangles _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_er_pairs" -> q20Sql,
+    "q21_er_triangles" -> q21Sql,
+    "q22_er_jaccard" -> q22Sql,
+    "q23_er_sensitivity" -> q23Sql)
+}
