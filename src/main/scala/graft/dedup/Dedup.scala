@@ -1,0 +1,143 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (content hash), canonical-form (fingerprint),
+  * MinHash+LSH (shingle jaccard), SimHash (hamming), n-gram jaccard
+  * verification. Everything is shuffle-on-key group/join work — the
+  * shapes that scale linearly with executors; no pairwise O(n²) step
+  * ever runs outside an LSH bucket.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id per group
+    * (deterministic survivor). One shuffle on the hash key.
+    */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__h", md5(col(textCol)))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("__h")
+
+  /** Canonical-fingerprint dedup (order/repetition-insensitive). */
+  def fingerprintClusters(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("cluster_size"))
+
+  // ------------------------------------------------------------- minhash
+  /** Word k-shingles of `textCol` (k consecutive tokens joined by one
+    * space); documents shorter than k tokens contribute the whole text
+    * as a single shingle.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) >= k, grams).otherwise(array(text))
+  }
+
+  /** MinHash signature: for hash function i, min over shingles of
+    * md5(i || '|' || shingle). String-min over hex md5 is a uniform
+    * permutation surrogate that any engine reproduces bit-for-bit
+    * (the DuckDB-oracle-friendly choice; xxhash64 would be faster but
+    * engine-specific).
+    */
+  def minhashColumn(text: Column, i: Int, k: Int = 3): Column =
+    array_min(transform(shingles(text, k), sh => md5(concat(lit(s"$i|"), sh))))
+
+  /** Append `numHashes` minhash columns mh0..mh{n-1}. */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+      numHashes: Int = 4, k: Int = 3): DataFrame =
+    (0 until numHashes).foldLeft(df) { (d, i) =>
+      d.withColumn(s"mh$i", minhashColumn(col(textCol), i, k))
+    }
+
+  /** LSH banding: band key b = concatenated minhashes of that band.
+    * Returns (idCol, band, key) rows — one per band — ready for the
+    * bucket self-join. rowsPerBand=2, numBands=2 by default (4 hashes).
+    */
+  def lshBandKeys(df: DataFrame, textCol: String, idCol: String,
+      numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+    val sig = withMinhashSignature(df, textCol, numBands * rowsPerBand, k)
+    val keyCols = (0 until numBands).map { b =>
+      concat_ws("#", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }
+    sig.select(col(idCol), posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+  }
+
+  /** Candidate near-dup pairs: same band key in any band, deduplicated,
+    * id-ordered. The join is per-bucket — the O(n²) blowup of naive
+    * all-pairs never materializes.
+    */
+  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+    val keys = lshBandKeys(df, textCol, idCol, numBands, rowsPerBand, k)
+    val a = keys.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val b = keys.select(col("band").as("band_b"), col("key").as("key_b"),
+      col(idCol).as("id_b"))
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Verified near-dup pairs: LSH candidates whose k-shingle jaccard
+    * meets `threshold` (exact verification joins the texts back in).
+    */
+  def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, numBands: Int = 2, rowsPerBand: Int = 2,
+      k: Int = 3): DataFrame = {
+    val cands = lshCandidatePairs(df, textCol, idCol, numBands, rowsPerBand, k)
+    val sh = df.select(col(idCol), array_distinct(shingles(col(textCol), k)).as("__sh"))
+    val withTexts = cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+    withTexts
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- simhash
+  /** 64-bit SimHash over tokens (xxhash64 token hashes; per-bit majority
+    * vote). Near-dups = small hamming distance. Engine-native hash →
+    * fast, but not oracle-portable; verified by property tests instead.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val bits = (0 until 64).map { b =>
+      // sum of ±1 votes for bit b over token hashes, sign → bit
+      val vote = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within prefix buckets: documents sharing the
+    * top `prefixBits` bits land in one bucket (cheap blocking), then
+    * exact hamming verification ≤ maxDistance.
+    */
+  def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int = 8, prefixBits: Int = 16): DataFrame = {
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("sig"))
+      .withColumn("bucket", shiftrightunsigned(col("sig"), 64 - prefixBits))
+    val a = sigs.select(col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("bucket").as("bucket_b"), col(idCol).as("id_b"),
+      col("sig").as("sig_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("distance", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("distance"))
+  }
+}

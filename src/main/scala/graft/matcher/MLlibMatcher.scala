@@ -1,0 +1,106 @@
+package graft.matcher
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextSim
+import graft.schema.PairSchema
+
+/** Trainable ER matcher: an MLlib pipeline over pair-similarity
+  * features — the JVM-pure, cluster-scalable replacement for the
+  * reference's three neural wrappers (SURVEY.md §2.9: DeepMatcher
+  * dm.py, DeepER.py, bert.py all reduce to "batch pair scorer");
+  * external models plug in behind the same ERModel trait via
+  * mapPartitions ONNX scoring (documented, not built — no runtime here).
+  *
+  * Features per attribute: token-bag cosine, token-jaccard, plus
+  * length-difference ratio — computed as columns (codegen where
+  * built-in), assembled, fed to seeded LogisticRegression. `transform`
+  * appends probability → match_score/nomatch_score, preserving the
+  * reference's score contract (models/utils.py:12-67 lifecycle).
+  */
+final class MLlibMatcher private (
+    val model: PipelineModel,
+    schema: PairSchema) extends ERModel {
+
+  override def predict(pairs: DataFrame): DataFrame = {
+    val feat = MLlibMatcher.withFeatures(pairs, schema)
+    val scored = model.transform(feat)
+    val probs = vector_to_array(col("probability"))
+    scored
+      .withColumn("nomatch_score", element_at(probs, 1))
+      .withColumn("match_score", element_at(probs, 2))
+      .drop("features", "rawPrediction", "probability", "prediction")
+      .drop(MLlibMatcher.featureCols(pairs, schema): _*)
+  }
+
+  def save(path: String): Unit = model.write.overwrite().save(path)
+}
+
+object MLlibMatcher {
+
+  private[matcher] def attrPairs(df: DataFrame, schema: PairSchema): Seq[(String, String)] = {
+    val l = df.columns.filter(c => c.startsWith(schema.lprefix) && c != schema.lid)
+      .map(_.stripPrefix(schema.lprefix)).toSet
+    val r = df.columns.filter(c => c.startsWith(schema.rprefix) && c != schema.rid)
+      .map(_.stripPrefix(schema.rprefix)).toSet
+    (l intersect r).toSeq.sorted
+      .map(a => (schema.lprefix + a, schema.rprefix + a))
+  }
+
+  private[matcher] def featureCols(df: DataFrame, schema: PairSchema): Seq[String] =
+    attrPairs(df, schema).flatMap { case (l, _) =>
+      val a = l.stripPrefix(schema.lprefix)
+      Seq(s"__cos_$a", s"__jac_$a", s"__len_$a")
+    }
+
+  private[matcher] def withFeatures(df: DataFrame, schema: PairSchema): DataFrame =
+    attrPairs(df, schema).foldLeft(df) { case (d, (l, r)) =>
+      val a = l.stripPrefix(schema.lprefix)
+      val lt = coalesce(col(l).cast("string"), lit(""))
+      val rt = coalesce(col(r).cast("string"), lit(""))
+      val ltoks = array_distinct(split(lt, " "))
+      val rtoks = array_distinct(split(rt, " "))
+      val uni = size(array_distinct(concat(ltoks, rtoks)))
+      d.withColumn(s"__cos_$a", TextSim.tokenCosine(lt, rt))
+        .withColumn(s"__jac_$a",
+          when(uni === 0, 0.0)
+            .otherwise(size(array_intersect(ltoks, rtoks)).cast("double") / uni))
+        .withColumn(s"__len_$a",
+          when(greatest(length(lt), length(rt)) === 0, 0.0)
+            .otherwise(abs(length(lt) - length(rt)).cast("double") /
+              greatest(length(lt), length(rt))))
+    }
+
+  /** Train on a labeled pair frame (`label` 0/1). Deterministic: LBFGS
+    * logistic regression, fixed feature order.
+    */
+  def train(labeledPairs: DataFrame,
+      schema: PairSchema = PairSchema.default): MLlibMatcher = {
+    val feat = withFeatures(labeledPairs, schema)
+      .withColumn("label", col("label").cast("double"))
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols(labeledPairs, schema).toArray)
+      .setOutputCol("features")
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setLabelCol("label")
+    val pipeline = new Pipeline().setStages(Array(assembler, lr))
+    new MLlibMatcher(pipeline.fit(feat), schema)
+  }
+
+  /** Load-else-train lifecycle (reference models/utils.py:23-67
+    * get_model).
+    */
+  def loadOrTrain(path: String, labeledPairs: => DataFrame,
+      schema: PairSchema = PairSchema.default): MLlibMatcher =
+    try new MLlibMatcher(PipelineModel.load(path), schema)
+    catch {
+      case _: Exception =>
+        val m = train(labeledPairs, schema)
+        m.save(path)
+        m
+    }
+}

@@ -1,0 +1,62 @@
+package graft.metrics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Saliency explanation-quality metrics (reference metrics/saliency.py).
+  *
+  * Faithfulness (get_faithfulness, saliency.py:138-173): for each
+  * ablation threshold, blank the top-k most-salient attributes of every
+  * explained test pair, re-evaluate the model, and report the AUC of the
+  * F1-vs-threshold curve. The per-threshold ablation is a single
+  * withColumns batch + one distributed evaluation job; the tiny
+  * threshold loop stays on the driver as in the reference.
+  */
+object SaliencyMetrics {
+
+  val defaultThresholds: Seq[Double] = Seq(0.1, 0.2, 0.33, 0.5, 0.7, 0.9)
+
+  /** F1 of threshold-at-0.5 match predictions vs `label` (A15 shape:
+    * one pass confusion aggregation).
+    */
+  def f1(scored: DataFrame): Double = {
+    val row = scored.agg(
+      sum(when(col("match_score") >= 0.5 && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("match_score") >= 0.5 && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("match_score") < 0.5 && col("label") === 1, 1L).otherwise(0L)).as("fn"))
+      .head()
+    val tp = row.getLong(0).toDouble
+    val fp = row.getLong(1).toDouble
+    val fn = row.getLong(2).toDouble
+    val p = if (tp + fp == 0) 0.0 else tp / (tp + fp)
+    val r = if (tp + fn == 0) 0.0 else tp / (tp + fn)
+    if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+  }
+
+  /** A13 faithfulness AUC. `saliencyRank` is the global attribute
+    * ranking (most salient first) to ablate — the uniform-ranking
+    * simplification of the reference's per-row ranking; per-row
+    * ablation lifts to a `when(rank(row) ...)` batch the same way.
+    */
+  def faithfulnessAuc(
+      labeledPairs: DataFrame,
+      scoreFn: DataFrame => DataFrame,
+      saliencyRank: Seq[String],
+      thresholds: Seq[Double] = defaultThresholds): (Seq[Double], Double) = {
+    val nAttrs = saliencyRank.size
+    val scores = thresholds.map { t =>
+      val topK = (t * nAttrs).toInt
+      val ablated = saliencyRank.take(topK).foldLeft(labeledPairs) { (df, a) =>
+        if (df.columns.contains(a)) df.withColumn(a, lit("")) else df
+      }
+      f1(scoreFn(ablated))
+    }
+    (scores, trapezoidAuc(thresholds, scores))
+  }
+
+  /** Trapezoid-rule AUC (the sklearn.metrics.auc the reference calls). */
+  def trapezoidAuc(xs: Seq[Double], ys: Seq[Double]): Double =
+    xs.zip(ys).sliding(2).collect {
+      case Seq((x1, y1), (x2, y2)) => (x2 - x1) * (y1 + y2) / 2.0
+    }.sum
+}

@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operator catalog: deduplication, similarity
+  * search, text analysis, multimodal plumbing, streaming — over the
+  * documents/embeddings/events fixtures. DuckDB oracles wherever the
+  * computation is portable (md5-based hashing, integer counts,
+  * exact-decimal sums); engine-native-hash operators (simhash, LSH
+  * buckets) are rows-only + property-tested.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- q30
+  /** Exact dedup census over documents (md5 content hash). */
+  def q30DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val groups = Dedup.exactSurvivors(d, "text", "doc_id")
+    groups.agg(
+      sum(col("dup_count")).as("n_docs"),
+      count(lit(1)).as("n_distinct_texts"),
+      sum(when(col("dup_count") > 1, col("dup_count")).otherwise(0L)).as("n_dup_docs"),
+      sum(when(col("dup_count") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+  }
+
+  val q30Sql: String =
+    """WITH g AS (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)
+      |SELECT SUM(c) AS n_docs, COUNT(*) AS n_distinct_texts,
+      |  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs,
+      |  SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** MinHash signatures (4 portable md5-min hashes over 3-shingles),
+    * one row per document.
+    */
+  def q31MinhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.withMinhashSignature(t(s, dir, "documents"), "text", numHashes = 4)
+      .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+      .orderBy(col("doc_id"))
+
+  private val shingleSqlCte: String =
+    """d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id, text,
+      |  CASE WHEN len(tk) >= 3
+      |    THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |    ELSE [text] END AS sh
+      |  FROM d)""".stripMargin
+
+  val q31Sql: String =
+    s"""WITH $shingleSqlCte
+       |SELECT doc_id,
+       |  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+       |  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+       |  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+       |  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** MinHash-LSH near-dup pipeline census: banded candidate pairs +
+    * jaccard-verified pairs (threshold 0.7).
+    */
+  def q32NearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val nCand = Dedup.lshCandidatePairs(d, "text", "doc_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val nVer = Dedup.nearDuplicates(d, "text", "doc_id", threshold = 0.7)
+      .agg(count(lit(1)).as("n_verified"))
+    nCand.crossJoin(nVer)
+  }
+
+  val q32Sql: String =
+    s"""WITH $shingleSqlCte,
+       |sig AS (SELECT doc_id, sh,
+       |  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS h0,
+       |  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS h1,
+       |  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS h2,
+       |  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS h3
+       |  FROM s),
+       |keys AS (
+       |  SELECT doc_id, 0 AS band, h0 || '#' || h1 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h2 || '#' || h3 AS key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM keys a JOIN keys b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ver AS (SELECT ia, ib FROM cand
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS sha FROM sig) x ON x.doc_id = ia
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS shb FROM sig) y ON y.doc_id = ib
+       |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= 0.7)
+       |SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+       |       (SELECT COUNT(*) FROM ver) AS n_verified""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Language-ID confusion matrix: heuristic stopword-argmax prediction
+    * vs the labeled lang column.
+    */
+  def q33LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  val q33Sql: String = {
+    def hits(lang: String): String = {
+      val list = TextAnalysis.stopwords.toMap.apply(lang)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), x -> list_contains($list, x)))"
+    }
+    s"""WITH h AS (SELECT lang,
+       |  ${hits("de")} AS hde, ${hits("en")} AS hen, ${hits("es")} AS hes,
+       |  ${hits("fr")} AS hfr, ${hits("zh")} AS hzh
+       |  FROM documents),
+       |p AS (SELECT lang,
+       |  CASE WHEN GREATEST(hde, hen, hes, hfr, hzh) = 0 THEN 'und'
+       |       WHEN hde = GREATEST(hde, hen, hes, hfr, hzh) THEN 'de'
+       |       WHEN hen = GREATEST(hde, hen, hes, hfr, hzh) THEN 'en'
+       |       WHEN hes = GREATEST(hde, hen, hes, hfr, hzh) THEN 'es'
+       |       WHEN hfr = GREATEST(hde, hen, hes, hfr, hzh) THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang
+       |  FROM h)
+       |SELECT lang, pred_lang, COUNT(*) AS n FROM p
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Quality scoring rollup per source: integer signal sums + exact
+    * ratio-of-sums (never sum-of-ratios).
+    */
+  def q34Quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQualitySignals(t(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("n_chars_m").cast("long")).as("sum_chars"),
+        sum(col("n_stopwords").cast("long")).as("sum_stopwords"),
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_quality"))
+      .withColumn("stopword_ratio",
+        col("sum_stopwords").cast("double") / col("sum_tokens").cast("double"))
+      .orderBy(col("source"))
+
+  val q34Sql: String = {
+    val en = TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT source,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  length(text) AS n_chars_m,
+       |  len(list_filter(string_split(text, ' '), x -> list_contains($en, x))) AS n_stopwords,
+       |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  SUM(n_tokens) AS sum_tokens, SUM(n_chars_m) AS sum_chars,
+       |  SUM(n_stopwords) AS sum_stopwords,
+       |  SUM(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 AND n_distinct_tokens >= 10
+       |    THEN 1 ELSE 0 END) AS n_quality,
+       |  CAST(SUM(n_stopwords) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS stopword_ratio
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** Token frequency top-20 over the corpus (explode + count + top-k). */
+  def q35TopTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+
+  val q35Sql: String =
+    """SELECT token, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Canonical-fingerprint clustering census. */
+  def q36Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.fingerprintClusters(t(s, dir, "documents"), "text", "doc_id")
+    clusters.agg(
+      sum(col("cluster_size")).as("n_docs"),
+      count(lit(1)).as("n_fingerprints"),
+      sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_clusters_gt1"),
+      max(col("cluster_size")).as("max_cluster"))
+  }
+
+  val q36Sql: String =
+    """WITH fp AS (
+      |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS f,
+      |    COUNT(*) AS c
+      |  FROM documents GROUP BY 1)
+      |SELECT SUM(c) AS n_docs, COUNT(*) AS n_fingerprints,
+      |  SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_clusters_gt1,
+      |  MAX(c) AS max_cluster
+      |FROM fp""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** SimHash near-dup scan (xxhash64-based, engine-native → rows-only):
+    * signature histogram by hamming distance band within buckets.
+    */
+  def q37Simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sigs = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val pairs = Dedup.simhashNearDuplicates(d, "text", "doc_id",
+      maxDistance = 32, prefixBits = 4)
+    sigs.agg(countDistinct(col("sig")).as("n_distinct_sigs"))
+      .crossJoin(pairs.agg(
+        count(lit(1)).as("n_near_pairs"),
+        coalesce(min(col("distance")), lit(-1)).as("min_distance")))
+  }
+
+  // ---------------------------------------------------------------- q40
+  /** Brute-force cosine top-10 neighbors of vec 0 (exact fold
+    * arithmetic both sides).
+    */
+  def q40EmbedTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Ann.bruteForceTopK(e, "embedding", "vec_id", probe, k = 10, excludeId = Some(0L))
+  }
+
+  val q40Sql: String =
+    """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+      |sc AS (SELECT vec_id,
+      |  list_aggregate(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum') /
+      |  (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) *
+      |   sqrt(list_aggregate(list_transform(range(1, len(pe) + 1),
+      |    i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum'))) AS cosine
+      |  FROM embeddings, p WHERE vec_id <> 0)
+      |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** LSH bucket histogram (hyperplane signs; engine-native hash →
+    * rows-only) + a bucketed ANN sanity probe.
+    */
+  def q41EmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.withColumn("bucket", Ann.lshBucket(col("embedding")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------- q45
+  /** Multimodal metadata census over the binary media table. */
+  def q45MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asBinaryTable(t(s, dir, "documents"))
+    media.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("meta.n_bytes").cast("long")).as("sum_bytes"),
+      countDistinct(col("meta.content_md5")).as("n_distinct_md5"))
+  }
+
+  val q45Sql: String =
+    """SELECT COUNT(*) AS n_items,
+      |  SUM(octet_length(encode(text))) AS sum_bytes,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct_md5
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Multimodal feature extraction + frame sampling plumbing
+    * (mapPartitions decode stub → rows-only).
+    */
+  def q46MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asBinaryTable(t(s, dir, "documents"))
+    val feats = Multimodal.extractFeatures(media)
+    val frames = Multimodal.sampleFrames(media)
+    feats.agg(count(lit(1)).as("n_feature_rows"),
+        countDistinct(size(col("features"))).as("n_distinct_dims"))
+      .crossJoin(frames.agg(count(lit(1)).as("n_frames")))
+  }
+
+  // ---------------------------------------------------------------- q47
+  /** Structured Streaming monthly rollup over the events stream —
+    * checked against the same DuckDB oracle as the batch q15 twin.
+    */
+  def q47StreamMonth(s: SparkSession, dir: String): DataFrame = {
+    val stream = StreamingOps.eventsStream(s, dir)
+    StreamingOps.runToCompletion(
+        StreamingOps.monthlyTypeStats(stream), s"stream_month_${dir.hashCode.abs}")
+      .orderBy(col("month"), col("event_type"))
+  }
+
+  val q47Sql: String = Relational.q15Sql
+
+  // ---------------------------------------------------------------- q48
+  /** Windowed + watermarked streaming aggregation (1h tumbling):
+    * rows-only (window-struct output).
+    */
+  def q48StreamWindow(s: SparkSession, dir: String): DataFrame = {
+    val stream = StreamingOps.eventsStream(s, dir)
+    StreamingOps.runToCompletion(
+        StreamingOps.windowedTypeStats(stream), s"stream_win_${dir.hashCode.abs}")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"), col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_minhash_sig" -> (q31MinhashSig _),
+    "q32_near_dups" -> (q32NearDups _),
+    "q33_langid" -> (q33LangId _),
+    "q34_quality" -> (q34Quality _),
+    "q35_top_tokens" -> (q35TopTokens _),
+    "q36_fingerprint" -> (q36Fingerprint _),
+    "q37_simhash" -> (q37Simhash _),
+    "q40_embed_topk" -> (q40EmbedTopK _),
+    "q41_embed_lsh" -> (q41EmbedLsh _),
+    "q45_multimodal_meta" -> (q45MultimodalMeta _),
+    "q46_multimodal_features" -> (q46MultimodalFeatures _),
+    "q47_stream_month" -> (q47StreamMonth _),
+    "q48_stream_window" -> (q48StreamWindow _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Sql,
+    "q31_minhash_sig" -> q31Sql,
+    "q32_near_dups" -> q32Sql,
+    "q33_langid" -> q33Sql,
+    "q34_quality" -> q34Sql,
+    "q35_top_tokens" -> q35Sql,
+    "q36_fingerprint" -> q36Sql,
+    "q40_embed_topk" -> q40Sql,
+    "q45_multimodal_meta" -> q45Sql,
+    "q47_stream_month" -> q47Sql)
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer (SURVEY.md §2.10 — an extension, not a
+  * reference capability): streaming scoring of pair/event streams with
+  * event-time windows and watermarks. Operators are the same column
+  * programs as batch (models are pure projections), so every batch
+  * operator lifts to streams unchanged.
+  */
+object StreamingOps {
+
+  /** Raw events schema as stored (ts is TIMESTAMP(NANOS) in the parquet;
+    * read as long + rebuilt, same shim as graft.sources.Tables).
+    */
+  val rawEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over the events parquet (file sources stream a
+    * directory; the glob filter narrows it to the events table).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawEventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time window aggregation with a watermark: per-window
+    * per-type counts and exact value sums (decimal, as everywhere).
+    */
+  def windowedTypeStats(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+
+  /** Calendar-month rollup (streaming twin of the batch q15 query —
+    * identical results, checkable against the same oracle).
+    */
+  def monthlyTypeStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      .groupBy(col("month"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+
+  /** Run an aggregation stream to completion on the available data and
+    * return the final result as a batch frame (complete-mode memory
+    * sink; availableNow semantics for a static source).
+    */
+  def runToCompletion(agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    agg.sparkSession.table(name)
+  }
+}

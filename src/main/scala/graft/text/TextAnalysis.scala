@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token statistics, document
+  * fingerprinting. All pure Catalyst expressions (codegen'd, no UDFs) so
+  * they pipeline inside the parquet scan stage at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space convention of the fixtures). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  // --------------------------------------------------------------- langid
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic.
+    * Deliberately minimal — the operator shape (per-language hit
+    * counting + argmax) is the point; lists are pluggable.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Stopword hits for one language. */
+  def langHits(text: Column, lang: String): Column = {
+    val list = stopwords.toMap.apply(lang)
+    size(filter(tokens(text), t => array_contains(typedLit(list), t)))
+  }
+
+  /** Language-ID: argmax of stopword hits, ties broken by language code
+    * order, zero hits → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.map { case (lang, _) => (lang, langHits(text, lang)) }
+    // fold to (bestLang, bestHits); strict > keeps the first (code-order) max
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bh), (lang, hits)) =>
+        (when(hits > bh, lit(lang)).otherwise(bl), greatest(hits, bh))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  // -------------------------------------------------------------- quality
+  /** Per-document integer quality signals. Ratios are left to the
+    * aggregation layer (ratio-of-sums stays exact; sums of per-row
+    * double ratios would not be reproducible across partition orders).
+    */
+  def withQualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", size(tokens(t)))
+      .withColumn("n_chars_m", length(t))
+      .withColumn("n_stopwords", langHits(t, "en"))
+      .withColumn("n_distinct_tokens", size(array_distinct(tokens(t))))
+      .withColumn("is_quality",
+        col("n_tokens") >= 20 && col("n_tokens") <= 1000 &&
+          col("n_distinct_tokens") >= 10)
+  }
+
+  // --------------------------------------------------------- fingerprint
+  /** Canonical-form fingerprint (sorted distinct lowercase tokens →
+    * md5): near-dup clustering key robust to token order and repetition.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+
+  /** Rolling polynomial hash of the token sequence (order-sensitive
+    * fingerprint). Horner fold mod a sub-2^30 prime: exact, codegen'd,
+    * and overflow-free under ANSI arithmetic (31·acc + crc32 < 2^35).
+    */
+  def rollingHash(text: Column): Column = {
+    val m = 1073741789L
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + crc32(t).cast("long"), lit(m)))
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.metrics.{CfMetrics, SaliencyMetrics}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+
+/** Pipeline-operator specs: dedup families, ANN, text analysis,
+  * multimodal plumbing, metrics — on literal fixtures with
+  * hand-computable expectations.
+  */
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "a"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "a"), // exact dup of 0
+    (2L, "dog lazy the over jumps fox brown quick the", "en", "b"), // reordering of 0
+    (3L, "el rapido zorro marron salta por el perro", "es", "b"),
+    (4L, "completely different words here today folks", "en", "c"),
+    (5L, "the quick brown fox jumps over the lazy cat", "en", "c")  // near-dup of 0
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup groups identical texts, keeps min-id survivor") {
+    val surv = Dedup.exactSurvivors(docs, "text", "doc_id").collect()
+    assert(surv.length === 5) // 6 docs, one exact pair
+    val dup = surv.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("doc_id") === 0L)
+  }
+
+  test("fingerprint clusters are order-insensitive") {
+    val clusters = Dedup.fingerprintClusters(docs, "text", "doc_id").collect()
+    // doc 2 is a token reordering of 0/1 → same fingerprint cluster of 3
+    assert(clusters.map(_.getAs[Long]("cluster_size")).max === 3L)
+  }
+
+  test("shingles produce n-k+1 grams and degenerate gracefully") {
+    val got = docs.filter($"doc_id" === 0)
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(got.length === 7) // 9 tokens → 7 3-grams
+    assert(got.head === "the quick brown")
+    val short = Seq((0L, "one two")).toDF("id", "text")
+      .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(short === Seq("one two"))
+  }
+
+  test("minhash LSH finds the exact and near duplicates") {
+    val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always collides
+    // jaccard(0,5) = 6/8 = 0.75 ≥ 0.5; may or may not LSH-collide but
+    // exact pair must survive verification when it does
+    val verified = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified === Set((0L, 1L)))
+  }
+
+  test("simhash: identical texts → distance 0; near-dups close, distinct far") {
+    val sigs = docs.select($"doc_id", Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(5L)) < ham(sigs(0L), sigs(3L)))
+  }
+
+  test("ANN brute-force top-k ranks by exact cosine") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(embs, "embedding", "vec_id",
+      Seq(1.0f, 0.0f, 0.0f), k = 2, excludeId = Some(0L)).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(math.abs(top.head.getDouble(1) - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("ANN LSH bucket is deterministic and groups identical vectors") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(-5.0f, 1.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val buckets = embs.select($"vec_id", Ann.lshBucket(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) === buckets(1L))
+  }
+
+  test("language id picks the stopword-argmax language") {
+    val langs = docs.select($"doc_id", TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(0L) === "en")
+    assert(langs(3L) === "es") // "el ... por el" hits the es list
+  }
+
+  test("quality signals and rolling hash are deterministic") {
+    val q = TextAnalysis.withQualitySignals(docs).filter($"doc_id" === 0).head()
+    assert(q.getAs[Int]("n_tokens") === 9)
+    assert(q.getAs[Int]("n_distinct_tokens") === 8)
+    val h1 = docs.filter($"doc_id" === 0)
+      .select(TextAnalysis.rollingHash(col("text"))).head().getLong(0)
+    val h2 = docs.filter($"doc_id" === 1)
+      .select(TextAnalysis.rollingHash(col("text"))).head().getLong(0)
+    assert(h1 === h2)
+  }
+
+  test("multimodal: binary table, feature extraction, frame sampling") {
+    val media = Multimodal.asBinaryTable(docs)
+    assert(media.columns.toSet === Set("media_id", "content", "meta"))
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.length === 6)
+    feats.foreach(r => assert(r.getSeq[Float](1).length === 16))
+    // identical payloads → identical features (deterministic stub)
+    val byId = feats.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(0L) === byId(1L))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 8, everyNth = 2)
+    assert(frames.count() > 6) // multiple frames per payload
+  }
+
+  test("cf metrics: validity/proximity/diversity on a toy CF set") {
+    val cf = Seq(
+      ("x", "b", 0.2), // 1 of 2 attrs changed, flipped
+      ("a", "y", 0.6)  // 1 of 2 attrs changed, not flipped
+    ).toDF("attr1", "attr2", "match_score")
+    val original = Seq(("a", "b")).toDF("attr1", "attr2").head()
+    assert(CfMetrics.validity(cf, "match_score") === 0.5)
+    assert(math.abs(CfMetrics.proximity(cf, original, Seq("attr1", "attr2")) - 0.5) < 1e-9)
+    // the two rows differ in both attrs → diversity 1.0
+    assert(math.abs(CfMetrics.diversity(cf, Seq("attr1", "attr2")) - 1.0) < 1e-9)
+  }
+
+  test("faithfulness: trapezoid AUC and ablation wiring") {
+    assert(math.abs(SaliencyMetrics.trapezoidAuc(
+      Seq(0.0, 1.0), Seq(1.0, 1.0)) - 1.0) < 1e-12)
+    val pairs = Seq(
+      ("alpha beta", "alpha beta", 1),
+      ("alpha beta", "gamma delta", 0)
+    ).toDF("ltable_name", "rtable_name", "label")
+    val scorer = (df: DataFrame) =>
+      graft.matcher.TokenCosineModel().predict(df)
+    val (scores, auc) = SaliencyMetrics.faithfulnessAuc(
+      pairs, scorer, Seq("ltable_name", "rtable_name"), Seq(0.1, 0.9))
+    assert(scores.head === 1.0) // no ablation at t=0.1 (top-0 attrs)
+    assert(auc >= 0.0)
+  }
+}
