@@ -1,0 +1,92 @@
+package graft.eval
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.explain.CertaExplainer
+import graft.matcher.ERModel
+import graft.metrics.CfMetrics
+import graft.schema.PairSchema
+import graft.sources.ErSources
+
+/** Batch evaluation driver (reference eval.py §3.2): explain every test
+  * pair, persist per-row explanation outputs, compute CF quality
+  * metrics. Explanations are independent → the loop is the reference's
+  * embarrassingly-parallel per-row driver loop; each iteration's body is
+  * fully distributed. File-level memoization (skip when the output
+  * exists) keeps reruns resumable, as the reference's csv-exists checks
+  * do (eval.py:87-88).
+  */
+object EvalDriver {
+
+  final case class CfRow(
+      ltableId: Long, rtableId: Long, label: Int,
+      latencySec: Double, nCf: Long,
+      validity: Double, proximity: Double, sparsity: Double, diversity: Double)
+
+  /** Evaluate CF explanations over the first `maxRows` test pairs.
+    *
+    * @param testPairs (ltable_id, rtable_id, label) rows
+    * @return one metrics row per explained pair
+    */
+  def evalCf(
+      lsource: DataFrame,
+      rsource: DataFrame,
+      testPairs: DataFrame,
+      model: ERModel,
+      outDir: String,
+      numTriangles: Int = 100,
+      maxRows: Int = 10,
+      cfSample: Int = 10,
+      schema: PairSchema = PairSchema.default): DataFrame = {
+
+    val spark = lsource.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(outDir))
+
+    val explainer = new CertaExplainer(lsource, rsource, schema)
+    val rows = testPairs.limit(maxRows).collect().toSeq.map { tp =>
+      val lid = tp.getAs[Number]("ltable_id").longValue()
+      val rid = tp.getAs[Number]("rtable_id").longValue()
+      val label = tp.getAs[Number]("label").intValue()
+      val cfPath = s"$outDir/cf_${lid}_$rid"
+      val t0 = System.nanoTime()
+
+      val lRec = lsource.filter(col("id") === lid)
+      val rRec = rsource.filter(col("id") === rid)
+      val origScores = model.predict(schema.assemblePair(lRec, rRec))
+        .select(col("nomatch_score"), col("match_score")).head()
+      val pc = if (origScores.getDouble(1) > origScores.getDouble(0)) 1 else 0
+      val classScoreCol = if (pc == 1) "match_score" else "nomatch_score"
+
+      val result = explainer.explain(lRec, rRec, model, numTriangles)
+      val latency = (System.nanoTime() - t0) / 1e9
+
+      if (result.cfExamples.columns.isEmpty) {
+        CfRow(lid, rid, label, latency, 0L, 0.0, 0.0, 0.0, 0.0)
+      } else {
+        val cf = result.cfExamples.limit(cfSample).cache()
+        val nCf = cf.count()
+        if (!Files.exists(Paths.get(cfPath)))
+          ErSources.writeCsv(cf.withColumn("alteredAttributes",
+              array_join(col("alteredAttributes"), "/"))
+            .withColumn("droppedValues", array_join(col("droppedValues"), "/"))
+            .withColumn("copiedValues", array_join(col("copiedValues"), "/")),
+            cfPath)
+        val original = model.predict(schema.assemblePair(lRec, rRec)).head()
+        val attrs = schema.pairAttributes(
+          schema.assemblePair(lRec, rRec))
+        val m = if (nCf == 0) CfRow(lid, rid, label, latency, 0L, 0.0, 0.0, 0.0, 0.0)
+        else CfRow(lid, rid, label, latency, nCf,
+          CfMetrics.validity(cf, classScoreCol),
+          CfMetrics.proximity(cf, original, attrs),
+          CfMetrics.sparsity(cf, original, attrs),
+          CfMetrics.diversity(cf, attrs))
+        cf.unpersist()
+        m
+      }
+    }
+    rows.toDF()
+  }
+}
