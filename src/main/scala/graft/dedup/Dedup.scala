@@ -41,21 +41,29 @@ object Dedup {
     when(size(toks) >= k, grams).otherwise(array(text))
   }
 
-  /** MinHash signature: for hash function i, min over shingles of
+  /** MinHash hash i, declarative formulation: min over shingles of
     * md5(i || '|' || shingle). String-min over hex md5 is a uniform
     * permutation surrogate that any engine reproduces bit-for-bit
     * (the DuckDB-oracle-friendly choice; xxhash64 would be faster but
-    * engine-specific).
+    * engine-specific). Kept as the equivalence-test twin of the
+    * single-pass [[graft.functions.MinHashSignature]] expression —
+    * per-hash folds re-run the md5 interpreter per shingle per hash and
+    * are ~100× slower at corpus scale.
     */
   def minhashColumn(text: Column, i: Int, k: Int = 3): Column =
     array_min(transform(shingles(text, k), sh => md5(concat(lit(s"$i|"), sh))))
 
-  /** Append `numHashes` minhash columns mh0..mh{n-1}. */
+  /** Append `numHashes` minhash columns mh0..mh{n-1} (single-pass
+    * sketch expression; identical values to [[minhashColumn]]).
+    */
   def withMinhashSignature(df: DataFrame, textCol: String,
-      numHashes: Int = 4, k: Int = 3): DataFrame =
-    (0 until numHashes).foldLeft(df) { (d, i) =>
-      d.withColumn(s"mh$i", minhashColumn(col(textCol), i, k))
-    }
+      numHashes: Int = 4, k: Int = 3): DataFrame = {
+    val sigged = df.withColumn("__sig",
+      graft.functions.MinHashSignature(col(textCol), numHashes, k))
+    (0 until numHashes).foldLeft(sigged) { (d, i) =>
+      d.withColumn(s"mh$i", element_at(col("__sig"), i + 1))
+    }.drop("__sig")
+  }
 
   /** LSH banding: band key b = concatenated minhashes of that band.
     * Returns (idCol, band, key) rows — one per band — ready for the
@@ -76,7 +84,10 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    val keys = lshBandKeys(df, textCol, idCol, numBands, rowsPerBand, k)
+    // cache the band keys: the signature fold (numHashes md5-min passes
+    // over every shingle) is the expensive stage, and the bucket
+    // self-join would otherwise evaluate it once per join side
+    val keys = lshBandKeys(df, textCol, idCol, numBands, rowsPerBand, k).cache()
     val a = keys.select(col("band"), col("key"), col(idCol).as("id_a"))
     val b = keys.select(col("band").as("band_b"), col("key").as("key_b"),
       col(idCol).as("id_b"))
@@ -91,8 +102,9 @@ object Dedup {
   def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7, numBands: Int = 2, rowsPerBand: Int = 2,
       k: Int = 3): DataFrame = {
-    val cands = lshCandidatePairs(df, textCol, idCol, numBands, rowsPerBand, k)
+    val cands = lshCandidatePairs(df, textCol, idCol, numBands, rowsPerBand, k).cache()
     val sh = df.select(col(idCol), array_distinct(shingles(col(textCol), k)).as("__sh"))
+      .cache()
     val withTexts = cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
@@ -108,8 +120,13 @@ object Dedup {
   /** 64-bit SimHash over tokens (xxhash64 token hashes; per-bit majority
     * vote). Near-dups = small hamming distance. Engine-native hash →
     * fast, but not oracle-portable; verified by property tests instead.
+    * Single-pass sketch expression (one token hash feeds all 64
+    * counters); [[simhashDeclarative]] is the per-bit-fold twin kept for
+    * equivalence tests.
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column = graft.functions.SimHash64(text)
+
+  def simhashDeclarative(text: Column): Column = {
     val toks = TextAnalysis.tokens(text)
     val bits = (0 until 64).map { b =>
       // sum of ±1 votes for bit b over token hashes, sign → bit

@@ -112,8 +112,10 @@ final class CertaExplainer(
         val preds = model.predict(perturbations)
           .withColumn("__flip", col(classScoreCol) < 0.5)
           .cache()
-        val nPert = preds.count()
-        val nFlip = preds.filter(col("__flip")).count()
+        val cnts = preds.agg(count(lit(1)), sum(when(col("__flip"), 1L).otherwise(0L)))
+          .head()
+        val nPert = cnts.getLong(0)
+        val nFlip = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
         if (nPert > 0) {
           rankings += preds.groupBy(col("alteredAttributes"))
             .agg(sum(when(col("__flip"), 1L).otherwise(0L)).as("cnt"))

@@ -38,8 +38,11 @@ object TextSim {
 
   val cosineUdf = udf(cosineBags _)
 
-  /** Column form of A7. */
-  def tokenCosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** Column form of A7 — backed by the codegen'd Catalyst expression
+    * ([[TokenBagCosine]]); the UDF stays as the reference twin for
+    * equivalence tests.
+    */
+  def tokenCosine(a: Column, b: Column): Column = TokenBagCosine(a, b)
 
   /** U4 token-set difference (reference utils.py:75-81): words of `a`
     * not in `b`, plus words of `b` not in `a` — pure built-ins.

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Ad-hoc stage profiler for slow catalog queries (dev tool). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    val d = Tables.load(spark, sfDir, "documents")
+    time("docs count")(d.count())
+    time("tokens")(d.select(split(col("text"), " ")).count())
+    time("shingles")(d.select(Dedup.shingles(col("text"))).count())
+    time("shingles distinct")(
+      d.select(array_distinct(Dedup.shingles(col("text")))).count())
+    time("one minhash")(d.select(Dedup.minhashColumn(col("text"), 0)).count())
+    time("4-hash signature")(
+      Dedup.withMinhashSignature(d, "text", 4).count())
+    time("band keys")(Dedup.lshBandKeys(d, "text", "doc_id").count())
+    val cands = Dedup.lshCandidatePairs(d, "text", "doc_id")
+    time("candidate pairs")(cands.count())
+    time("candidate pairs again")(cands.count())
+    time("verified near-dups")(
+      Dedup.nearDuplicates(d, "text", "doc_id", 0.7).count())
+    spark.stop()
+  }
+}
