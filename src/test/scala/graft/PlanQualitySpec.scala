@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.queries.{ErQueries, PipelineQueries, Relational}
+
+/** Physical-plan quality gates: the properties that decide whether these
+  * plans survive a 100× scale-up — filters reaching the parquet scan,
+  * dimensions broadcast instead of shuffled, no cartesian products where
+  * an equi-join exists, whole-stage codegen covering the hot operators.
+  * A plan regression (e.g. a lost pushdown after a refactor) fails here
+  * long before it shows up in a benchmark.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: filters push into the parquet scan") {
+    val p = plan(Relational.q02FilterRevenue(spark, dir))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p)
+    // timestamp + numeric filters present at the scan, not only post-scan
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+  }
+
+  test("q03/q04: dimension joins broadcast, no shuffle of the small side") {
+    val p3 = plan(Relational.q03JoinAgg(spark, dir))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    val p4 = plan(Relational.q04RegionRevenue(spark, dir))
+    assert(p4.contains("BroadcastHashJoin"), p4)
+    assert(!p4.contains("CartesianProduct"), p4)
+  }
+
+  test("q02: scan reads only referenced columns (pruning)") {
+    val p = plan(Relational.q02FilterRevenue(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q20: blocked ER pairs use a hash equi-join on the blocking key") {
+    val p = plan(ErQueries.q20ErPairs(spark, dir))
+    assert(p.contains("HashJoin"), p) // broadcast or shuffled — never nested-loop
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q01: aggregation is partial (map-side) before the shuffle") {
+    val p = plan(Relational.q01PricingSummary(spark, dir))
+    // two HashAggregate stages around one exchange = partial+final
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("HashAggregate")) >= 2, p)
+    assert(tree.exists(_.contains("Exchange")), p)
+  }
+
+  test("q40: brute-force ANN is TakeOrdered, not a global sort") {
+    val p = plan(PipelineQueries.q40EmbedTopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("whole-stage codegen covers the sketch expressions") {
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val p = plan(d.select(graft.functions.MinHashSignature(
+      org.apache.spark.sql.functions.col("text"), 4, 3)))
+    // formatted mode marks whole-stage-codegen operators with '*'
+    assert(p.contains("* Project"), p)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import graft.functions.{HashSketches, TextSim}
+import graft.perturb.Perturb
+
+/** ScalaCheck properties for the algebraic invariants SURVEY.md §5
+  * names: powerset cardinality, cosine bounds/symmetry, sketch
+  * stability.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def binom(n: Int, k: Int): Long =
+    if (k < 0 || k > n) 0L
+    else (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+
+  private val word: Gen[String] = Gen.choose(1, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text: Gen[String] = Gen.choose(0, 12)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("powerset: |subsets(attrs, k)| = C(n, k), all size k, all distinct") {
+    check(Prop.forAll(Gen.choose(0, 8), Gen.choose(0, 8)) { (n, k) =>
+      val attrs = (1 to n).map("a" + _)
+      val ss = Perturb.subsets(attrs, k)
+      ss.length == binom(n, k) &&
+        ss.forall(_.size == k) &&
+        ss.distinct.length == ss.length
+    })
+  }
+
+  test("cosine: symmetric, bounded, 1 on self, 0 on disjoint") {
+    check(Prop.forAll(text, text) { (a, b) =>
+      val ab = TextSim.cosineBags(a, b)
+      val ba = TextSim.cosineBags(b, a)
+      math.abs(ab - ba) < 1e-12 && ab >= 0.0 && ab <= 1.0 + 1e-12
+    })
+    check(Prop.forAll(text.suchThat(_.trim.nonEmpty)) { a =>
+      math.abs(TextSim.cosineBags(a, a) - 1.0) < 1e-9
+    })
+  }
+
+  test("minhash: signature stable under self, length = numHashes") {
+    check(Prop.forAll(text, Gen.choose(1, 6)) { (t, n) =>
+      val s1 = HashSketches.minhashSignature(t, n, 3)
+      val s2 = HashSketches.minhashSignature(t, n, 3)
+      s1.length == n && s1.sameElements(s2)
+    })
+  }
+
+  test("minhash: containment — a superset document keeps shingle minima") {
+    // appending text can only add shingles → each min can only decrease
+    check(Prop.forAll(text.suchThat(_.split(" ").length >= 3), word) { (t, w) =>
+      val base = HashSketches.minhashSignature(t, 4, 3)
+      val ext = HashSketches.minhashSignature(t + " " + w, 4, 3)
+      base.zip(ext).forall { case (b, e) => e <= b }
+    })
+  }
+
+  test("simhash: deterministic; hamming to self is 0") {
+    check(Prop.forAll(text) { t =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      HashSketches.simhash64(u) == HashSketches.simhash64(u)
+    })
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Sessionize, StreamingOps}
+
+/** Structured Streaming specs: windowed/watermarked aggregation and
+  * custom sessionization state, driven by MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed + watermarked aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.windowedTypeStats(events, "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("win_test").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.0),
+        (ts("2024-01-01 00:40:00"), "click", 2.0),
+        (ts("2024-01-01 01:10:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 01:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap, keeps open state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(input.toDS(), gapSeconds = 600)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_test").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 20-min gap
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Sessionize.Event(1L, ts("2024-01-01 00:05:00"), "click", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 00:25:00"), "view", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test").as[Sessionize.Session].collect()
+      assert(closed.length === 1)
+      assert(closed.head.n_events === 2L)
+      assert(closed.head.sum_value === 3.0)
+      assert(closed.head.session_end === ts("2024-01-01 00:05:00"))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization agrees with its batch twin") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 1.0),
+      (1L, ts("2024-01-01 00:05:00"), "a", 2.0),
+      (1L, ts("2024-01-01 01:00:00"), "b", 4.0),
+      (2L, ts("2024-01-01 00:00:00"), "a", 8.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val batch = Sessionize.sessionsBatch(events, gapSeconds = 600)
+      .orderBy("user_id", "session_start").collect()
+    assert(batch.length === 3)
+    val first = batch.head
+    assert(first.getAs[Long]("n_events") === 2L)
+    assert(first.getAs[Double]("sum_value") === 3.0)
+  }
+}
