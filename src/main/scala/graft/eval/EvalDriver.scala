@@ -25,6 +25,63 @@ object EvalDriver {
       latencySec: Double, nCf: Long,
       validity: Double, proximity: Double, sparsity: Double, diversity: Double)
 
+  /** Saliency evaluation (reference eval_saliency, eval.py:218-358):
+    * per test pair, CERTA saliency plus the Mojito and Landmark baseline
+    * weights, each with latency instrumentation, persisted long-form.
+    */
+  def evalSaliency(
+      lsource: DataFrame,
+      rsource: DataFrame,
+      testPairs: DataFrame,
+      model: ERModel,
+      outDir: String,
+      numTriangles: Int = 100,
+      maxRows: Int = 10,
+      schema: PairSchema = PairSchema.default): DataFrame = {
+
+    val spark = lsource.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(outDir))
+    val explainer = new CertaExplainer(lsource, rsource, schema)
+
+    val rows = testPairs.limit(maxRows).collect().toSeq.flatMap { tp =>
+      val lid = tp.getAs[Number]("ltable_id").longValue()
+      val rid = tp.getAs[Number]("rtable_id").longValue()
+      val lRec = lsource.filter(col("id") === lid)
+      val rRec = rsource.filter(col("id") === rid)
+
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+
+      val (certa, certaLat) = timed {
+        val e = explainer.explain(lRec, rRec, model, numTriangles)
+        if (e.saliency.columns.isEmpty) Seq.empty
+        else e.saliency.collect().toSeq.map(r =>
+          (r.getAs[String]("attribute"), r.getAs[Double]("saliency")))
+      }
+      val (mojito, mojitoLat) = timed {
+        graft.baselines.Mojito.explain(lRec, rRec, model, "l", 100, schema = schema)
+          .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
+      }
+      val (landmark, landmarkLat) = timed {
+        graft.baselines.Landmark.explain(lRec, rRec, model, "l", 100, schema = schema)
+          .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
+      }
+
+      certa.map { case (a, s) => (lid, rid, "certa", a, s, certaLat) } ++
+        mojito.map { case (a, s) => (lid, rid, "mojito", a, s, mojitoLat) } ++
+        landmark.map { case (a, s) => (lid, rid, "landmark", a, s, landmarkLat) }
+    }
+    val df = rows.toDF("ltable_id", "rtable_id", "method", "attribute",
+      "score", "latency_sec")
+    val path = s"$outDir/saliency"
+    if (!Files.exists(Paths.get(path))) ErSources.writeCsv(df, path)
+    df
+  }
+
   /** Evaluate CF explanations over the first `maxRows` test pairs.
     *
     * @param testPairs (ltable_id, rtable_id, label) rows

@@ -64,10 +64,37 @@ final class CertaExplainer(
     val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
 
     // stage 3: support search
-    val (_, neighborhood) = Candidates.support(
+    val (_, neighborhood0) = Candidates.support(
       lRecord, rRecord, lsource, rsource, pc, model, numTriangles,
       maxPredict, useLeft, useRight, seed = seed, schema = schema)
-    if (neighborhood.columns.isEmpty) return emptyExplanation()
+    if (neighborhood0.columns.isEmpty) return emptyExplanation()
+
+    // G2 fallback (reference local_explain.py:51-60): when support is
+    // short, search again among prefix/suffix-perturbed copies of the
+    // probe records; generated records extend the sources the triangle
+    // stages resolve against (explain.py:67).
+    var neighborhood = neighborhood0
+    var extendedL = lsource
+    var extendedR = rsource
+    if (neighborhood0.count() < numTriangles) {
+      val maxLid = lsource.agg(max(col("id"))).head().getLong(0)
+      val maxRid = rsource.agg(max(col("id"))).head().getLong(0)
+      // variants of the left probe serve as right-side candidates & v.v.
+      val genFromL = graft.perturb.Augment
+        .generateSubsequences(lRecord, startId = maxRid + 1).cache()
+      val genFromR = graft.perturb.Augment
+        .generateSubsequences(rRecord, startId = maxLid + 1).cache()
+      if (genFromL.count() > 0 && genFromR.count() > 0) {
+        val (_, support2) = Candidates.support(
+          lRecord, rRecord, genFromR, genFromL, pc, model, numTriangles,
+          maxPredict, useLeft, useRight, seed = seed, schema = schema)
+        if (support2.columns.nonEmpty && support2.count() > 0) {
+          neighborhood = neighborhood0.unionByName(support2)
+          extendedL = lsource.unionByName(genFromR).cache()
+          extendedR = rsource.unionByName(genFromL).cache()
+        }
+      }
+    }
 
     val nSupport = neighborhood.count()
     if (nSupport == 0) return emptyExplanation()
@@ -107,7 +134,7 @@ final class CertaExplainer(
 
     for (a <- 1 until attrLength) {
       val perturbations = Perturb.forDepth(
-        triangles, lsource, rsource, a, pc, schema)
+        triangles, extendedL, extendedR, a, pc, schema)
       if (!allGood) {
         val preds = model.predict(perturbations)
           .withColumn("__flip", col(classScoreCol) < 0.5)

@@ -57,4 +57,15 @@ class InvariantsSpec extends SparkSpec {
     if (row.getAs[Long]("nCf") > 0)
       assert(row.getAs[Double]("validity") === 1.0)
   }
+
+  test("saliency eval driver emits long-form scores for all methods") {
+    val out = java.nio.file.Files.createTempDirectory("evalsal").toString
+    val pairs = Seq((0L, 0L, 1)).toDF("ltable_id", "rtable_id", "label")
+    val df = EvalDriver.evalSaliency(lsource, rsource, pairs,
+      TokenCosineModel(), out, numTriangles = 4, maxRows = 1)
+    val methods = df.select("method").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(methods.contains("mojito") && methods.contains("landmark"))
+    assert(df.filter(org.apache.spark.sql.functions.col("latency_sec") <= 0).count() === 0)
+  }
 }
