@@ -73,10 +73,11 @@ final class CertaExplainer(
     // short, search again among prefix/suffix-perturbed copies of the
     // probe records; generated records extend the sources the triangle
     // stages resolve against (explain.py:67).
-    var neighborhood = neighborhood0
+    var neighborhood = neighborhood0.cache()
     var extendedL = lsource
     var extendedR = rsource
-    if (neighborhood0.count() < numTriangles) {
+    val n0 = neighborhood0.count()
+    if (n0 < numTriangles) {
       val maxLid = lsource.agg(max(col("id"))).head().getLong(0)
       val maxRid = rsource.agg(max(col("id"))).head().getLong(0)
       // variants of the left probe serve as right-side candidates & v.v.
@@ -96,7 +97,7 @@ final class CertaExplainer(
       }
     }
 
-    val nSupport = neighborhood.count()
+    val nSupport = if (neighborhood eq neighborhood0) n0 else neighborhood.count()
     if (nSupport == 0) return emptyExplanation()
 
     // O3 head+tail truncation in the seeded shuffle order

@@ -170,6 +170,48 @@ object ErQueries {
       |  SUM(CASE WHEN attr = 'p_type' AND s_type <> r_type THEN 1 ELSE 0 END) AS n_flips
       |FROM perturbed GROUP BY attr ORDER BY attr""".stripMargin
 
+  // ---------------------------------------------------------------- q24
+  /** A15 matcher-quality evaluation: confusion counts + F1 of a
+    * deterministic rule model (same type → match) against a stricter
+    * ground truth (same type ∧ |size diff| ≤ 3) over within-brand
+    * pairs. One pass; F1 as a single exact division.
+    */
+  def q24ErF1(s: SparkSession, dir: String): DataFrame = {
+    val p = pp(s, dir)
+    val a = p.select(col("p_partkey").as("lk"), col("p_brand").as("brand"),
+      col("p_type").as("ltype"), col("p_size").as("lsize"))
+    val b = p.select(col("p_partkey").as("rk"), col("p_brand").as("rb"),
+      col("p_type").as("rtype"), col("p_size").as("rsize"))
+    val pairs = a.join(b, col("brand") === col("rb") && col("lk") < col("rk"))
+      .withColumn("pred", (col("ltype") === col("rtype")).cast("int"))
+      .withColumn("truth", (col("ltype") === col("rtype") &&
+        abs(col("lsize") - col("rsize")) <= 3).cast("int"))
+    pairs.agg(
+        sum(when(col("pred") === 1 && col("truth") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && col("truth") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0 && col("truth") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pred") === 0 && col("truth") === 0, 1L).otherwise(0L)).as("tn"))
+      .withColumn("f1",
+        lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")))
+  }
+
+  val q24Sql: String =
+    """WITH pairs AS (
+      |  SELECT CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS pred,
+      |    CASE WHEN a.p_type = b.p_type AND abs(a.p_size - b.p_size) <= 3
+      |      THEN 1 ELSE 0 END AS truth
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+      |c AS (SELECT
+      |  SUM(CASE WHEN pred = 1 AND truth = 1 THEN 1 ELSE 0 END) AS tp,
+      |  SUM(CASE WHEN pred = 1 AND truth = 0 THEN 1 ELSE 0 END) AS fp,
+      |  SUM(CASE WHEN pred = 0 AND truth = 1 THEN 1 ELSE 0 END) AS fn,
+      |  SUM(CASE WHEN pred = 0 AND truth = 0 THEN 1 ELSE 0 END) AS tn
+      |  FROM pairs)
+      |SELECT tp, fp, fn, tn,
+      |  2.0 * tp / (2 * tp + fp + fn) AS f1
+      |FROM c""".stripMargin
+
   // ----------------------------------------------------- q25-q27 (rows-only)
   /** Entity sources for the live explainer: parts as string records. */
   private def erSource(s: SparkSession, dir: String): DataFrame =
@@ -211,6 +253,7 @@ object ErQueries {
     "q21_er_triangles" -> (q21ErTriangles _),
     "q22_er_jaccard" -> (q22ErJaccard _),
     "q23_er_sensitivity" -> (q23ErSensitivity _),
+    "q24_er_f1" -> (q24ErF1 _),
     "q25_certa_saliency" -> (q25CertaSaliency _),
     "q26_certa_pss" -> (q26CertaPss _),
     "q27_certa_triangles" -> (q27CertaTriangles _))
@@ -219,5 +262,6 @@ object ErQueries {
     "q20_er_pairs" -> q20Sql,
     "q21_er_triangles" -> q21Sql,
     "q22_er_jaccard" -> q22Sql,
-    "q23_er_sensitivity" -> q23Sql)
+    "q23_er_sensitivity" -> q23Sql,
+    "q24_er_f1" -> q24Sql)
 }

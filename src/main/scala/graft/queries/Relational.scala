@@ -382,6 +382,36 @@ object Relational {
       |    string_split_regex('0@' || CAST(o_custkey AS VARCHAR) || '#1@' || CAST(o_orderkey AS VARCHAR), '[@#]') AS parts
       |  FROM orders)""".stripMargin
 
+  // ---------------------------------------------------------------- q17
+  /** U4 token-set difference (reference diff, utils.py:75-81): per-brand
+    * totals of tokens unique to each side across part-name pairs.
+    */
+  def q17TokenDiff(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        array_distinct(split(col("p_name"), " ")).as("toks"))
+    val a = p.select(col("p_partkey").as("lk"), col("p_brand").as("brand"),
+      col("toks").as("lt"))
+    val b = p.select(col("p_partkey").as("rk"), col("p_brand").as("rb"),
+      col("toks").as("rt"))
+    a.join(b, col("brand") === col("rb") && col("lk") < col("rk"))
+      .groupBy(col("brand"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(size(array_except(col("lt"), col("rt"))).cast("long")).as("sum_left_only"),
+        sum(size(array_except(col("rt"), col("lt"))).cast("long")).as("sum_right_only"))
+      .orderBy(col("brand"))
+  }
+
+  val q17Sql: String =
+    """WITH p AS (SELECT p_partkey, p_brand,
+      |  list_distinct(string_split(p_name, ' ')) AS toks FROM part)
+      |SELECT a.p_brand AS brand, COUNT(*) AS n_pairs,
+      |  SUM(len(list_filter(a.toks, x -> NOT list_contains(b.toks, x)))) AS sum_left_only,
+      |  SUM(len(list_filter(b.toks, x -> NOT list_contains(a.toks, x)))) AS sum_right_only
+      |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |GROUP BY a.p_brand ORDER BY brand""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -399,7 +429,8 @@ object Relational {
     "q13_cross_join" -> (q13CrossJoin _),
     "q14_group_having" -> (q14GroupHaving _),
     "q15_month_buckets" -> (q15MonthBuckets _),
-    "q16_composite_id" -> (q16CompositeId _))
+    "q16_composite_id" -> (q16CompositeId _),
+    "q17_token_diff" -> (q17TokenDiff _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -417,5 +448,6 @@ object Relational {
     "q13_cross_join" -> q13Sql,
     "q14_group_having" -> q14Sql,
     "q15_month_buckets" -> q15Sql,
-    "q16_composite_id" -> q16Sql)
+    "q16_composite_id" -> q16Sql,
+    "q17_token_diff" -> q17Sql)
 }
