@@ -49,4 +49,19 @@ object ErSources {
     val out = if (coalesce) df.coalesce(1) else df
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
+
+  /** S5: word-embedding text source (reference DeepER.py:20-32 GloVe
+    * loader): `word v1 v2 ...` lines → broadcast word→vector map for
+    * executor-side feature building.
+    */
+  def readEmbeddingText(spark: SparkSession, path: String)
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Float]]] = {
+    val entries = spark.read.textFile(path).rdd
+      .map { line =>
+        val parts = line.trim.split("\\s+")
+        parts.head -> parts.tail.map(_.toFloat)
+      }
+      .collectAsMap().toMap
+    spark.sparkContext.broadcast(entries)
+  }
 }

@@ -67,6 +67,46 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 
+  // ---------------------------------------------------- serialization
+  /** F11 Ditto pair serialization (reference ditto/matcher.py:37-69
+    * to_str): `COL <name> VAL <value>` segments per attribute, sides
+    * separated by a tab — the text form transformer matchers consume.
+    */
+  def dittoSerialize(attrs: Seq[(String, Column)]): Column =
+    concat_ws(" ", attrs.flatMap { case (name, value) =>
+      Seq(lit("COL"), lit(name), lit("VAL"),
+        coalesce(value.cast("string"), lit("")))
+    }: _*)
+
+  /** F12 TF-IDF token trim (reference ditto/summarize.py:34-112): keep
+    * each document's `maxTokens` highest-IDF tokens (ties by token) —
+    * corpus IDF from one aggregation, trim as a per-row array op.
+    */
+  def tfIdfSummarize(df: DataFrame, textCol: String,
+      maxTokens: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count().toDouble
+    val idf = df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("docFreq"))
+      .select(col("token"), log(lit(n + 1.0) / (col("docFreq") + 1.0)).as("idf"))
+    val idfMap = idf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bIdf = spark.sparkContext.broadcast(idfMap)
+    val trimUdf = udf { text: String =>
+      if (text == null) ""
+      else {
+        val toks = text.split(" ")
+        if (toks.length <= maxTokens) text
+        else {
+          val keep = toks.zipWithIndex
+            .sortBy { case (t, i) => (-bIdf.value.getOrElse(t, 0.0), t, i) }
+            .take(maxTokens).map(_._2).toSet
+          toks.zipWithIndex.collect { case (t, i) if keep(i) => t }.mkString(" ")
+        }
+      }
+    }
+    df.withColumn(textCol, trimUdf(col(textCol)))
+  }
+
   /** Rolling polynomial hash of the token sequence (order-sensitive
     * fingerprint). Horner fold mod a sub-2^30 prime: exact, codegen'd,
     * and overflow-free under ANSI arithmetic (31·acc + crc32 < 2^35).
