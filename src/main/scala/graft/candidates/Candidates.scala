@@ -96,14 +96,16 @@ object Candidates {
       val qual = if (findPositives) col("match_score") > 0.5 else col("match_score") < 0.5
       val cached = withBatch.withColumn("__qual", qual).cache()
       try {
-        val total = cached.count()
+        // one pass: total rows AND per-batch qualifying counts
+        val stats = cached.groupBy(col("__batch"), col("__qual"))
+          .agg(count(lit(1)).as("n")).collect()
+        val total = stats.map(_.getLong(2)).sum
         // reference splits = min(20, n/batch); we keep a final partial
         // batch (max(1, ...)) so sub-batch-sized sources still yield
         // support — the reference degenerates to empty there.
         val splits = math.min(20L, math.max(1L, total / batch)).toInt
-        val perBatch = cached.filter(col("__qual"))
-          .groupBy(col("__batch")).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val perBatch = stats.filter(_.getBoolean(1))
+          .map(r => r.getInt(0) -> r.getLong(2)).toMap
         // consume batches until numCandidates qualify (reference
         // while len(result) < k && i < splits)
         var cum = 0L

@@ -54,6 +54,42 @@ object SaliencyMetrics {
     (scores, trapezoidAuc(thresholds, scores))
   }
 
+  /** A13 faithfulness with the reference's per-row ranking
+    * (saliency.py:155-168): each pair's own top-k salient attributes are
+    * blanked. `saliency` is long-form (ltable_id, rtable_id, attribute,
+    * score); ablation is a per-pair rank map joined onto the pairs —
+    * one distributed evaluation per threshold, no driver row loop.
+    */
+  def faithfulnessAucPerRow(
+      labeledPairs: DataFrame,
+      saliency: DataFrame,
+      scoreFn: DataFrame => DataFrame,
+      attrs: Seq[String],
+      thresholds: Seq[Double] = defaultThresholds): (Seq[Double], Double) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ltable_id"), col("rtable_id"))
+      .orderBy(col("score").desc, col("attribute").asc)
+    val rankMap = saliency
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("ltable_id").as("__rl"), col("rtable_id").as("__rr"))
+      .agg(map_from_entries(collect_list(struct(col("attribute"), col("rnk"))))
+        .as("__ranks"))
+    val joined = labeledPairs.join(rankMap,
+      labeledPairs("ltable_id") === col("__rl") &&
+        labeledPairs("rtable_id") === col("__rr"), "left")
+
+    val scores = thresholds.map { t =>
+      val topK = (t * attrs.size).toInt
+      val ablated = attrs.foldLeft(joined) { (df, a) =>
+        df.withColumn(a,
+          when(coalesce(element_at(col("__ranks"), a), lit(Int.MaxValue)) <= topK,
+            lit("")).otherwise(col(a)))
+      }.drop("__rl", "__rr", "__ranks")
+      f1(scoreFn(ablated))
+    }
+    (scores, trapezoidAuc(thresholds, scores))
+  }
+
   /** Trapezoid-rule AUC (the sklearn.metrics.auc the reference calls). */
   def trapezoidAuc(xs: Seq[Double], ys: Seq[Double]): Double =
     xs.zip(ys).sliding(2).collect {

@@ -254,6 +254,19 @@ object PipelineQueries {
       .orderBy(col("bucket"))
   }
 
+  // ---------------------------------------------------------------- q42
+  /** IVF-accelerated ANN: k-means coarse cells + nProbe scan (seeded
+    * k-means → engine-specific centroids → rows-only). Output: the
+    * probe's top-10 under 2-cell probing.
+    */
+  def q42EmbedIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val index = Ann.ivfBuild(e, "embedding", "vec_id", nCells = 8)
+    Ann.ivfTopK(index, probe, k = 10, nProbe = 2)
+  }
+
   // ---------------------------------------------------------------- q45
   /** Multimodal metadata census over the binary media table. */
   def q45MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
@@ -320,6 +333,7 @@ object PipelineQueries {
     "q37_simhash" -> (q37Simhash _),
     "q40_embed_topk" -> (q40EmbedTopK _),
     "q41_embed_lsh" -> (q41EmbedLsh _),
+    "q42_embed_ivf" -> (q42EmbedIvf _),
     "q45_multimodal_meta" -> (q45MultimodalMeta _),
     "q46_multimodal_features" -> (q46MultimodalFeatures _),
     "q47_stream_month" -> (q47StreamMonth _),

@@ -73,6 +73,50 @@ object Ann {
     bruteForceTopK(candidates.drop("__bucket"), embCol, idCol, probe, k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * probe only the `nProbe` nearest cells — the classic
+    * coarse-quantization scale path (one shuffle to bucket the corpus;
+    * queries scan |corpus|·nProbe/nCells vectors). Seeded k-means keeps
+    * the index deterministic.
+    */
+  final case class IvfIndex(assigned: DataFrame,
+      centroids: Array[Array[Double]], embCol: String, idCol: String)
+
+  def ivfBuild(df: DataFrame, embCol: String, idCol: String,
+      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(col(idCol), col(embCol),
+      array_to_vector(col(embCol).cast("array<double>")).as("__features"))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+    val model = km.fit(vecs)
+    val assigned = model.transform(vecs).drop("__features").cache()
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray), embCol, idCol)
+  }
+
+  def ivfTopK(index: IvfIndex, probe: Seq[Float], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    // nearest cells by cosine on the driver (centroid count is tiny)
+    def cos(a: Array[Double], b: Seq[Float]): Double = {
+      var num = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        num += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) 0.0 else num / den
+    }
+    val cells = index.centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(c, probe), i) }
+      .take(nProbe).map(_._2)
+    val candidates = index.assigned
+      .filter(col("__cell").isin(cells.toIndexedSeq: _*))
+      .drop("__cell")
+    bruteForceTopK(candidates, index.embCol, index.idCol, probe, k)
+  }
+
   /** All-pairs near neighbors above a cosine threshold, LSH-bucketed:
     * the embedding analog of MinHash near-dup detection. Join is
     * per-bucket; at 100 TB this is the only tractable shape.

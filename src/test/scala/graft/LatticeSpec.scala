@@ -47,4 +47,26 @@ class LatticeSpec extends SparkSpec {
     assert(res.meanMae < 0.05)
     assert(res.foldMaes.size === 3)
   }
+
+  test("per-row faithfulness ablates each pair's own top attributes") {
+    import org.apache.spark.sql.DataFrame
+    val pairs = Seq(
+      (0L, 0L, "alpha beta", "alpha beta", 1),
+      (1L, 1L, "gamma delta x", "gamma delta y", 1)
+    ).toDF("ltable_id", "rtable_id", "ltable_name", "rtable_name", "label")
+    // pair 0 ranks ltable_name first; pair 1 ranks rtable_name first
+    val saliency = Seq(
+      (0L, 0L, "ltable_name", 0.9), (0L, 0L, "rtable_name", 0.1),
+      (1L, 1L, "ltable_name", 0.2), (1L, 1L, "rtable_name", 0.8)
+    ).toDF("ltable_id", "rtable_id", "attribute", "score")
+    val scorer = (df: DataFrame) => graft.matcher.TokenCosineModel().predict(df)
+    val (scores, auc) = graft.metrics.SaliencyMetrics.faithfulnessAucPerRow(
+      pairs, saliency, scorer, Seq("ltable_name", "rtable_name"),
+      Seq(0.1, 0.5, 0.9))
+    // t=0.1 → top-0: nothing ablated, both pairs still predicted match
+    assert(scores.head === 1.0)
+    // t=0.5 → top-1 per pair blanked → cosine drops to 0 → no matches
+    assert(scores(1) === 0.0)
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
 }

@@ -149,4 +149,23 @@ class PipelineSpec extends SparkSpec {
     assert(scores.head === 1.0) // no ablation at t=0.1 (top-0 attrs)
     assert(auc >= 0.0)
   }
+
+  test("IVF index: probing enough cells recovers the brute-force top-k") {
+    val rnd = new scala.util.Random(7)
+    val embs = (0L until 200L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val probe = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val brute = graft.similarity.Ann.bruteForceTopK(
+      embs, "embedding", "vec_id", probe, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val index = graft.similarity.Ann.ivfBuild(embs, "embedding", "vec_id", nCells = 4)
+    val ivfAll = graft.similarity.Ann.ivfTopK(index, probe, k = 5, nProbe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    // probing every cell == exact search
+    assert(ivfAll === brute)
+    // probing one cell returns a subset of plausible neighbors quickly
+    val ivf1 = graft.similarity.Ann.ivfTopK(index, probe, k = 5, nProbe = 1)
+    assert(ivf1.count() <= 5)
+  }
 }
