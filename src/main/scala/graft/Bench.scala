@@ -28,6 +28,10 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate cache state per query: earlier queries' persisted frames
+      // otherwise squeeze the heap and turn later timings into eviction
+      // noise
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

@@ -166,13 +166,29 @@ final class CertaExplainer(
     }
     if (rankings.isEmpty) return emptyExplanation()
 
-    // stage 6a: A2 aggregate rankings → probability of sufficiency
+    // stage 6a: A2 aggregate rankings → probability of sufficiency.
+    // The result is bounded by the attribute powerset (≤ Σ C(n,a) rows,
+    // data-size independent), so it materializes driver-side — exactly
+    // the reference's pandas Series — and the returned frame carries no
+    // recomputable lineage into later stages.
     val rankingsAll = rankings.reduce(_ unionByName _)
-    val pss = rankingsAll
+    val pssRows = rankingsAll
       .groupBy(col("alteredAttributes"))
       .agg((sum(col("cnt")) / lit(nTriangles.toDouble)).as("pos"))
       .withColumn("attrSet", array_join(col("alteredAttributes"), "/"))
-      .cache()
+      .collect().toIndexedSeq
+    val pssSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("alteredAttributes",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("attrSet",
+        org.apache.spark.sql.types.StringType)))
+    def localFrame(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), pssSchema)
+    val pss = localFrame(pssRows)
 
     // stage 6b: A3 saliency = base + per-attribute flip mass
     val flips = (totalFlipped + nTriangles).toDouble
@@ -189,23 +205,28 @@ final class CertaExplainer(
       .select(col("attribute"),
         (lit(base) + coalesce(col("flipCnt"), lit(0L)) / lit(flips)).as("saliency"))
 
-    // stage 6c: A4 cf_summary — max-probability sets, minimal-antichain
-    // filtered via a left-anti subset-containment self-join
-    // (reference cf_summary, triangles_method.py:254-263)
-    val maxPos = pss.agg(max(col("pos"))).head().getDouble(0)
-    val atMax = pss.filter(col("pos") === maxPos)
-    val cfSummary = atMax.alias("a")
-      .join(atMax.alias("b"),
-        size(array_except(col("b.alteredAttributes"), col("a.alteredAttributes"))) === 0 &&
-          size(col("b.alteredAttributes")) < size(col("a.alteredAttributes")),
-        "left_anti")
-      .select(col("alteredAttributes"), col("attrSet"), col("pos"))
+    // stage 6c: A4 cf_summary — max-probability sets, minimal antichain
+    // (reference cf_summary, triangles_method.py:254-263). Driver-side
+    // over the materialized pss, as the reference computes it — the set
+    // count is powerset-bounded, and a distributed self-join here would
+    // cost far more than it computes.
+    val maxPos = pssRows.map(_.getDouble(1)).max
+    val atMax = pssRows.filter(_.getDouble(1) == maxPos)
+    val atMaxSets = atMax.map(r => r.getSeq[String](0).toSet)
+    val cfSummaryRows = atMax.filter { r =>
+      val s = r.getSeq[String](0).toSet
+      !atMaxSets.exists(b => b.size < s.size && b.subsetOf(s))
+    }
+    val cfSummary = localFrame(cfSummaryRows)
 
-    // stage 6d: CF examples — flipped rows restricted to summary sets,
-    // deduplicated, ordered by set size (reference explain.py:73-77)
+    // stage 6d: CF examples — flipped rows restricted to summary sets
+    // (literal key set — no join), deduplicated, ordered by set size
+    // (reference explain.py:73-77)
+    val summaryKeys = cfSummaryRows.map(_.getString(2))
     val flippedAll = flippedParts.reduce(_ unionByName _)
     val cfExamples = flippedAll
-      .join(cfSummary.select(col("alteredAttributes")), Seq("alteredAttributes"), "left_semi")
+      .filter(array_join(col("alteredAttributes"), "/")
+        .isin(summaryKeys.toIndexedSeq: _*))
       .dropDuplicates("copiedValues", "alteredAttributes", "droppedValues")
       .withColumn("attr_count", size(col("alteredAttributes")))
       .orderBy(col("attr_count"))

@@ -56,6 +56,33 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
 
+  /** Streaming ER scoring: column-program models (TokenCosineModel,
+    * MLlibMatcher.transform) lift to streaming frames unchanged — this
+    * is just the typed entry point. mapPartitions-based scorers
+    * (ExternalBatchScorer) need foreachBatch instead; see
+    * [[scoreStreamForeachBatch]].
+    */
+  def scoreStream(pairStream: DataFrame, model: graft.matcher.ERModel): DataFrame =
+    model.predict(pairStream)
+
+  /** Streaming route for RDD-based scorers: score each micro-batch with
+    * the arbitrary model and hand the result to `sink`.
+    */
+  def scoreStreamForeachBatch(pairStream: DataFrame,
+      model: graft.matcher.ERModel,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    pairStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(model.predict(batch), id)
+    }.start()
+
+  /** Streaming exact dedup: watermark-bounded dropDuplicates on the key
+    * — state expires with the watermark, so memory stays bounded.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Run an aggregation stream to completion on the available data and
     * return the final result as a batch frame (complete-mode memory
     * sink; availableNow semantics for a static source).

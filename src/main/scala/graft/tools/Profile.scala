@@ -38,6 +38,22 @@ object Profile {
     time("candidate pairs again")(cands.count())
     time("verified near-dups")(
       Dedup.nearDuplicates(d, "text", "doc_id", 0.7).count())
+
+    // explain stage costs
+    val part = Tables.load(spark, sfDir, "part").select(
+      col("p_partkey").as("id"), col("p_name").as("name"),
+      col("p_brand").as("brand"), col("p_type").as("ptype"),
+      col("p_size").cast("string").as("psize"))
+    val l = part.filter(col("id") === 0)
+    val t0 = System.nanoTime()
+    val e = new graft.explain.CertaExplainer(part, part)
+      .explain(l, l, graft.matcher.TokenCosineModel(), numTriangles = 10)
+    println(f"[profile] explain() driver loop        ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    time("saliency collect")(e.saliency.count())
+    time("pss collect")(e.pss.count())
+    time("cfSummary collect")(e.cfSummary.count())
+    time("cfExamples collect")(e.cfExamples.count())
+    time("triangles collect")(e.triangles.count())
     spark.stop()
   }
 }

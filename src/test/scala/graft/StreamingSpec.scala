@@ -75,4 +75,39 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Long]("n_events") === 2L)
     assert(first.getAs[Double]("sum_value") === 3.0)
   }
+
+  test("pure-column model scores a streaming pair frame") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val pairs = input.toDF().toDF("ltable_name", "rtable_name")
+    val scored = StreamingOps.scoreStream(pairs, graft.matcher.TokenCosineModel())
+    val q = scored.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("score_test").start()
+    try {
+      input.addData(("alpha beta", "alpha beta"), ("alpha", "omega"))
+      q.processAllAvailable()
+      val rows = spark.table("score_test")
+        .select("ltable_name", "match_score").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(math.abs(rows("alpha beta") - 1.0) < 1e-9)
+      assert(rows("alpha") === 0.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val deduped = StreamingOps.dedupStream(events, Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_test").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:00:00"), 1.0), // exact duplicate
+        (2L, ts("2024-01-01 00:01:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 2)
+    } finally q.stop()
+  }
 }
