@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the harness parses the one JSON line Bench prints; sbt's default
+// LoggedOutput prefixes forked stdout with "[info] ", which breaks
+// json.loads — pass the child's stdout through untouched instead
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 40+ codegen-heavy queries in one JVM emit enough generated classes
+  // to fill the default 240m JIT code cache, after which compilation
+  // stops and every later query runs interpreted (observed as a 10-40x
+  // cliff in full-catalog runs). Size it out of the way and let the JVM
+  // evict cold compiled code instead of giving up.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -33,15 +33,33 @@ object TextAnalysis {
 
   /** Language-ID: argmax of stopword hits, ties broken by language code
     * order, zero hits → "und" (undetermined).
+    *
+    * Single pass over the token array: one `aggregate` carries all
+    * per-language counters in a struct and the finish lambda does the
+    * argmax over the (already computed) counts. A naive per-language
+    * `size(filter(...))` fold duplicates each language's array scan
+    * ~25× in the expression tree — O(langs²) scans per row and a
+    * code-cache-hostile generated method.
     */
   def langId(text: Column): Column = {
-    val scored = stopwords.map { case (lang, _) => (lang, langHits(text, lang)) }
-    // fold to (bestLang, bestHits); strict > keeps the first (code-order) max
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bh), (lang, hits)) =>
-        (when(hits > bh, lit(lang)).otherwise(bl), greatest(hits, bh))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    val langs = stopwords
+    val zero = struct(langs.map { case (lang, _) => lit(0).as(s"c_$lang") }: _*)
+    aggregate(
+      tokens(text),
+      zero,
+      (acc, t) => struct(langs.map { case (lang, words) =>
+        (acc.getField(s"c_$lang") +
+          when(array_contains(typedLit(words), t), 1).otherwise(0)).as(s"c_$lang")
+      }: _*),
+      acc => {
+        val scored = langs.map { case (lang, _) => (lang, acc.getField(s"c_$lang")) }
+        // strict > keeps the first (code-order) language on ties
+        val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+          case ((bl, bh), (lang, hits)) =>
+            (when(hits > bh, lit(lang)).otherwise(bl), greatest(hits, bh))
+        }
+        when(best._2 > 0, best._1).otherwise(lit("und"))
+      })
   }
 
   // -------------------------------------------------------------- quality

@@ -1,0 +1,24 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+object BenchSubset {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q32_near_dups", "q33_langid")
+    for (n <- names) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[bench-subset] $n%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    spark.stop()
+  }
+}
