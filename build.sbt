@@ -31,6 +31,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // full-catalog runs want 16g; on smaller hosts set SPARK_DRIVER_MEM
+  // (e.g. SPARK_DRIVER_MEM=8g) — single-query runs fit comfortably
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // 40+ codegen-heavy queries in one JVM emit enough generated classes
   // to fill the default 240m JIT code cache, after which compilation

@@ -96,15 +96,14 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Verified near-dup pairs: LSH candidates whose k-shingle jaccard
-    * meets `threshold` (exact verification joins the texts back in).
+  /** Exact jaccard verification of candidate pairs (id_a, id_b): joins
+    * the shingle sets back in and keeps pairs at or above `threshold`.
+    * Factored out of [[nearDuplicates]] so callers that also need the
+    * raw candidate set (e.g. a census) compute the LSH stage once.
     */
-  def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.7, numBands: Int = 2, rowsPerBand: Int = 2,
-      k: Int = 3): DataFrame = {
-    val cands = lshCandidatePairs(df, textCol, idCol, numBands, rowsPerBand, k).cache()
+  def verifyJaccard(cands: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, threshold: Double, k: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), array_distinct(shingles(col(textCol), k)).as("__sh"))
-      .cache()
     val withTexts = cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
@@ -114,6 +113,16 @@ object Dedup {
           size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Verified near-dup pairs: LSH candidates whose k-shingle jaccard
+    * meets `threshold` (exact verification joins the texts back in).
+    */
+  def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, numBands: Int = 2, rowsPerBand: Int = 2,
+      k: Int = 3): DataFrame = {
+    val cands = lshCandidatePairs(df, textCol, idCol, numBands, rowsPerBand, k).cache()
+    verifyJaccard(cands, df, textCol, idCol, threshold, k)
   }
 
   // ------------------------------------------------------------- simhash

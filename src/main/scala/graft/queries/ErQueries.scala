@@ -43,7 +43,7 @@ object ErQueries {
 
   val q20Sql: String =
     """SELECT a.p_brand AS brand, COUNT(*) AS n_pairs,
-      |  SUM(CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END) AS n_matches
+      |  CAST(SUM(CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
       |FROM part a JOIN part b
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |GROUP BY a.p_brand ORDER BY brand""".stripMargin
@@ -119,11 +119,11 @@ object ErQueries {
       |  SELECT p_partkey, p_brand, list_distinct(string_split(p_name, ' ')) AS toks
       |  FROM part)
       |SELECT a.p_brand AS brand, COUNT(*) AS n_pairs,
-      |  SUM(CASE WHEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |  CAST(SUM(CASE WHEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |    CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5
-      |    THEN 1 ELSE 0 END) AS n_similar,
-      |  SUM(CASE WHEN len(list_intersect(a.toks, b.toks)) = 0
-      |    THEN 1 ELSE 0 END) AS n_disjoint
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_similar,
+      |  CAST(SUM(CASE WHEN len(list_intersect(a.toks, b.toks)) = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_disjoint
       |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |GROUP BY a.p_brand ORDER BY brand""".stripMargin
 
@@ -167,7 +167,7 @@ object ErQueries {
       |  SELECT brand, r_type, s_type, unnest(['p_name', 'p_size', 'p_type']) AS attr
       |  FROM matched JOIN supp ON brand = sbrand)
       |SELECT attr, COUNT(*) AS n_pert,
-      |  SUM(CASE WHEN attr = 'p_type' AND s_type <> r_type THEN 1 ELSE 0 END) AS n_flips
+      |  CAST(SUM(CASE WHEN attr = 'p_type' AND s_type <> r_type THEN 1 ELSE 0 END) AS BIGINT) AS n_flips
       |FROM perturbed GROUP BY attr ORDER BY attr""".stripMargin
 
   // ---------------------------------------------------------------- q24
@@ -203,10 +203,10 @@ object ErQueries {
       |  FROM part a JOIN part b
       |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
       |c AS (SELECT
-      |  SUM(CASE WHEN pred = 1 AND truth = 1 THEN 1 ELSE 0 END) AS tp,
-      |  SUM(CASE WHEN pred = 1 AND truth = 0 THEN 1 ELSE 0 END) AS fp,
-      |  SUM(CASE WHEN pred = 0 AND truth = 1 THEN 1 ELSE 0 END) AS fn,
-      |  SUM(CASE WHEN pred = 0 AND truth = 0 THEN 1 ELSE 0 END) AS tn
+      |  CAST(SUM(CASE WHEN pred = 1 AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(SUM(CASE WHEN pred = 1 AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(SUM(CASE WHEN pred = 0 AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |  CAST(SUM(CASE WHEN pred = 0 AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
       |  FROM pairs)
       |SELECT tp, fp, fn, tn,
       |  2.0 * tp / (2 * tp + fp + fn) AS f1

@@ -35,9 +35,9 @@ object PipelineQueries {
 
   val q30Sql: String =
     """WITH g AS (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)
-      |SELECT SUM(c) AS n_docs, COUNT(*) AS n_distinct_texts,
-      |  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs,
-      |  SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+      |SELECT CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_distinct_texts,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
       |FROM g""".stripMargin
 
   // ---------------------------------------------------------------- q31
@@ -72,9 +72,11 @@ object PipelineQueries {
     */
   def q32NearDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val nCand = Dedup.lshCandidatePairs(d, "text", "doc_id")
-      .agg(count(lit(1)).as("n_candidates"))
-    val nVer = Dedup.nearDuplicates(d, "text", "doc_id", threshold = 0.7)
+    // one LSH stage feeds both census legs (cands is cached; the
+    // verify leg reuses it instead of rebuilding signatures)
+    val cands = Dedup.lshCandidatePairs(d, "text", "doc_id").cache()
+    val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+    val nVer = Dedup.verifyJaccard(cands, d, "text", "doc_id", threshold = 0.7)
       .agg(count(lit(1)).as("n_verified"))
     nCand.crossJoin(nVer)
   }
@@ -162,10 +164,11 @@ object PipelineQueries {
        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
        |  FROM documents)
        |SELECT source, COUNT(*) AS n_docs,
-       |  SUM(n_tokens) AS sum_tokens, SUM(n_chars_m) AS sum_chars,
-       |  SUM(n_stopwords) AS sum_stopwords,
-       |  SUM(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 AND n_distinct_tokens >= 10
-       |    THEN 1 ELSE 0 END) AS n_quality,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(n_chars_m) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(n_stopwords) AS BIGINT) AS sum_stopwords,
+       |  CAST(SUM(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 AND n_distinct_tokens >= 10
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
        |  CAST(SUM(n_stopwords) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS stopword_ratio
        |FROM q GROUP BY source ORDER BY source""".stripMargin
   }
@@ -200,8 +203,8 @@ object PipelineQueries {
       |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS f,
       |    COUNT(*) AS c
       |  FROM documents GROUP BY 1)
-      |SELECT SUM(c) AS n_docs, COUNT(*) AS n_fingerprints,
-      |  SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_clusters_gt1,
+      |SELECT CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_fingerprints,
+      |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters_gt1,
       |  MAX(c) AS max_cluster
       |FROM fp""".stripMargin
 
@@ -279,7 +282,7 @@ object PipelineQueries {
 
   val q45Sql: String =
     """SELECT COUNT(*) AS n_items,
-      |  SUM(octet_length(encode(text))) AS sum_bytes,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
       |  COUNT(DISTINCT md5(text)) AS n_distinct_md5
       |FROM documents""".stripMargin
 

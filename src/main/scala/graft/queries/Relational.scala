@@ -215,7 +215,7 @@ object Relational {
     val c = t(s, dir, "customer")
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    c.withColumn("rnk", row_number().over(w))
+    c.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
       .orderBy(col("c_nationkey"), col("rnk"))
@@ -313,7 +313,7 @@ object Relational {
 
   val q13Sql: String =
     """SELECT r_name, COUNT(*) AS n_total,
-      |  SUM(CASE WHEN n_regionkey = r_regionkey THEN 1 ELSE 0 END) AS n_in_region
+      |  CAST(SUM(CASE WHEN n_regionkey = r_regionkey THEN 1 ELSE 0 END) AS BIGINT) AS n_in_region
       |FROM region CROSS JOIN nation
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
@@ -374,7 +374,7 @@ object Relational {
 
   val q16Sql: String =
     """SELECT COUNT(*) AS n_total,
-      |  SUM(CASE WHEN CAST(parts[2] AS BIGINT) = o_custkey AND CAST(parts[4] AS BIGINT) = o_orderkey THEN 1 ELSE 0 END) AS n_roundtrip_ok,
+      |  CAST(SUM(CASE WHEN CAST(parts[2] AS BIGINT) = o_custkey AND CAST(parts[4] AS BIGINT) = o_orderkey THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
       |  COUNT(DISTINCT pair_id) AS n_distinct_ids
       |FROM (
       |  SELECT o_custkey, o_orderkey,
@@ -407,8 +407,8 @@ object Relational {
     """WITH p AS (SELECT p_partkey, p_brand,
       |  list_distinct(string_split(p_name, ' ')) AS toks FROM part)
       |SELECT a.p_brand AS brand, COUNT(*) AS n_pairs,
-      |  SUM(len(list_filter(a.toks, x -> NOT list_contains(b.toks, x)))) AS sum_left_only,
-      |  SUM(len(list_filter(b.toks, x -> NOT list_contains(a.toks, x)))) AS sum_right_only
+      |  CAST(SUM(len(list_filter(a.toks, x -> NOT list_contains(b.toks, x)))) AS BIGINT) AS sum_left_only,
+      |  CAST(SUM(len(list_filter(b.toks, x -> NOT list_contains(a.toks, x)))) AS BIGINT) AS sum_right_only
       |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |GROUP BY a.p_brand ORDER BY brand""".stripMargin
 

@@ -82,17 +82,94 @@ object Ann {
   final case class IvfIndex(assigned: DataFrame,
       centroids: Array[Array[Double]], embCol: String, idCol: String)
 
+  /** Coarse quantizers train on a bounded sample, not the corpus (the
+    * FAISS recipe: centroid quality needs ~hundreds of vectors per
+    * cell). The sample is a deterministic hash-ordered prefix, Lloyd's
+    * runs on the driver (nCells × dim doubles — trivially small), and
+    * the corpus-wide cell assignment is the only distributed step: a
+    * single broadcast-centroid pass, no iteration-per-job like a
+    * distributed k-means would cost.
+    */
   def ivfBuild(df: DataFrame, embCol: String, idCol: String,
-      nCells: Int = 16, seed: Long = 42L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val vecs = df.select(col(idCol), col(embCol),
-      array_to_vector(col(embCol).cast("array<double>")).as("__features"))
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("__features").setPredictionCol("__cell")
-    val model = km.fit(vecs)
-    val assigned = model.transform(vecs).drop("__features").cache()
-    IvfIndex(assigned, model.clusterCenters.map(_.toArray), embCol, idCol)
+      nCells: Int = 16, seed: Long = 42L, maxTrain: Int = 16384,
+      maxIter: Int = 20): IvfIndex = {
+    val spark = df.sparkSession
+    val sample = df
+      .select(col(embCol).cast("array<double>").as("__v"), col(idCol).as("__id"))
+      .orderBy(xxhash64(col("__id").cast("string"), lit(seed)), col("__id"))
+      .limit(maxTrain)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = lloyd(sample, nCells, maxIter)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf { v: Seq[Double] =>
+      if (v == null) -1 else nearestCell(bc.value, v.toArray)
+    }
+    val assigned = df
+      .withColumn("__cell", assign(col(embCol).cast("array<double>")))
+      .cache()
+    IvfIndex(assigned, centroids, embCol, idCol)
+  }
+
+  /** Seeded Lloyd's iterations on the driver. Init = first k sample
+    * vectors (the sample order is already hash-shuffled); empty cells
+    * keep their previous centroid. Squared-Euclidean assignment, ties
+    * to the lowest cell index — all deterministic.
+    */
+  private[similarity] def lloyd(sample: Array[Array[Double]], k: Int,
+      maxIter: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "ivfBuild: empty training sample")
+    val dim = sample.head.length
+    var centroids = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      var i = 0
+      while (i < sample.length) {
+        val c = nearestCell(centroids, sample(i))
+        val s = sums(c)
+        var j = 0
+        while (j < dim) { s(j) += sample(i)(j); j += 1 }
+        counts(c) += 1
+        i += 1
+      }
+      moved = false
+      val next = Array.tabulate(centroids.length) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = new Array[Double](dim)
+          var j = 0
+          while (j < dim) {
+            m(j) = sums(c)(j) / counts(c)
+            if (m(j) != centroids(c)(j)) moved = true
+            j += 1
+          }
+          m
+        }
+      }
+      centroids = next
+      iter += 1
+    }
+    centroids
+  }
+
+  private[similarity] def nearestCell(centroids: Array[Array[Double]],
+      v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < cv.length && j < v.length) {
+        val diff = cv(j) - v(j); d += diff * diff; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   def ivfTopK(index: IvfIndex, probe: Seq[Float], k: Int,

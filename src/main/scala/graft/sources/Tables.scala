@@ -23,13 +23,32 @@ object Tables {
     * all our event-time bucketing is ≥ second granularity).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+    val df =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else {
+        spark.read.parquet(s"$dir/$name.parquet")
+      }
+    fanOut(spark, df, s"$dir/$name.parquet")
+  }
+
+  /** Single-file fixtures arrive as one parquet row group, so the scan
+    * yields ONE partition and every per-row operator downstream
+    * (minhash, language-ID, pair scoring) serializes on one core —
+    * parquet cannot split below row-group granularity, so
+    * files.maxPartitionBytes cannot help. Fan small inputs out to
+    * cluster width once at load; filters and column pruning still push
+    * through the round-robin Repartition to the scan (verified in
+    * PlanQualitySpec). Genuinely large inputs — the 100 TB case — come
+    * as many files/row groups, split naturally, and skip this path.
+    */
+  private def fanOut(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val bytes = try new java.io.File(path).length() catch { case _: Throwable => 0L }
+    if (bytes > 0L && bytes < (128L << 20))
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 }
 

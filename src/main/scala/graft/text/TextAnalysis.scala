@@ -44,7 +44,10 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val langs = stopwords
     val zero = struct(langs.map { case (lang, _) => lit(0).as(s"c_$lang") }: _*)
-    aggregate(
+    // aggregate() is null-intolerant on the array argument, so a NULL
+    // text would fall through as NULL — coalesce keeps the documented
+    // zero-information → "und" contract.
+    coalesce(aggregate(
       tokens(text),
       zero,
       (acc, t) => struct(langs.map { case (lang, words) =>
@@ -59,7 +62,7 @@ object TextAnalysis {
             (when(hits > bh, lit(lang)).otherwise(bl), greatest(hits, bh))
         }
         when(best._2 > 0, best._1).otherwise(lit("und"))
-      })
+      }), lit("und"))
   }
 
   // -------------------------------------------------------------- quality
