@@ -52,9 +52,18 @@ object Candidates {
       batched: Boolean = true,
       schema: PairSchema = PairSchema.default): DataFrame = {
 
-    val pairs0 =
-      if (probeIsLeft) schema.assemblePair(probe, source)
-      else schema.assemblePair(source, probe)
+    // J3: replicate the (single-record) probe against every source
+    // record — broadcast the probe side explicitly. Without the hint the
+    // planner sees only "filtered frame × frame" and picks a
+    // CartesianProduct whose task count is |partsL| × |partsR|; with it
+    // this is one BroadcastNestedLoopJoin pass over the source.
+    val pairs0 = {
+      val probeB = broadcast(schema.renameWithPrefix(
+        probe, if (probeIsLeft) schema.lprefix else schema.rprefix))
+      val sourceR = schema.renameWithPrefix(
+        source, if (probeIsLeft) schema.rprefix else schema.lprefix)
+      sourceR.crossJoin(probeB)
+    }
     // O7 prediction cap: seeded pseudo-random subset. xxhash64 of the
     // ids replaces the reference's unseeded sample(frac=1) — same
     // "uniform random order" effect but deterministic across retries
@@ -94,29 +103,32 @@ object Candidates {
       val withBatch = model.predict(capped)
         .withColumn("__batch", ((row_number().over(w) - 1) / batch).cast("int"))
       val qual = if (findPositives) col("match_score") > 0.5 else col("match_score") < 0.5
+      // stays cached: the returned frame reads through this cache, so an
+      // eager unpersist here would force every downstream action to
+      // replay the crossJoin+score+sort pipeline. The cache is bounded
+      // (≤ batch × 20 scored rows) — the explainer's working set, not a
+      // leak.
       val cached = withBatch.withColumn("__qual", qual).cache()
-      try {
-        // one pass: total rows AND per-batch qualifying counts
-        val stats = cached.groupBy(col("__batch"), col("__qual"))
-          .agg(count(lit(1)).as("n")).collect()
-        val total = stats.map(_.getLong(2)).sum
-        // reference splits = min(20, n/batch); we keep a final partial
-        // batch (max(1, ...)) so sub-batch-sized sources still yield
-        // support — the reference degenerates to empty there.
-        val splits = math.min(20L, math.max(1L, total / batch)).toInt
-        val perBatch = stats.filter(_.getBoolean(1))
-          .map(r => r.getInt(0) -> r.getLong(2)).toMap
-        // consume batches until numCandidates qualify (reference
-        // while len(result) < k && i < splits)
-        var cum = 0L
-        var consumed = 0
-        while (cum < numCandidates && consumed < splits) {
-          cum += perBatch.getOrElse(consumed, 0L)
-          consumed += 1
-        }
-        cached.filter(col("__qual") && col("__batch") < consumed)
-          .drop("__batch", "__qual")
-      } finally cached.unpersist()
+      // one pass: total rows AND per-batch qualifying counts
+      val stats = cached.groupBy(col("__batch"), col("__qual"))
+        .agg(count(lit(1)).as("n")).collect()
+      val total = stats.map(_.getLong(2)).sum
+      // reference splits = min(20, n/batch); we keep a final partial
+      // batch (max(1, ...)) so sub-batch-sized sources still yield
+      // support — the reference degenerates to empty there.
+      val splits = math.min(20L, math.max(1L, total / batch)).toInt
+      val perBatch = stats.filter(_.getBoolean(1))
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      // consume batches until numCandidates qualify (reference
+      // while len(result) < k && i < splits)
+      var cum = 0L
+      var consumed = 0
+      while (cum < numCandidates && consumed < splits) {
+        cum += perBatch.getOrElse(consumed, 0L)
+        consumed += 1
+      }
+      cached.filter(col("__qual") && col("__batch") < consumed)
+        .drop("__batch", "__qual")
     }
   }
 

@@ -39,6 +39,15 @@ final class CertaExplainer(
 
   private val spark: SparkSession = lsource.sparkSession
 
+  /** Tag the Spark jobs of one explainer stage (shows up in listeners /
+    * the UI; stage-level attribution is how the 100 TB tuning loop
+    * finds its bottleneck).
+    */
+  private def staged[T](name: String)(f: => T): T = {
+    spark.sparkContext.setJobDescription(s"certa: $name")
+    try f finally spark.sparkContext.setJobDescription(null)
+  }
+
   /** Explain the model's prediction on (lRecord, rRecord): 1-row
     * un-prefixed entity frames, as in reference explain(l_tuple, r_tuple).
     */
@@ -59,14 +68,14 @@ final class CertaExplainer(
 
     // stage 2: original prediction (1-row job; driver argmax O8)
     val pairUnderExplanation = schema.assemblePair(lRecord, rRecord)
-    val orig = model.predict(pairUnderExplanation)
-      .select(col("nomatch_score"), col("match_score")).head()
+    val orig = staged("original prediction")(model.predict(pairUnderExplanation)
+      .select(col("nomatch_score"), col("match_score")).head())
     val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
 
     // stage 3: support search
-    val (_, neighborhood0) = Candidates.support(
+    val (_, neighborhood0) = staged("support search")(Candidates.support(
       lRecord, rRecord, lsource, rsource, pc, model, numTriangles,
-      maxPredict, useLeft, useRight, seed = seed, schema = schema)
+      maxPredict, useLeft, useRight, seed = seed, schema = schema))
     if (neighborhood0.columns.isEmpty) return emptyExplanation()
 
     // G2 fallback (reference local_explain.py:51-60): when support is
@@ -76,7 +85,7 @@ final class CertaExplainer(
     var neighborhood = neighborhood0.cache()
     var extendedL = lsource
     var extendedR = rsource
-    val n0 = neighborhood0.count()
+    val n0 = staged("support count")(neighborhood0.count())
     if (n0 < numTriangles) {
       val maxLid = lsource.agg(max(col("id"))).head().getLong(0)
       val maxRid = rsource.agg(max(col("id"))).head().getLong(0)
@@ -85,11 +94,11 @@ final class CertaExplainer(
         .generateSubsequences(lRecord, startId = maxRid + 1).cache()
       val genFromR = graft.perturb.Augment
         .generateSubsequences(rRecord, startId = maxLid + 1).cache()
-      if (genFromL.count() > 0 && genFromR.count() > 0) {
-        val (_, support2) = Candidates.support(
+      if (staged("augment")(genFromL.count() > 0 && genFromR.count() > 0)) {
+        val (_, support2) = staged("augmented support search")(Candidates.support(
           lRecord, rRecord, genFromR, genFromL, pc, model, numTriangles,
-          maxPredict, useLeft, useRight, seed = seed, schema = schema)
-        if (support2.columns.nonEmpty && support2.count() > 0) {
+          maxPredict, useLeft, useRight, seed = seed, schema = schema))
+        if (support2.columns.nonEmpty && staged("augmented support count")(support2.count()) > 0) {
           neighborhood = neighborhood0.unionByName(support2)
           extendedL = lsource.unionByName(genFromR).cache()
           extendedR = rsource.unionByName(genFromL).cache()
@@ -122,11 +131,15 @@ final class CertaExplainer(
 
     // stage 4: triangle discovery
     val triangles = Triangles.discover(supportPairs, schema).cache()
-    val nTriangles = triangles.count()
+    val nTriangles = staged("triangle discovery")(triangles.count())
     if (nTriangles == 0) return emptyExplanation()
 
     // stage 5: lattice-stratified perturb & predict with monotonicity
-    // shortcut (reference perturb_predict, triangles_method.py:266-334)
+    // shortcut (reference perturb_predict, triangles_method.py:266-334).
+    // Vertex-record resolution is depth-independent — do the source
+    // joins once, cache the (≤ 3·numTriangles-record) result, and let
+    // each depth replay only its explode+project.
+    val resolved = Perturb.resolve(triangles, extendedL, extendedR, schema).cache()
     val classScoreCol = if (pc == 1) "match_score" else "nomatch_score"
     var allGood = false
     var totalFlipped = 0L
@@ -134,14 +147,14 @@ final class CertaExplainer(
     val flippedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     for (a <- 1 until attrLength) {
-      val perturbations = Perturb.forDepth(
-        triangles, extendedL, extendedR, a, pc, schema)
+      val perturbations = Perturb.forDepth(resolved, a, pc, schema)
       if (!allGood) {
         val preds = model.predict(perturbations)
           .withColumn("__flip", col(classScoreCol) < 0.5)
           .cache()
-        val cnts = preds.agg(count(lit(1)), sum(when(col("__flip"), 1L).otherwise(0L)))
-          .head()
+        val cnts = staged(s"perturb depth $a")(
+          preds.agg(count(lit(1)), sum(when(col("__flip"), 1L).otherwise(0L)))
+            .head())
         val nPert = cnts.getLong(0)
         val nFlip = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
         if (nPert > 0) {
@@ -157,7 +170,7 @@ final class CertaExplainer(
           .withColumn("match_score", lit(if (pc == 1) 0.0 else 1.0))
           .withColumn("nomatch_score", lit(if (pc == 1) 1.0 else 0.0))
           .cache()
-        val nPert = synth.count()
+        val nPert = staged(s"perturb depth $a (synthesized)")(synth.count())
         rankings += synth.groupBy(col("alteredAttributes"))
           .agg(count(lit(1)).as("cnt"))
         flippedParts += synth
@@ -172,11 +185,11 @@ final class CertaExplainer(
     // the reference's pandas Series — and the returned frame carries no
     // recomputable lineage into later stages.
     val rankingsAll = rankings.reduce(_ unionByName _)
-    val pssRows = rankingsAll
+    val pssRows = staged("aggregate rankings")(rankingsAll
       .groupBy(col("alteredAttributes"))
       .agg((sum(col("cnt")) / lit(nTriangles.toDouble)).as("pos"))
       .withColumn("attrSet", array_join(col("alteredAttributes"), "/"))
-      .collect().toIndexedSeq
+      .collect().toIndexedSeq)
     val pssSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("alteredAttributes",
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),

@@ -16,12 +16,17 @@ import graft.schema.PairSchema
   *
   * The reference loops triangle-by-triangle on the driver
   * (triangles_method.py:278-292) building pandas frames; here the whole
-  * triangles frame flows through one declarative plan:
-  * broadcast-join the (small) sources for the three vertex records, then
-  * explode a literal subset array and select each attribute through a
-  * `when(array_contains(...))` — Generator + Project fused by
-  * whole-stage codegen, no driver fan-out, linear in
-  * |triangles| × C(#attrs, depth).
+  * triangles frame flows through one declarative plan: resolve the
+  * three vertex records once (triangles are bounded by num_triangles,
+  * so they broadcast and the sources stream — the only shape that
+  * survives 100 TB sources), then per depth explode a literal subset
+  * array and select each attribute through `when(array_contains(...))`
+  * — Generator + Project fused by whole-stage codegen, no driver
+  * fan-out, linear in |triangles| × C(#attrs, depth).
+  *
+  * [[resolve]] is depth-independent; the explainer caches its two
+  * frames so the per-depth loop replays only the explode+project, not
+  * the source joins.
   */
 object Perturb {
 
@@ -31,22 +36,27 @@ object Perturb {
   def subsets(attrs: Seq[String], depth: Int): Seq[Seq[String]] =
     attrs.combinations(depth).map(_.toIndexedSeq).toIndexedSeq
 
-  /** Generate all perturbations for one lattice depth.
-    *
-    * @param triangles     output of [[graft.triangles.Triangles.discover]]
-    * @param lsource,rsource un-prefixed entity sources (with `id`)
-    * @param depth         attribute-subset size (lattice level)
-    * @param classToExplain 0 or 1
-    * @return pair rows (ltable_* / rtable_* attrs, no ids) ⊕
-    *         alteredAttributes, droppedValues, copiedValues, triangle
+  /** Triangles with their vertex records joined in, split by the free
+    * record's side. `left`/`right` carry columns `u,v,w` plus
+    * `__u_<attr>`, `__w_<attr>` (free-side schema) and `__v_<attr>`
+    * (pivot-side schema).
     */
-  def forDepth(
+  final case class ResolvedTriangles(
+      left: DataFrame, right: DataFrame,
+      lAttrs: Seq[String], rAttrs: Seq[String]) {
+    def cache(): ResolvedTriangles = { left.cache(); right.cache(); this }
+    def unpersist(): Unit = { left.unpersist(); right.unpersist() }
+  }
+
+  /** Join each triangle's three vertices to their records — once, for
+    * all depths. The triangles side is broadcast (≤ num_triangles rows
+    * by construction); each join streams a source exactly once.
+    */
+  def resolve(
       triangles: DataFrame,
       lsource: DataFrame,
       rsource: DataFrame,
-      depth: Int,
-      classToExplain: Int,
-      schema: PairSchema = PairSchema.default): DataFrame = {
+      schema: PairSchema = PairSchema.default): ResolvedTriangles = {
 
     val lAttrs = lsource.columns.filter(_ != "id").toIndexedSeq
     val rAttrs = rsource.columns.filter(_ != "id").toIndexedSeq
@@ -54,22 +64,43 @@ object Perturb {
     def renamed(src: DataFrame, role: String): DataFrame =
       src.select(src.columns.map(c => col(c).as(s"__${role}_$c")).toIndexedSeq: _*)
 
-    /** One side of the union: triangles whose free/donor records live in
-      * `side` ("l" → u,w from lsource, pivot from rsource; "r" dual).
-      */
-    def generate(tri: DataFrame, freeSide: String): DataFrame = {
-      val (freeSrc, pivotSrc, freeAttrs, pivotAttrs, freePrefix, pivotPrefix) =
-        if (freeSide == "l") (lsource, rsource, lAttrs, rAttrs, schema.lprefix, schema.rprefix)
-        else (rsource, lsource, rAttrs, lAttrs, schema.rprefix, schema.lprefix)
+    def joinSide(tri: DataFrame, freeSrc: DataFrame, pivotSrc: DataFrame): DataFrame =
+      tri.hint("broadcast")
+        .join(renamed(freeSrc, "u"),
+          schema.vertexRecordId(col("u")) === col("__u_id").cast("string"))
+        .hint("broadcast")
+        .join(renamed(freeSrc, "w"),
+          schema.vertexRecordId(col("w")) === col("__w_id").cast("string"))
+        .hint("broadcast")
+        .join(renamed(pivotSrc, "v"),
+          schema.vertexRecordId(col("v")) === col("__v_id").cast("string"))
 
-      val uRec = broadcast(renamed(freeSrc, "u"))
-      val wRec = broadcast(renamed(freeSrc, "w"))
-      val vRec = broadcast(renamed(pivotSrc, "v"))
+    val leftTri = triangles.filter(schema.vertexIsLeft(col("u")))
+    val rightTri = triangles.filter(!schema.vertexIsLeft(col("u")))
+    ResolvedTriangles(
+      joinSide(leftTri, lsource, rsource),
+      joinSide(rightTri, rsource, lsource),
+      lAttrs, rAttrs)
+  }
 
-      val joined = tri
-        .join(uRec, schema.vertexRecordId(col("u")) === col("__u_id").cast("string"))
-        .join(wRec, schema.vertexRecordId(col("w")) === col("__w_id").cast("string"))
-        .join(vRec, schema.vertexRecordId(col("v")) === col("__v_id").cast("string"))
+  /** Generate all perturbations for one lattice depth from resolved
+    * triangles: explode + project only — no joins, no source scans.
+    *
+    * @return pair rows (ltable_* / rtable_* attrs, no ids) ⊕
+    *         alteredAttributes, droppedValues, copiedValues, triangle
+    */
+  def forDepth(
+      resolved: ResolvedTriangles,
+      depth: Int,
+      classToExplain: Int,
+      schema: PairSchema): DataFrame = {
+
+    def generate(joined: DataFrame, freeSide: String): DataFrame = {
+      val (freeAttrs, pivotAttrs, freePrefix, pivotPrefix) =
+        if (freeSide == "l")
+          (resolved.lAttrs, resolved.rAttrs, schema.lprefix, schema.rprefix)
+        else
+          (resolved.rAttrs, resolved.lAttrs, schema.rprefix, schema.lprefix)
 
       val (freeRole, donorRole) = if (classToExplain == 1) ("u", "w") else ("w", "u")
 
@@ -105,8 +136,16 @@ object Perturb {
           concat_ws(" ", col("u"), col("v"), col("w")).as("triangle"))): _*)
     }
 
-    val leftTri = triangles.filter(schema.vertexIsLeft(col("u")))
-    val rightTri = triangles.filter(!schema.vertexIsLeft(col("u")))
-    generate(leftTri, "l").unionByName(generate(rightTri, "r"))
+    generate(resolved.left, "l").unionByName(generate(resolved.right, "r"))
   }
+
+  /** One-shot convenience (spec surface): resolve + one depth. */
+  def forDepth(
+      triangles: DataFrame,
+      lsource: DataFrame,
+      rsource: DataFrame,
+      depth: Int,
+      classToExplain: Int,
+      schema: PairSchema = PairSchema.default): DataFrame =
+    forDepth(resolve(triangles, lsource, rsource, schema), depth, classToExplain, schema)
 }

@@ -49,11 +49,15 @@ final case class PairSchema(lprefix: String = "ltable_", rprefix: String = "rtab
     vertex.startsWith("0@")
 
   /** J1 pair assembly: cross of two single-record frames with prefix
-    * renames (reference utils.py:4-10 get_row). Catalyst folds the
-    * 1×1 crossJoin into a broadcast nested-loop of trivial cost.
+    * renames (reference utils.py:4-10 get_row). Both inputs are single
+    * records by contract but usually arrive as filtered frames the
+    * planner can't size — broadcast the right side so this plans as a
+    * BroadcastNestedLoopJoin, never a CartesianProduct whose task count
+    * is the product of both sides' partition counts.
     */
   def assemblePair(lRecord: DataFrame, rRecord: DataFrame): DataFrame =
-    renameWithPrefix(lRecord, lprefix).crossJoin(renameWithPrefix(rRecord, rprefix))
+    renameWithPrefix(lRecord, lprefix)
+      .crossJoin(broadcast(renameWithPrefix(rRecord, rprefix)))
 
   /** J2 merge_sources (reference utils.py:13-30): resolve
     * (ltable_id, rtable_id, label) rows against both entity sources via

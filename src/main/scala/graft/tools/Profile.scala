@@ -39,6 +39,24 @@ object Profile {
     time("verified near-dups")(
       Dedup.nearDuplicates(d, "text", "doc_id", 0.7).count())
 
+    // per-job attribution for the explain loop
+    val jobLog = new scala.collection.mutable.ArrayBuffer[(Int, Long, String)]
+    val starts = new scala.collection.mutable.HashMap[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.synchronized {
+          starts(j.jobId) = (System.nanoTime(),
+            Option(j.properties.getProperty("spark.job.description"))
+              .orElse(Option(j.properties.getProperty("callSite.short"))).getOrElse("?"))
+        }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        starts.synchronized {
+          starts.remove(j.jobId).foreach { case (t0, d) =>
+            jobLog += ((j.jobId, System.nanoTime() - t0, d))
+          }
+        }
+    })
+
     // explain stage costs
     val part = Tables.load(spark, sfDir, "part").select(
       col("p_partkey").as("id"), col("p_name").as("name"),
@@ -52,8 +70,17 @@ object Profile {
     time("saliency collect")(e.saliency.count())
     time("pss collect")(e.pss.count())
     time("cfSummary collect")(e.cfSummary.count())
-    time("cfExamples collect")(e.cfExamples.count())
+    val cf = e.cfExamples
+    val tPlan = System.nanoTime()
+    cf.queryExecution.executedPlan
+    println(f"[profile] cfExamples planning           ${(System.nanoTime() - tPlan) / 1e9}%8.2f s")
+    time("cfExamples collect")(cf.count())
     time("triangles collect")(e.triangles.count())
+
+    println(f"[profile] ---- explain jobs: ${jobLog.size} total, slowest first ----")
+    jobLog.sortBy(-_._2).take(25).foreach { case (id, ns, desc) =>
+      println(f"[profile] job $id%4d ${ns / 1e9}%8.2f s  ${desc.take(110)}")
+    }
     spark.stop()
   }
 }
