@@ -33,13 +33,20 @@ object Bench {
       // noise
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a crashing query must NOT look like a fast passing one: record
+      // the failure and surface it in the JSON + on stderr
+      val failure = try { fn(spark, sfDir).count(); None } catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
+          Some(name)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, failure)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failures = results.flatMap(_._3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.candidates
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextSim
 import graft.matcher.ERModel
@@ -96,39 +95,42 @@ object Candidates {
       val qual = if (findPositives) col("match_score") > 0.5 else col("match_score") < 0.5
       scored.filter(qual)
     } else {
-      // O2 early-exit batching, distributed. Budget cap first: the
-      // reference never predicts more than 20 batches.
+      // O2 early-exit batching. Budget cap first: the reference never
+      // predicts more than 20 batches, so the candidate space collapses
+      // to ≤ batch × 20 rows BEFORE scoring — TakeOrderedAndProject, no
+      // full sort. The scored, budget-capped set is then small by
+      // construction (the reference's own total prediction budget), so
+      // batch assignment and the early-exit walk run driver-side over a
+      // bounded collect and the result is a LocalRelation: one Spark job
+      // total, no cached lineage for downstream consumers to re-trigger
+      // and nothing left pinned in the block manager (the round-3 cache
+      // here leaked a frame per call across EvalDriver loops).
       val capped = pairs.orderBy(ordCols: _*).limit(batch * 20)
-      val w = Window.orderBy(ordCols: _*)
-      val withBatch = model.predict(capped)
-        .withColumn("__batch", ((row_number().over(w) - 1) / batch).cast("int"))
-      val qual = if (findPositives) col("match_score") > 0.5 else col("match_score") < 0.5
-      // stays cached: the returned frame reads through this cache, so an
-      // eager unpersist here would force every downstream action to
-      // replay the crossJoin+score+sort pipeline. The cache is bounded
-      // (≤ batch × 20 scored rows) — the explainer's working set, not a
-      // leak.
-      val cached = withBatch.withColumn("__qual", qual).cache()
-      // one pass: total rows AND per-batch qualifying counts
-      val stats = cached.groupBy(col("__batch"), col("__qual"))
-        .agg(count(lit(1)).as("n")).collect()
-      val total = stats.map(_.getLong(2)).sum
+      val scored = model.predict(capped)
+      val rows = scored.orderBy(ordCols: _*).collect()
+      def qual(r: org.apache.spark.sql.Row): Boolean = {
+        val ms = r.getAs[Double]("match_score")
+        if (findPositives) ms > 0.5 else ms < 0.5
+      }
       // reference splits = min(20, n/batch); we keep a final partial
       // batch (max(1, ...)) so sub-batch-sized sources still yield
       // support — the reference degenerates to empty there.
-      val splits = math.min(20L, math.max(1L, total / batch)).toInt
-      val perBatch = stats.filter(_.getBoolean(1))
-        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val splits = math.min(20L, math.max(1L, rows.length.toLong / batch)).toInt
       // consume batches until numCandidates qualify (reference
       // while len(result) < k && i < splits)
-      var cum = 0L
+      var cum = 0
       var consumed = 0
       while (cum < numCandidates && consumed < splits) {
-        cum += perBatch.getOrElse(consumed, 0L)
+        val lo = consumed * batch
+        val hi = math.min(rows.length, lo + batch)
+        var i = lo
+        while (i < hi) { if (qual(rows(i))) cum += 1; i += 1 }
         consumed += 1
       }
-      cached.filter(col("__qual") && col("__batch") < consumed)
-        .drop("__batch", "__qual")
+      val kept = rows.take(math.min(rows.length, consumed * batch)).filter(qual)
+      val spark = probe.sparkSession
+      spark.createDataFrame(java.util.Arrays.asList(kept.toIndexedSeq: _*),
+        scored.schema)
     }
   }
 
@@ -160,13 +162,19 @@ object Candidates {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
     }
 
+    // batched results are bounded LocalRelations (budget-capped driver
+    // collect inside findCandidates) — counting and re-reading them is
+    // free, so nothing is cached here. The rare useAll path returns a
+    // lazy distributed frame; its ≤3 recomputations (counts + final
+    // consumption) are accepted over pinning an unbounded cache across
+    // EvalDriver's per-row explain loop.
     val c4r1 = if (useRight)
       findCandidates(lRecord, rsource, probeIsLeft = true, findPositives, model,
-        numCandidates, maxPredict, seed, batched = !useAll, schema).cache()
+        numCandidates, maxPredict, seed, batched = !useAll, schema)
     else empty
     val c4r2 = if (useLeft)
       findCandidates(rRecord, lsource, probeIsLeft = false, findPositives, model,
-        numCandidates, maxPredict, seed, batched = !useAll, schema).cache()
+        numCandidates, maxPredict, seed, batched = !useAll, schema)
     else empty
 
     val n1 = if (useRight) c4r1.count() else 0L

@@ -103,7 +103,11 @@ object Dedup {
     */
   def verifyJaccard(cands: DataFrame, df: DataFrame, textCol: String,
       idCol: String, threshold: Double, k: Int = 3): DataFrame = {
+    // cached: the shingle frame is joined twice (id_a and id_b legs) —
+    // without the cache the full tokenize+shingle pass over the corpus
+    // runs once per leg
     val sh = df.select(col(idCol), array_distinct(shingles(col(textCol), k)).as("__sh"))
+      .cache()
     val withTexts = cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")

@@ -48,6 +48,15 @@ final class CertaExplainer(
     try f finally spark.sparkContext.setJobDescription(null)
   }
 
+  /** Materialize a bounded frame as a LocalRelation: downstream
+    * consumers re-read rows instead of re-deriving lineage (every frame
+    * localized here is powerset- or num_triangles-bounded — the same
+    * sets the reference holds in pandas).
+    */
+  private def localize(df: DataFrame): DataFrame =
+    if (df.columns.isEmpty) df
+    else spark.createDataFrame(java.util.Arrays.asList(df.collect().toIndexedSeq: _*), df.schema)
+
   /** Explain the model's prediction on (lRecord, rRecord): 1-row
     * un-prefixed entity frames, as in reference explain(l_tuple, r_tuple).
     */
@@ -60,6 +69,27 @@ final class CertaExplainer(
       maxPredict: Int = -1,
       useLeft: Boolean = true,
       useRight: Boolean = true): Explanation = {
+    // every cache taken below is registered here and released in the
+    // finally — explain() leaves nothing pinned in the block manager
+    // (EvalDriver loops explanations; leaked caches accumulate without
+    // bound — the round-3 q25 regression)
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = { df.cache(); tracked += df; df }
+    try explainImpl(lRecord, rRecord, model, numTriangles, attrLengthOpt,
+      maxPredict, useLeft, useRight, cached)
+    finally tracked.foreach(_.unpersist(false))
+  }
+
+  private def explainImpl(
+      lRecord: DataFrame,
+      rRecord: DataFrame,
+      model: ERModel,
+      numTriangles: Int,
+      attrLengthOpt: Int,
+      maxPredict: Int,
+      useLeft: Boolean,
+      useRight: Boolean,
+      cached: DataFrame => DataFrame): Explanation = {
 
     val lAttrs = lRecord.columns.filter(_ != "id").toIndexedSeq
     val rAttrs = rRecord.columns.filter(_ != "id").toIndexedSeq
@@ -72,7 +102,7 @@ final class CertaExplainer(
       .select(col("nomatch_score"), col("match_score")).head())
     val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
 
-    // stage 3: support search
+    // stage 3: support search (batched → bounded LocalRelation result)
     val (_, neighborhood0) = staged("support search")(Candidates.support(
       lRecord, rRecord, lsource, rsource, pc, model, numTriangles,
       maxPredict, useLeft, useRight, seed = seed, schema = schema))
@@ -81,8 +111,10 @@ final class CertaExplainer(
     // G2 fallback (reference local_explain.py:51-60): when support is
     // short, search again among prefix/suffix-perturbed copies of the
     // probe records; generated records extend the sources the triangle
-    // stages resolve against (explain.py:67).
-    var neighborhood = neighborhood0.cache()
+    // stages resolve against (explain.py:67). The generated frames are
+    // tiny (2·Σ(tokens-1) rows per probe attribute) — localized so the
+    // repeated counts and the extended-source unions replay nothing.
+    var neighborhood = neighborhood0
     var extendedL = lsource
     var extendedR = rsource
     val n0 = staged("support count")(neighborhood0.count())
@@ -90,18 +122,18 @@ final class CertaExplainer(
       val maxLid = lsource.agg(max(col("id"))).head().getLong(0)
       val maxRid = rsource.agg(max(col("id"))).head().getLong(0)
       // variants of the left probe serve as right-side candidates & v.v.
-      val genFromL = graft.perturb.Augment
-        .generateSubsequences(lRecord, startId = maxRid + 1).cache()
-      val genFromR = graft.perturb.Augment
-        .generateSubsequences(rRecord, startId = maxLid + 1).cache()
-      if (staged("augment")(genFromL.count() > 0 && genFromR.count() > 0)) {
+      val genFromL = localize(staged("augment")(graft.perturb.Augment
+        .generateSubsequences(lRecord, startId = maxRid + 1)))
+      val genFromR = localize(staged("augment")(graft.perturb.Augment
+        .generateSubsequences(rRecord, startId = maxLid + 1)))
+      if (genFromL.count() > 0 && genFromR.count() > 0) {
         val (_, support2) = staged("augmented support search")(Candidates.support(
           lRecord, rRecord, genFromR, genFromL, pc, model, numTriangles,
           maxPredict, useLeft, useRight, seed = seed, schema = schema))
-        if (support2.columns.nonEmpty && staged("augmented support count")(support2.count()) > 0) {
+        if (support2.columns.nonEmpty && support2.count() > 0) {
           neighborhood = neighborhood0.unionByName(support2)
-          extendedL = lsource.unionByName(genFromR).cache()
-          extendedR = rsource.unionByName(genFromL).cache()
+          extendedL = lsource.unionByName(genFromR)
+          extendedR = rsource.unionByName(genFromL)
         }
       }
     }
@@ -127,19 +159,24 @@ final class CertaExplainer(
     val firstRow = pairUnderExplanation
       .withColumn("id", schema.pairId(col(schema.lid), col(schema.rid)))
       .withColumn("label", lit(pc))
-    val supportPairs = firstRow.unionByName(support).cache()
+    // ≤ numTriangles+1 rows after truncation — localize once; the
+    // triangle self-joins below read rows, not lineage
+    val supportPairs = localize(firstRow.unionByName(support))
 
-    // stage 4: triangle discovery
-    val triangles = Triangles.discover(supportPairs, schema).cache()
-    val nTriangles = staged("triangle discovery")(triangles.count())
+    // stage 4: triangle discovery (pos×neg self-joins over the bounded
+    // local support set; result localized — ≤ (numTriangles/2)² rows)
+    val triangles = staged("triangle discovery")(
+      localize(Triangles.discover(supportPairs, schema)))
+    val nTriangles = triangles.count()
     if (nTriangles == 0) return emptyExplanation()
 
     // stage 5: lattice-stratified perturb & predict with monotonicity
     // shortcut (reference perturb_predict, triangles_method.py:266-334).
-    // Vertex-record resolution is depth-independent — do the source
-    // joins once, cache the (≤ 3·numTriangles-record) result, and let
-    // each depth replay only its explode+project.
-    val resolved = Perturb.resolve(triangles, extendedL, extendedR, schema).cache()
+    // Vertex-record resolution is depth-independent — resolve() scans
+    // each source once with an id-IN pushdown filter and returns bounded
+    // LocalRelations; each depth replays only its explode+project.
+    val resolved = staged("vertex resolution")(
+      Perturb.resolve(triangles, extendedL, extendedR, schema))
     val classScoreCol = if (pc == 1) "match_score" else "nomatch_score"
     var allGood = false
     var totalFlipped = 0L
@@ -149,9 +186,8 @@ final class CertaExplainer(
     for (a <- 1 until attrLength) {
       val perturbations = Perturb.forDepth(resolved, a, pc, schema)
       if (!allGood) {
-        val preds = model.predict(perturbations)
-          .withColumn("__flip", col(classScoreCol) < 0.5)
-          .cache()
+        val preds = cached(model.predict(perturbations)
+          .withColumn("__flip", col(classScoreCol) < 0.5))
         val cnts = staged(s"perturb depth $a")(
           preds.agg(count(lit(1)), sum(when(col("__flip"), 1L).otherwise(0L)))
             .head())
@@ -166,10 +202,9 @@ final class CertaExplainer(
         }
       } else {
         // synthesize flipped scores for deeper levels without model calls
-        val synth = perturbations
+        val synth = cached(perturbations
           .withColumn("match_score", lit(if (pc == 1) 0.0 else 1.0))
-          .withColumn("nomatch_score", lit(if (pc == 1) 1.0 else 0.0))
-          .cache()
+          .withColumn("nomatch_score", lit(if (pc == 1) 1.0 else 0.0)))
         val nPert = staged(s"perturb depth $a (synthesized)")(synth.count())
         rankings += synth.groupBy(col("alteredAttributes"))
           .agg(count(lit(1)).as("cnt"))
@@ -213,10 +248,10 @@ final class CertaExplainer(
     val perAttrFlips = rankingsAll
       .select(explode(col("alteredAttributes")).as("attribute"), col("cnt"))
       .groupBy(col("attribute")).agg(sum(col("cnt")).as("flipCnt"))
-    val saliency = attrFrame
+    val saliency = staged("saliency")(localize(attrFrame
       .join(perAttrFlips, Seq("attribute"), "left")
       .select(col("attribute"),
-        (lit(base) + coalesce(col("flipCnt"), lit(0L)) / lit(flips)).as("saliency"))
+        (lit(base) + coalesce(col("flipCnt"), lit(0L)) / lit(flips)).as("saliency"))))
 
     // stage 6c: A4 cf_summary — max-probability sets, minimal antichain
     // (reference cf_summary, triangles_method.py:254-263). Driver-side
@@ -237,12 +272,15 @@ final class CertaExplainer(
     // (reference explain.py:73-77)
     val summaryKeys = cfSummaryRows.map(_.getString(2))
     val flippedAll = flippedParts.reduce(_ unionByName _)
-    val cfExamples = flippedAll
+    // localized: all outputs survive the finally-unpersist of the
+    // per-depth prediction caches they derive from (and, like the
+    // reference's returned pandas frames, cost nothing to re-read)
+    val cfExamples = staged("cf examples")(localize(flippedAll
       .filter(array_join(col("alteredAttributes"), "/")
         .isin(summaryKeys.toIndexedSeq: _*))
       .dropDuplicates("copiedValues", "alteredAttributes", "droppedValues")
       .withColumn("attr_count", size(col("alteredAttributes")))
-      .orderBy(col("attr_count"))
+      .orderBy(col("attr_count"))))
 
     Explanation(saliency, pss, cfSummary, cfExamples, triangles)
   }

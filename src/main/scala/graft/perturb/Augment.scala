@@ -1,7 +1,6 @@
 package graft.perturb
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-augmentation generators (reference local_explain.py:144-215
@@ -13,8 +12,9 @@ import org.apache.spark.sql.functions._
   * contributes one Generator stage — explode over the cut-point
   * sequence × the {suffix-dropped, prefix-dropped} pair — so fan-out
   * (2·Σ(tokens-1) rows per record per attribute) happens executor-side.
-  * Fresh ids are `offset + dense rank` over a deterministic ordering:
-  * at true scale swap the global window for zipWithIndex, same contract.
+  * Fresh ids are `offset + rank` in a deterministic total order,
+  * assigned with a range-partitioned sort + zipWithIndex (never a
+  * single-partition global window).
   */
 object Augment {
 
@@ -48,11 +48,22 @@ object Augment {
     }
     val generated = perAttr.reduceOption(_ unionByName _)
       .getOrElse(source.limit(0))
-    // fresh deterministic ids
-    val ordered = Window.orderBy(
+    // fresh deterministic ids: global sort (range-partitioned — no
+    // single-partition window) + zipWithIndex. The index is the row's
+    // rank in a total order (attrs + old id tiebreak), so ids are
+    // deterministic regardless of partitioning.
+    val spark = source.sparkSession
+    val sorted = generated.orderBy(
       targetAttrs.map(col) :+ col("id").cast("string"): _*)
-    generated
-      .withColumn("id", lit(startId) + row_number().over(ordered).cast("long") - 1L)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields.map(f =>
+        if (f.name == "id") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val idIdx = sorted.schema.fieldIndex("id")
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(idIdx, startId + i))
+    }
+    spark.createDataFrame(indexed, outSchema)
   }
 
   /** G2 expand_copies (reference local_explain.py:237-302): the same

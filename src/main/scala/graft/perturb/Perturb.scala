@@ -39,18 +39,23 @@ object Perturb {
   /** Triangles with their vertex records joined in, split by the free
     * record's side. `left`/`right` carry columns `u,v,w` plus
     * `__u_<attr>`, `__w_<attr>` (free-side schema) and `__v_<attr>`
-    * (pivot-side schema).
+    * (pivot-side schema). Both frames are bounded LocalRelations
+    * (|triangles| rows), so downstream per-depth consumers replay
+    * nothing against the sources.
     */
   final case class ResolvedTriangles(
       left: DataFrame, right: DataFrame,
-      lAttrs: Seq[String], rAttrs: Seq[String]) {
-    def cache(): ResolvedTriangles = { left.cache(); right.cache(); this }
-    def unpersist(): Unit = { left.unpersist(); right.unpersist() }
-  }
+      lAttrs: Seq[String], rAttrs: Seq[String])
 
-  /** Join each triangle's three vertices to their records — once, for
-    * all depths. The triangles side is broadcast (≤ num_triangles rows
-    * by construction); each join streams a source exactly once.
+  /** Resolve each triangle's three vertices to their records — once, for
+    * all depths. Triangles are ≤ O(num_triangles²) rows by construction
+    * (positives × negatives of a truncated support set), so the vertex
+    * id set is bounded: each source is scanned ONCE with an `id IN (…)`
+    * filter that pushes down to the columnar reader, the (≤ 3·|triangles|)
+    * matching records localize, and the triangle⋈record assembly runs
+    * driver-side. This replaces a 6-broadcast-build join chain whose
+    * every downstream action re-derived the source scans (the round-3
+    * q25 regression).
     */
   def resolve(
       triangles: DataFrame,
@@ -58,28 +63,66 @@ object Perturb {
       rsource: DataFrame,
       schema: PairSchema = PairSchema.default): ResolvedTriangles = {
 
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
+
+    val spark = triangles.sparkSession
     val lAttrs = lsource.columns.filter(_ != "id").toIndexedSeq
     val rAttrs = rsource.columns.filter(_ != "id").toIndexedSeq
 
-    def renamed(src: DataFrame, role: String): DataFrame =
-      src.select(src.columns.map(c => col(c).as(s"__${role}_$c")).toIndexedSeq: _*)
+    def recId(v: String): String = v.split("@", 2)(1)
+    def isLeft(v: String): Boolean = v.startsWith("0@")
 
-    def joinSide(tri: DataFrame, freeSrc: DataFrame, pivotSrc: DataFrame): DataFrame =
-      tri.hint("broadcast")
-        .join(renamed(freeSrc, "u"),
-          schema.vertexRecordId(col("u")) === col("__u_id").cast("string"))
-        .hint("broadcast")
-        .join(renamed(freeSrc, "w"),
-          schema.vertexRecordId(col("w")) === col("__w_id").cast("string"))
-        .hint("broadcast")
-        .join(renamed(pivotSrc, "v"),
-          schema.vertexRecordId(col("v")) === col("__v_id").cast("string"))
+    val triRows = triangles.select(col("u").cast("string"),
+      col("v").cast("string"), col("w").cast("string")).collect()
+    val (leftTri, rightTri) = triRows.partition(r => isLeft(r.getString(0)))
 
-    val leftTri = triangles.filter(schema.vertexIsLeft(col("u")))
-    val rightTri = triangles.filter(!schema.vertexIsLeft(col("u")))
+    // record ids needed per source: free-side u/w of same-rooted
+    // triangles plus pivots v of opposite-rooted ones
+    val lIds = (leftTri.flatMap(r => Seq(recId(r.getString(0)), recId(r.getString(2)))) ++
+      rightTri.map(r => recId(r.getString(1)))).distinct
+    val rIds = (rightTri.flatMap(r => Seq(recId(r.getString(0)), recId(r.getString(2)))) ++
+      leftTri.map(r => recId(r.getString(1)))).distinct
+
+    // one filtered scan per source; the IN filter is typed to the id
+    // column so it reaches the parquet reader (a cast on the column
+    // side would block pushdown)
+    def fetch(src: DataFrame, ids: Array[String]): Map[String, Row] = {
+      if (ids.isEmpty) return Map.empty
+      val pred = src.schema("id").dataType match {
+        case LongType => col("id").isin(ids.map(_.toLong).toIndexedSeq: _*)
+        case IntegerType => col("id").isin(ids.map(_.toInt).toIndexedSeq: _*)
+        case _ => col("id").isin(ids.toIndexedSeq: _*)
+      }
+      src.filter(pred).collect()
+        .map(r => String.valueOf(r.getAs[Any]("id")) -> r).toMap
+    }
+    val lRecs = fetch(lsource, lIds)
+    val rRecs = fetch(rsource, rIds)
+
+    def side(tri: Array[Row], freeSrc: DataFrame, freeRecs: Map[String, Row],
+        pivotSrc: DataFrame, pivotRecs: Map[String, Row]): DataFrame = {
+      val outSchema = StructType(
+        Seq(StructField("u", StringType), StructField("v", StringType),
+          StructField("w", StringType)) ++
+          freeSrc.schema.fields.map(f => f.copy(name = s"__u_${f.name}")) ++
+          freeSrc.schema.fields.map(f => f.copy(name = s"__w_${f.name}")) ++
+          pivotSrc.schema.fields.map(f => f.copy(name = s"__v_${f.name}")))
+      // inner-join semantics: a triangle with an unresolvable vertex drops
+      val rows = tri.flatMap { t =>
+        for {
+          u <- freeRecs.get(recId(t.getString(0)))
+          w <- freeRecs.get(recId(t.getString(2)))
+          v <- pivotRecs.get(recId(t.getString(1)))
+        } yield Row.fromSeq(Seq(t.getString(0), t.getString(1), t.getString(2)) ++
+          u.toSeq ++ w.toSeq ++ v.toSeq)
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows.toIndexedSeq: _*), outSchema)
+    }
+
     ResolvedTriangles(
-      joinSide(leftTri, lsource, rsource),
-      joinSide(rightTri, rsource, lsource),
+      side(leftTri, lsource, lRecs, rsource, rRecs),
+      side(rightTri, rsource, rRecs, lsource, lRecs),
       lAttrs, rAttrs)
   }
 

@@ -18,8 +18,12 @@ import graft.text.TextAnalysis
   */
 object PipelineQueries {
 
+  // documents/embeddings feed per-row-heavy operators (hash sketches,
+  // language-ID folds, cosine folds) — fan their single-file fixture
+  // scans out to cluster width; other tables load plain
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    if (name == "documents" || name == "embeddings") Tables.loadFanned(s, dir, name)
+    else Tables.load(s, dir, name)
 
   // ---------------------------------------------------------------- q30
   /** Exact dedup census over documents (md5 content hash). */

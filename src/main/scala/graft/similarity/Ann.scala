@@ -95,6 +95,9 @@ object Ann {
       maxIter: Int = 20): IvfIndex = {
     val spark = df.sparkSession
     val sample = df
+      // NULL embeddings are legal input (the assign UDF maps them to
+      // cell -1) — keep them out of the training collect
+      .filter(col(embCol).isNotNull)
       .select(col(embCol).cast("array<double>").as("__v"), col(idCol).as("__id"))
       .orderBy(xxhash64(col("__id").cast("string"), lit(seed)), col("__id"))
       .limit(maxTrain)

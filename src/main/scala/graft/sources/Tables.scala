@@ -22,34 +22,46 @@ object Tables {
     * [[load]] rebuilds a proper TimestampType `ts` (micros precision —
     * all our event-time bucketing is ≥ second granularity).
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df =
-      if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$dir/$name.parquet")
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } else {
-        spark.read.parquet(s"$dir/$name.parquet")
-      }
-    fanOut(spark, df, s"$dir/$name.parquet")
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
-  /** Single-file fixtures arrive as one parquet row group, so the scan
-    * yields ONE partition and every per-row operator downstream
-    * (minhash, language-ID, pair scoring) serializes on one core —
-    * parquet cannot split below row-group granularity, so
-    * files.maxPartitionBytes cannot help. Fan small inputs out to
-    * cluster width once at load; filters and column pruning still push
-    * through the round-robin Repartition to the scan (verified in
-    * PlanQualitySpec). Genuinely large inputs — the 100 TB case — come
-    * as many files/row groups, split naturally, and skip this path.
+  /** [[load]] + fan-out for tables feeding per-row-HEAVY operators
+    * (minhash folds, language-ID aggregates, pair scoring): single-file
+    * fixtures arrive as one parquet row group, so the plain scan yields
+    * ONE partition and per-row compute serializes on one core — parquet
+    * cannot split below row-group granularity, so files.maxPartitionBytes
+    * cannot help. Fanning out is a full round-robin shuffle, so it is
+    * opt-in per call site, NOT applied at every load: an unconditional
+    * Exchange pollutes every relational plan and re-executes inside
+    * every recomputation of uncached lineage (round-3 lesson).
+    * Genuinely large inputs — the 100 TB case — come as many files/row
+    * groups, split naturally, and skip the repartition.
     */
-  private def fanOut(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
-    val bytes = try new java.io.File(path).length() catch { case _: Throwable => 0L }
+  def loadFanned(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val bytes = dataBytes(spark, s"$dir/$name.parquet")
     if (bytes > 0L && bytes < (128L << 20))
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
+
+  /** Real data size of a file OR directory-style parquet dataset via the
+    * Hadoop filesystem (java.io.File.length() on a directory returns the
+    * ~4KB directory entry, which would mis-classify arbitrarily large
+    * directory-backed tables as "small").
+    */
+  private def dataBytes(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.getContentSummary(p).getLength
+    } catch { case _: Throwable => 0L }
 }
 
 /** CSV source/sink for DeepMatcher-convention ER datasets
