@@ -154,6 +154,52 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Oracle-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed base-16 — reproducible in any engine with md5 + hex casts
+    * (DuckDB: `CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)`).
+    */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Portable 60-bit SimHash twin of [[simhash]]: md5-derived token
+    * hashes, per-bit majority vote — bit-for-bit reproducible by a SQL
+    * oracle. Single pass: one `aggregate` carries all 60 vote counters
+    * as an array accumulator, each token's md5 is computed exactly once
+    * (per-bit folds over a hash array would re-run the md5 per bit).
+    * The xxhash64 [[simhash]] stays the production fast path; this twin
+    * is the correctness-gate surface (and the two are structurally
+    * equivalence-tested at the near-dup level).
+    */
+  def simhashPortable(text: Column): Column = {
+    val bitsN = 60
+    val tokh = transform(TextAnalysis.tokens(text), t => portableHash60(t))
+    aggregate(
+      tokh,
+      array_repeat(lit(0), bitsN),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bitsN - 1)),
+        (a, b) => a + when(call_function("shiftright", h, b)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)),
+      acc => aggregate(
+        zip_with(acc, sequence(lit(0), lit(bitsN - 1)),
+          (a, b) => when(a > 0, call_function("shiftleft", lit(1L), b))
+            .otherwise(lit(0L))),
+        lit(0L), (s, v) => s + v))
+  }
+
+  /** [[simhashNearDuplicates]] over the portable 60-bit signature. */
+  def simhashNearDuplicatesPortable(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int = 8, prefixBits: Int = 16): DataFrame = {
+    val sigs = df.select(col(idCol), simhashPortable(col(textCol)).as("sig"))
+      .withColumn("bucket", shiftrightunsigned(col("sig"), 60 - prefixBits))
+    val a = sigs.select(col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("bucket").as("bucket_b"), col(idCol).as("id_b"),
+      col("sig").as("sig_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("distance", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("distance"))
+  }
+
   /** SimHash near-dup pairs within prefix buckets: documents sharing the
     * top `prefixBits` bits land in one bucket (cheap blocking), then
     * exact hamming verification ≤ maxDistance.

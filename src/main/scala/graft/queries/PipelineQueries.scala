@@ -213,18 +213,44 @@ object PipelineQueries {
       |FROM fp""".stripMargin
 
   // ---------------------------------------------------------------- q37
-  /** SimHash near-dup scan (xxhash64-based, engine-native → rows-only):
-    * signature histogram by hamming distance band within buckets.
+  /** SimHash near-dup census over the PORTABLE 60-bit md5 signature
+    * (Dedup.simhashPortable) — hash-checked against a DuckDB oracle that
+    * replays the identical bit votes. The xxhash64 production signature
+    * (Dedup.simhash) is covered by its own equivalence/property specs;
+    * this query gates the algorithm (bit-vote majority, prefix-bucket
+    * blocking, hamming verification) on portable arithmetic.
     */
   def q37Simhash(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val sigs = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
-    val pairs = Dedup.simhashNearDuplicates(d, "text", "doc_id",
+    val sigs = d.select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig"))
+    val pairs = Dedup.simhashNearDuplicatesPortable(d, "text", "doc_id",
       maxDistance = 32, prefixBits = 4)
     sigs.agg(countDistinct(col("sig")).as("n_distinct_sigs"))
       .crossJoin(pairs.agg(
         count(lit(1)).as("n_near_pairs"),
         coalesce(min(col("distance")), lit(-1)).as("min_distance")))
+  }
+
+  val q37Sql: String = {
+    val votes =
+      """list_aggregate(list_transform(th, h ->
+        |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum')""".stripMargin
+    s"""WITH tok AS (SELECT doc_id,
+       |  list_transform(string_split(text, ' '),
+       |    t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS th
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |  list_aggregate(list_transform(range(0, 60), b ->
+       |    CASE WHEN $votes > 0
+       |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END), 'sum') AS sg
+       |  FROM tok),
+       |b AS (SELECT doc_id, sg, sg >> 56 AS bucket FROM sig),
+       |pairs AS (SELECT bit_count(xor(x.sg, y.sg)) AS distance
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sg, y.sg)) <= 32)
+       |SELECT (SELECT COUNT(DISTINCT sg) FROM sig) AS n_distinct_sigs,
+       |       (SELECT COUNT(*) FROM pairs) AS n_near_pairs,
+       |       (SELECT CAST(COALESCE(MIN(distance), -1) AS INTEGER) FROM pairs) AS min_distance""".stripMargin
   }
 
   // ---------------------------------------------------------------- q40
@@ -251,28 +277,63 @@ object PipelineQueries {
       |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q41
-  /** LSH bucket histogram (hyperplane signs; engine-native hash →
-    * rows-only) + a bucketed ANN sanity probe.
+  /** LSH bucket histogram over the PORTABLE md5-derived hyperplanes
+    * (literal weight matrix — zero per-row hashing in the Spark plan) —
+    * hash-checked against a DuckDB oracle replaying the identical
+    * weight arithmetic and left-to-right projection sums. The xxhash64
+    * planes (Ann.lshBucket) remain the engine-native path, spec-covered.
     */
   def q41EmbedLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    e.withColumn("bucket", Ann.lshBucket(col("embedding")))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    e.withColumn("bucket", Ann.lshBucketPortable(col("embedding"), dim))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }
 
+  val q41Sql: String = {
+    def proj(p: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 8).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""SELECT bucket, COUNT(*) AS n FROM (
+       |  SELECT ($bucket) AS bucket FROM embeddings)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q42
-  /** IVF-accelerated ANN: k-means coarse cells + nProbe scan (seeded
-    * k-means → engine-specific centroids → rows-only). Output: the
-    * probe's top-10 under 2-cell probing.
+  /** IVF ANN with EXHAUSTIVE probing (nProbe = nCells): exercises the
+    * full index machinery — bounded-sample k-means training, broadcast
+    * cell assignment, cell-ranked probing, per-cell TakeOrdered — while
+    * guaranteeing the result equals the exact brute-force top-10, so the
+    * q40-style DuckDB oracle hash-checks it (also proving the cell
+    * assignment is total: a dropped cell would lose neighbors). The
+    * approximate regime (nProbe < nCells) is recall-spec-covered in
+    * AnnSpec.
     */
   def q42EmbedIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val index = Ann.ivfBuild(e, "embedding", "vec_id", nCells = 8)
-    Ann.ivfTopK(index, probe, k = 10, nProbe = 2)
+    Ann.ivfTopK(index, probe, k = 10, nProbe = 8)
   }
+
+  val q42Sql: String =
+    """WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+      |sc AS (SELECT vec_id,
+      |  list_aggregate(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum') /
+      |  (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) *
+      |   sqrt(list_aggregate(list_transform(range(1, len(pe) + 1),
+      |    i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum'))) AS cosine
+      |  FROM embeddings, p)
+      |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q45
   /** Multimodal metadata census over the binary media table. */
@@ -291,17 +352,38 @@ object PipelineQueries {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- q46
-  /** Multimodal feature extraction + frame sampling plumbing
-    * (mapPartitions decode stub → rows-only).
+  /** Multimodal feature extraction + frame sampling census. The decode
+    * stub is a deterministic md5-digest expansion and the frame sampler
+    * is pure byte arithmetic, so the whole mapPartitions/flatMap
+    * pipeline is hash-checkable: the oracle recomputes the first
+    * feature byte from md5 and the frame counts/sizes from the payload
+    * length.
     */
   def q46MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asBinaryTable(t(s, dir, "documents"))
     val feats = Multimodal.extractFeatures(media)
     val frames = Multimodal.sampleFrames(media)
-    feats.agg(count(lit(1)).as("n_feature_rows"),
-        countDistinct(size(col("features"))).as("n_distinct_dims"))
-      .crossJoin(frames.agg(count(lit(1)).as("n_frames")))
+    feats.agg(
+        count(lit(1)).as("n_feature_rows"),
+        // features are byte/255f floats; ×255 + round recovers the exact
+        // digest byte (float error ≪ 0.5), so the sum is integer-exact
+        sum(round(element_at(col("features"), 1) * 255).cast("long"))
+          .as("sum_feature0_byte"))
+      .crossJoin(frames.agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("frame_bytes").cast("long")).as("sum_frame_bytes")))
   }
+
+  val q46Sql: String =
+    """WITH m AS (SELECT octet_length(encode(text)) AS nb,
+      |    CAST(('0x' || substring(md5(text), 1, 2)) AS BIGINT) AS b0
+      |  FROM documents),
+      |f AS (SELECT nb, GREATEST(1, nb // 64) AS nframes FROM m)
+      |SELECT (SELECT COUNT(*) FROM m) AS n_feature_rows,
+      |  (SELECT CAST(SUM(b0) AS BIGINT) FROM m) AS sum_feature0_byte,
+      |  (SELECT CAST(SUM((nframes + 3) // 4) AS BIGINT) FROM f) AS n_frames,
+      |  (SELECT CAST(SUM(CASE WHEN nb < 64 THEN nb
+      |    ELSE 64 * ((nframes + 3) // 4) END) AS BIGINT) FROM f) AS sum_frame_bytes""".stripMargin
 
   // ---------------------------------------------------------------- q47
   /** Structured Streaming monthly rollup over the events stream —
@@ -317,8 +399,10 @@ object PipelineQueries {
   val q47Sql: String = Relational.q15Sql
 
   // ---------------------------------------------------------------- q48
-  /** Windowed + watermarked streaming aggregation (1h tumbling):
-    * rows-only (window-struct output).
+  /** Windowed + watermarked streaming aggregation (1h tumbling),
+    * window struct flattened to its start instant — hash-checked
+    * against a batch date_trunc oracle (tumbling windows align to the
+    * epoch, i.e. to hour boundaries).
     */
   def q48StreamWindow(s: SparkSession, dir: String): DataFrame = {
     val stream = StreamingOps.eventsStream(s, dir)
@@ -328,6 +412,13 @@ object PipelineQueries {
         col("event_type"), col("n"), col("sum_value").cast("double").as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
   }
+
+  val q48Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -354,7 +445,12 @@ object PipelineQueries {
     "q34_quality" -> q34Sql,
     "q35_top_tokens" -> q35Sql,
     "q36_fingerprint" -> q36Sql,
+    "q37_simhash" -> q37Sql,
     "q40_embed_topk" -> q40Sql,
+    "q41_embed_lsh" -> q41Sql,
+    "q42_embed_ivf" -> q42Sql,
     "q45_multimodal_meta" -> q45Sql,
-    "q47_stream_month" -> q47Sql)
+    "q46_multimodal_features" -> q46Sql,
+    "q47_stream_month" -> q47Sql,
+    "q48_stream_window" -> q48Sql)
 }

@@ -45,6 +45,40 @@ object Ann {
   private def planeWeight(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(plane), dim), lit(2000L)).cast("double") - 1000.0) / 1000.0
 
+  /** Oracle-portable hyperplane weights: w(plane, dim) in [-1, 1) from
+    * the md5 of "plane|dim" (first 15 hex chars base-16, mod 2000) —
+    * the exact arithmetic a SQL oracle can replay
+    * (`(CAST('0x' || substring(md5(p || '|' || i), 1, 15) AS BIGINT)
+    * % 2000 - 1000) / 1000.0`). The weights depend only on (plane, dim),
+    * so they are computed ONCE here and embedded as literals: the Spark
+    * plan pays zero per-row hashing.
+    */
+  def portablePlaneWeights(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (p, i) =>
+      md.reset()
+      val hex = md.digest(s"$p|$i".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2000L - 1000L) / 1000.0
+    }
+  }
+
+  /** Portable twin of [[lshBucket]]: literal md5-derived weights, same
+    * sign-bit bucketing — reproducible bit-for-bit by a SQL oracle
+    * (products and the left-to-right double sum are order-identical).
+    * Requires the (static) embedding dimension.
+    */
+  def lshBucketPortable(emb: Column, dim: Int, numPlanes: Int = 8): Column = {
+    val w = portablePlaneWeights(numPlanes, dim)
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, typedLit(w(p).toIndexedSeq), (x, wi) => x.cast("double") * wi),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
   /** Sign bits of `numPlanes` random-hyperplane projections → LSH bucket
     * id. Vectors with equal buckets are cosine-close with high
     * probability.

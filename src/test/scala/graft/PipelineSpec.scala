@@ -68,6 +68,36 @@ class PipelineSpec extends SparkSpec {
     assert(ham(sigs(0L), sigs(5L)) < ham(sigs(0L), sigs(3L)))
   }
 
+  test("portable simhash: 60-bit, deterministic, same near-dup structure") {
+    val sigs = docs.select($"doc_id", Dedup.simhashPortable(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs.values.foreach(s => assert(s >= 0L && s < (1L << 60)))
+    assert(sigs(0L) === sigs(1L)) // exact dup → identical signature
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-dup (doc 5, one token changed) closer than a different language
+    assert(ham(sigs(0L), sigs(5L)) < ham(sigs(0L), sigs(3L)))
+    // portable near-dup scan agrees with the xxhash64 scan on exact dups
+    val p = Dedup.simhashNearDuplicatesPortable(docs, "text", "doc_id",
+      maxDistance = 0, prefixBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((0L, 1L)))
+  }
+
+  test("portable LSH bucket: literal md5 weights, groups identical vectors") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(-5.0f, 1.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val buckets = embs.select($"vec_id",
+        Ann.lshBucketPortable(col("embedding"), dim = 3).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) === buckets(1L))
+    // weight matrix itself is deterministic across calls
+    assert(Ann.portablePlaneWeights(8, 3).toSeq.map(_.toSeq) ===
+      Ann.portablePlaneWeights(8, 3).toSeq.map(_.toSeq))
+  }
+
   test("ANN brute-force top-k ranks by exact cosine") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
@@ -167,5 +197,10 @@ class PipelineSpec extends SparkSpec {
     // probing one cell returns a subset of plausible neighbors quickly
     val ivf1 = graft.similarity.Ann.ivfTopK(index, probe, k = 5, nProbe = 1)
     assert(ivf1.count() <= 5)
+    // approximate regime: half the cells must already recover most of
+    // the true top-k (recall ≥ 3/5 on this seeded fixture)
+    val ivf2 = graft.similarity.Ann.ivfTopK(index, probe, k = 5, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.count(ivf2.contains) >= 3)
   }
 }
