@@ -96,6 +96,7 @@ object EvalDriver {
       numTriangles: Int = 100,
       maxRows: Int = 10,
       cfSample: Int = 10,
+      compareBaselines: Boolean = false,
       schema: PairSchema = PairSchema.default): DataFrame = {
 
     val spark = lsource.sparkSession
@@ -119,6 +120,22 @@ object EvalDriver {
 
       val result = explainer.explain(lRec, rRec, model, numTriangles)
       val latency = (System.nanoTime() - t0) / 1e9
+
+      // reference eval.py:113-140 `compare` leg: SHAP-C and LIME-C
+      // evidence counterfactuals persisted next to CERTA's (file-level
+      // memoization like the reference's csv-exists checks)
+      if (compareBaselines) {
+        val shapPath = s"$outDir/shapc_${lid}_$rid"
+        if (!Files.exists(Paths.get(shapPath))) {
+          val sc = graft.baselines.ShapC.explain(lRec, rRec, model, schema = schema)
+          if (sc.found) ErSources.writeCsv(sc.cfExample, shapPath)
+        }
+        val limePath = s"$outDir/limec_${lid}_$rid"
+        if (!Files.exists(Paths.get(limePath))) {
+          val lc = graft.baselines.LimeC.explain(lRec, rRec, model, schema = schema)
+          if (lc.found) ErSources.writeCsv(lc.cfExample, limePath)
+        }
+      }
 
       if (result.cfExamples.columns.isEmpty) {
         CfRow(lid, rid, label, latency, 0L, 0.0, 0.0, 0.0, 0.0)
