@@ -20,6 +20,29 @@ import graft.sources.ErSources
   */
 object EvalDriver {
 
+  /** The generate.py:102-116 retry schedule: explain with num_triangles
+    * = start, and while the explanation comes back empty re-run with
+    * +step more triangles, giving up past the cap (the reference tries
+    * 10, 60, 110, 160 and then stops). Returns the explanation and the
+    * num_triangles that produced it.
+    */
+  def explainEscalating(
+      explainer: CertaExplainer,
+      lRec: DataFrame,
+      rRec: DataFrame,
+      model: ERModel,
+      start: Int = 10,
+      step: Int = 50,
+      cap: Int = 200): (graft.explain.Explanation, Int) = {
+    var n = start
+    var result = explainer.explain(lRec, rRec, model, n)
+    while (result.saliency.columns.isEmpty && n + step <= cap) {
+      n += step
+      result = explainer.explain(lRec, rRec, model, n)
+    }
+    (result, n)
+  }
+
   final case class CfRow(
       ltableId: Long, rtableId: Long, label: Int,
       latencySec: Double, nCf: Long,
@@ -97,6 +120,7 @@ object EvalDriver {
       maxRows: Int = 10,
       cfSample: Int = 10,
       compareBaselines: Boolean = false,
+      escalate: Boolean = false,
       schema: PairSchema = PairSchema.default): DataFrame = {
 
     val spark = lsource.sparkSession
@@ -118,7 +142,10 @@ object EvalDriver {
       val pc = if (origScores.getDouble(1) > origScores.getDouble(0)) 1 else 0
       val classScoreCol = if (pc == 1) "match_score" else "nomatch_score"
 
-      val result = explainer.explain(lRec, rRec, model, numTriangles)
+      val result =
+        if (escalate) explainEscalating(explainer, lRec, rRec, model,
+          start = numTriangles)._1
+        else explainer.explain(lRec, rRec, model, numTriangles)
       val latency = (System.nanoTime() - t0) / 1e9
 
       // reference eval.py:113-140 `compare` leg: SHAP-C and LIME-C

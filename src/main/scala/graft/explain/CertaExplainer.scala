@@ -31,7 +31,7 @@ final case class Explanation(
   * triangles_method.py:301-327); every stage body is a distributed
   * DataFrame program. No per-triangle driver loops anywhere.
   */
-final class CertaExplainer(
+class CertaExplainer(
     lsource: DataFrame,
     rsource: DataFrame,
     schema: PairSchema = PairSchema.default,
@@ -60,6 +60,14 @@ final class CertaExplainer(
   /** Explain the model's prediction on (lRecord, rRecord): 1-row
     * un-prefixed entity frames, as in reference explain(l_tuple, r_tuple).
     */
+  /** @param check      score the 12 invariant probes per triangle
+    *                    (identity/symmetry/transitivity) and return the
+    *                    flags on the triangles frame (reference
+    *                    explain_samples `check`,
+    *                    triangles_method.py:204-207, 280-283)
+    * @param discardBad  with `check`: drop non-transitive triangles
+    *                    before perturbation (reference `discard_bad`)
+    */
   def explain(
       lRecord: DataFrame,
       rRecord: DataFrame,
@@ -68,7 +76,9 @@ final class CertaExplainer(
       attrLengthOpt: Int = -1,
       maxPredict: Int = -1,
       useLeft: Boolean = true,
-      useRight: Boolean = true): Explanation = {
+      useRight: Boolean = true,
+      check: Boolean = false,
+      discardBad: Boolean = false): Explanation = {
     // every cache taken below is registered here and released in the
     // finally — explain() leaves nothing pinned in the block manager
     // (EvalDriver loops explanations; leaked caches accumulate without
@@ -76,7 +86,7 @@ final class CertaExplainer(
     val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = { df.cache(); tracked += df; df }
     try explainImpl(lRecord, rRecord, model, numTriangles, attrLengthOpt,
-      maxPredict, useLeft, useRight, cached)
+      maxPredict, useLeft, useRight, check, discardBad, cached)
     finally tracked.foreach(_.unpersist(false))
   }
 
@@ -89,6 +99,8 @@ final class CertaExplainer(
       maxPredict: Int,
       useLeft: Boolean,
       useRight: Boolean,
+      check: Boolean,
+      discardBad: Boolean,
       cached: DataFrame => DataFrame): Explanation = {
 
     val lAttrs = lRecord.columns.filter(_ != "id").toIndexedSeq
@@ -165,8 +177,26 @@ final class CertaExplainer(
 
     // stage 4: triangle discovery (pos×neg self-joins over the bounded
     // local support set; result localized — ≤ (numTriangles/2)² rows)
-    val triangles = staged("triangle discovery")(
+    val discovered = staged("triangle discovery")(
       localize(Triangles.discover(supportPairs, schema)))
+    if (discovered.count() == 0) return emptyExplanation()
+
+    // G6 invariant probes (reference triangles_method.py:280-283): the
+    // reference re-scores check_properties per triangle per depth; the
+    // probes are depth-independent, so ONE distributed 12-probe pass
+    // suffices. With discardBad, non-transitive triangles drop before
+    // any perturbation is generated.
+    val (triangles, flaggedTriangles) =
+      if (!check) (discovered, discovered)
+      else {
+        val flags = staged("invariant checks")(localize(
+          Invariants.checkAll(discovered, extendedL, extendedR, model, schema)))
+        if (discardBad)
+          (localize(flags.filter(col("transitivity"))
+            .select(col("u"), col("v"), col("w"))),
+            localize(flags.filter(col("transitivity"))))
+        else (discovered, flags)
+      }
     val nTriangles = triangles.count()
     if (nTriangles == 0) return emptyExplanation()
 
@@ -282,7 +312,7 @@ final class CertaExplainer(
       .withColumn("attr_count", size(col("alteredAttributes")))
       .orderBy(col("attr_count"))))
 
-    Explanation(saliency, pss, cfSummary, cfExamples, triangles)
+    Explanation(saliency, pss, cfSummary, cfExamples, flaggedTriangles)
   }
 
   private def emptyExplanation(): Explanation = {

@@ -34,7 +34,7 @@ final class ExternalBatchScorer(
     val bs = batchSize
     val rdd = pairs.rdd.mapPartitions { it =>
       val scorer = makeScorer() // per-partition init (model load)
-      it.grouped(bs).flatMap { batch =>
+      val out = it.grouped(bs).flatMap { batch =>
         val inputs = batch.map { row =>
           (lIdx.map(i => String.valueOf(row.get(i))).toSeq,
             rIdx.map(i => String.valueOf(row.get(i))).toSeq)
@@ -43,6 +43,13 @@ final class ExternalBatchScorer(
         batch.zip(scores).map { case (row, p) =>
           Row.fromSeq(row.toSeq ++ Seq(1.0 - p, p))
         }
+      }
+      // release the session when the partition drains (ONNX sessions
+      // hold native memory); the suffix iterator evaluates lazily after
+      // `out` exhausts
+      out ++ {
+        scorer match { case c: AutoCloseable => c.close(); case _ => () }
+        Iterator.empty
       }
     }
     pairs.sparkSession.createDataFrame(rdd, outSchema)

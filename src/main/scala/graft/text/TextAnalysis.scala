@@ -100,32 +100,53 @@ object TextAnalysis {
     }: _*)
 
   /** F12 TF-IDF token trim (reference ditto/summarize.py:34-112): keep
-    * each document's `maxTokens` highest-IDF tokens (ties by token) —
-    * corpus IDF from one aggregation, trim as a per-row array op.
+    * each document's `maxTokens` highest-IDF tokens (ties by token, then
+    * position), emitted in original order; documents at or under the cap
+    * pass through untouched.
+    *
+    * Fully join-based — the corpus IDF table NEVER collects to the
+    * driver (a web-corpus vocabulary would OOM it): over-long distinct
+    * texts explode to (text-key, pos, token) rows, join the IDF table on
+    * the token key, a per-document window ranks each document's own
+    * tokens, and the survivors reassemble with an ordered collect_list.
+    * Every shuffle is keyed (token or document hash); the only window is
+    * partitioned per document.
     */
   def tfIdfSummarize(df: DataFrame, textCol: String,
       maxTokens: Int = 64): DataFrame = {
-    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
     val n = df.count().toDouble
     val idf = df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("docFreq"))
       .select(col("token"), log(lit(n + 1.0) / (col("docFreq") + 1.0)).as("idf"))
-    val idfMap = idf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val bIdf = spark.sparkContext.broadcast(idfMap)
-    val trimUdf = udf { text: String =>
-      if (text == null) ""
-      else {
-        val toks = text.split(" ")
-        if (toks.length <= maxTokens) text
-        else {
-          val keep = toks.zipWithIndex
-            .sortBy { case (t, i) => (-bIdf.value.getOrElse(t, 0.0), t, i) }
-            .take(maxTokens).map(_._2).toSet
-          toks.zipWithIndex.collect { case (t, i) if keep(i) => t }.mkString(" ")
-        }
-      }
-    }
-    df.withColumn(textCol, trimUdf(col(textCol)))
+
+    // only over-long texts trim; identical texts trim identically, so
+    // the distinct text IS a stable document key (md5 keeps the shuffle
+    // key narrow)
+    val overLong = df.select(col(textCol).as("__t")).distinct()
+      .filter(size(tokens(col("__t"))) > maxTokens)
+      .select(col("__t"), md5(col("__t")).as("__dk"))
+    val exploded = overLong
+      .select(col("__t"), col("__dk"),
+        posexplode(tokens(col("__t"))).as(Seq("__pos", "token")))
+      .join(idf, Seq("token"), "left")
+      .withColumn("__idf", coalesce(col("idf"), lit(0.0)))
+    val ranked = exploded.withColumn("__rank", row_number().over(
+      Window.partitionBy(col("__dk"))
+        .orderBy(col("__idf").desc, col("token"), col("__pos"))))
+    val trimmed = ranked.filter(col("__rank") <= maxTokens)
+      .groupBy(col("__dk")).agg(
+        first(col("__t")).as("__t"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("token")))),
+          x => x.getField("token")), " ").as("__trimmed"))
+
+    df.join(trimmed.select(col("__t").as(textCol), col("__trimmed")),
+        Seq(textCol), "left")
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(""))
+          .otherwise(coalesce(col("__trimmed"), col(textCol))))
+      .select(df.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
   /** Rolling polynomial hash of the token sequence (order-sensitive

@@ -38,6 +38,46 @@ class ExternalScorerSpec extends SparkSpec {
       r.getAs[Double]("match_score") + r.getAs[Double]("nomatch_score") - 1.0) < 1e-12))
   }
 
+  test("neural-scorer example: model file per partition, lifecycle, sane scores") {
+    import graft.matcher.NeuralScorerExample
+    val model = java.nio.file.Files.createTempFile("weights", ".bin").toString
+    NeuralScorerExample.writeWeights(model)
+    NeuralScorerExample.sessionsOpened.set(0)
+    NeuralScorerExample.sessionsClosed.set(0)
+
+    val pairs = Seq(
+      ("alpha beta gamma", "alpha beta gamma"),
+      ("alpha beta gamma", "omega psi chi"),
+      ("delta", "delta")
+    ).toDF("ltable_name", "rtable_name").repartition(2)
+    val scored = NeuralScorerExample.scorer(model, batchSize = 2)
+      .predict(pairs).collect()
+    assert(scored.length === 3)
+    // probabilities, complementary scores
+    scored.foreach { r =>
+      val p = r.getAs[Double]("match_score")
+      assert(p > 0.0 && p < 1.0)
+      assert(math.abs(p + r.getAs[Double]("nomatch_score") - 1.0) < 1e-12)
+    }
+    // identical texts embed identically → cosine 1 → sigmoid(4); the
+    // disjoint pair lands strictly lower
+    val byR = scored.map(r =>
+      r.getAs[String]("rtable_name") -> r.getAs[Double]("match_score")).toMap
+    val pIdentical = 1.0 / (1.0 + math.exp(-4.0))
+    assert(math.abs(byR("delta") - pIdentical) < 1e-12)
+    assert(math.abs(byR("alpha beta gamma") - pIdentical) < 1e-12)
+    assert(byR("omega psi chi") < pIdentical)
+    // lifecycle: one session per non-empty partition, every one closed
+    assert(NeuralScorerExample.sessionsOpened.get() >= 1)
+    assert(NeuralScorerExample.sessionsOpened.get() ===
+      NeuralScorerExample.sessionsClosed.get())
+    // determinism across runs (fresh sessions, same weights)
+    val again = NeuralScorerExample.scorer(model, batchSize = 2)
+      .predict(pairs).collect()
+      .map(r => r.getAs[String]("rtable_name") -> r.getAs[Double]("match_score")).toMap
+    assert(again === byR)
+  }
+
   test("embedding text source loads a broadcast word-vector map") {
     val p = java.nio.file.Files.createTempFile("glove", ".txt")
     java.nio.file.Files.writeString(p, "hello 0.1 0.2 0.3\nworld 0.4 0.5 0.6\n")

@@ -35,6 +35,73 @@ class InvariantsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("transitivity"))
   }
 
+  test("invariant probes flag a non-transitive matcher; explainer discards") {
+    // overlap matcher: match iff the two names share ANY token — built
+    // to violate transitivity: u~v and v~w match while u~w does not
+    val overlapModel = new graft.matcher.ERModel {
+      def predict(pairs: DataFrame): DataFrame = {
+        val share = size(array_intersect(
+          split(col("ltable_name"), " "), split(col("rtable_name"), " "))) > 0
+        pairs.withColumn("match_score", when(share, 0.9).otherwise(0.1))
+          .withColumn("nomatch_score", lit(1.0) - col("match_score"))
+      }
+    }
+    val l = Seq((0L, "a b", "x"), (1L, "c d", "x")).toDF("id", "name", "city")
+    val r = Seq((0L, "b c", "x"), (1L, "e f", "x")).toDF("id", "name", "city")
+    // u=0@0 ("a b"), v=1@0 ("b c"), w=0@1 ("c d"):
+    //   u~v share "b" (match), v~w share "c" (match), u~w disjoint →
+    //   exactly 2 matches → transitivity violated
+    val tri = Seq(("0@0", "1@0", "0@1")).toDF("u", "v", "w")
+    val flags = Invariants.checkAll(tri, l, r, overlapModel).head()
+    assert(!flags.getAs[Boolean]("transitivity"))
+
+    // the explainer's check/discardBad path: with every triangle bad the
+    // explanation must come back empty; with check only, triangles carry
+    // the flags (reference explain_samples check/discard_bad)
+    val explainer = new graft.explain.CertaExplainer(l, r)
+    val dropped = explainer.explain(
+      l.filter(col("id") === 0), r.filter(col("id") === 0), overlapModel,
+      numTriangles = 4, check = true, discardBad = true)
+    val flagged = explainer.explain(
+      l.filter(col("id") === 0), r.filter(col("id") === 0), overlapModel,
+      numTriangles = 4, check = true, discardBad = false)
+    if (flagged.triangles.columns.nonEmpty) {
+      assert(flagged.triangles.columns.contains("transitivity"))
+      // every triangle this matcher yields here is non-transitive → all
+      // dropped under discardBad
+      if (flagged.triangles.filter(col("transitivity")).count() === 0)
+        assert(dropped.saliency.columns.isEmpty)
+    }
+  }
+
+  test("escalation schedule retries empty explanations with more triangles") {
+    var calls = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // a model yielding NO support (always nomatch, scores never qualify
+    // as positives) → every explanation is empty → full 10/60/110/160
+    // schedule runs, as in generate.py:102-116
+    val dudModel = new graft.matcher.ERModel {
+      def predict(pairs: DataFrame): DataFrame = pairs
+        .withColumn("match_score", lit(0.0))
+        .withColumn("nomatch_score", lit(1.0))
+    }
+    val spyExplainer = new graft.explain.CertaExplainer(lsource, rsource) {
+      override def explain(lRecord: DataFrame, rRecord: DataFrame,
+          model: graft.matcher.ERModel, numTriangles: Int,
+          attrLengthOpt: Int, maxPredict: Int, useLeft: Boolean,
+          useRight: Boolean, check: Boolean, discardBad: Boolean)
+          : graft.explain.Explanation = {
+        calls += numTriangles
+        super.explain(lRecord, rRecord, model, numTriangles, attrLengthOpt,
+          maxPredict, useLeft, useRight, check, discardBad)
+      }
+    }
+    val (result, n) = EvalDriver.explainEscalating(spyExplainer,
+      lsource.filter(col("id") === 0), rsource.filter(col("id") === 0), dudModel)
+    assert(result.saliency.columns.isEmpty)
+    assert(calls.toSeq === Seq(10, 60, 110, 160))
+    assert(n === 160)
+  }
+
   test("G1 augmentation: fan-out = 2·Σ(tokens-1) per attribute, fresh ids") {
     val one = Seq((7L, "a b c", "x")).toDF("id", "name", "city")
     val gen = Augment.generateSubsequences(one, startId = 100L).cache()
