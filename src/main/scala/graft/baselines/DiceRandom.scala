@@ -1,0 +1,82 @@
+package graft.baselines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.matcher.ERModel
+import graft.schema.PairSchema
+
+/** DiCE-style random counterfactual generation (the reference drives
+  * dice_ml.Dice(method='random') over the pair frame, eval.py:142-161):
+  * sample random feature subsets, replace each chosen attribute with a
+  * random value from its dataset domain, keep the first `totalCFs`
+  * candidates whose prediction flips to the opposite class.
+  *
+  * Spark-first: attribute domains come from one distinct-aggregation
+  * per attribute (hash-ordered, capped — at corpus scale a domain
+  * sample, never a full collect of a high-cardinality column), the
+  * candidate batch is a single `range(numSamples)` plan with
+  * hash-driven feature choices (deterministic, no RNG), and every
+  * candidate scores in ONE distributed model pass.
+  */
+object DiceRandom {
+
+  /** @param dataset  pair frame supplying per-attribute value domains
+    *                  (the reference passes the test pair table)
+    * @return up to `totalCFs` counterfactual pair rows ⊕ scores,
+    *         deterministically ordered by sample index
+    */
+  def explain(
+      lRecord: DataFrame,
+      rRecord: DataFrame,
+      model: ERModel,
+      dataset: DataFrame,
+      totalCFs: Int = 10,
+      numSamples: Int = 500,
+      maxDomain: Int = 100,
+      seed: Long = 42L,
+      schema: PairSchema = PairSchema.default): DataFrame = {
+
+    val spark = lRecord.sparkSession
+    val pair = schema.assemblePair(lRecord, rRecord)
+    val attrs = schema.pairAttributes(dataset)
+      .filter(pair.columns.contains).toIndexedSeq
+
+    val orig = model.predict(pair)
+      .select(col("nomatch_score"), col("match_score")).head()
+    val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
+    val classScoreCol = if (pc == 1) "match_score" else "nomatch_score"
+
+    // bounded, deterministic domain sample per attribute
+    val domains: Map[String, IndexedSeq[String]] = attrs.map { a =>
+      val vals = dataset.select(col(a).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .orderBy(xxhash64(col("v"), lit(seed)), col("v"))
+        .limit(maxDomain)
+        .collect().map(_.getString(0)).toIndexedSeq
+      a -> vals
+    }.toMap
+
+    // candidate s alters attribute a iff hash(s,a) ≡ 0 (mod 4) — a ~25%
+    // feature-subset draw; the replacement indexes the domain by an
+    // independent hash
+    val samples = spark.range(numSamples.toLong).withColumnRenamed("id", "__sample")
+      .crossJoin(broadcast(pair))
+    val perturbed = attrs.foldLeft(samples) { (df, a) =>
+      val dom = domains(a)
+      if (dom.isEmpty) df
+      else {
+        val alter = pmod(xxhash64(col("__sample"), lit(a), lit(seed)), lit(4)) === 0
+        val pick = element_at(typedLit(dom),
+          (pmod(xxhash64(col("__sample"), lit(a), lit(seed + 1)), lit(dom.size)) + 1)
+            .cast("int"))
+        df.withColumn(a, when(alter, pick).otherwise(col(a)))
+      }
+    }
+
+    model.predict(perturbed)
+      .filter(col(classScoreCol) < 0.5) // desired_class = "opposite"
+      .orderBy(col("__sample"))
+      .limit(totalCFs)
+      .drop("__sample")
+  }
+}

@@ -186,19 +186,31 @@ object Dedup {
         lit(0L), (s, v) => s + v))
   }
 
-  /** [[simhashNearDuplicates]] over the portable 60-bit signature. */
-  def simhashNearDuplicatesPortable(df: DataFrame, textCol: String, idCol: String,
-      maxDistance: Int = 8, prefixBits: Int = 16): DataFrame = {
-    val sigs = df.select(col(idCol), simhashPortable(col(textCol)).as("sig"))
-      .withColumn("bucket", shiftrightunsigned(col("sig"), 60 - prefixBits))
-    val a = sigs.select(col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("bucket").as("bucket_b"), col(idCol).as("id_b"),
+  /** Near-dup pairs from a precomputed (idCol, sig) signature frame —
+    * callers that need the signatures for more than one leg (e.g. a
+    * census) compute the sketch pass once, cache it, and feed it here;
+    * the self-join would otherwise re-evaluate the signature expression
+    * once per join side.
+    */
+  def simhashNearDuplicatesFromSigs(sigs: DataFrame, idCol: String,
+      maxDistance: Int = 8, prefixBits: Int = 16, bits: Int = 64): DataFrame = {
+    val bucketed = sigs.withColumn("bucket",
+      shiftrightunsigned(col("sig"), bits - prefixBits))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col(idCol).as("id_b"),
       col("sig").as("sig_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .withColumn("distance", hamming(col("sig_a"), col("sig_b")))
       .filter(col("distance") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("distance"))
   }
+
+  /** [[simhashNearDuplicates]] over the portable 60-bit signature. */
+  def simhashNearDuplicatesPortable(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Int = 8, prefixBits: Int = 16): DataFrame =
+    simhashNearDuplicatesFromSigs(
+      df.select(col(idCol), simhashPortable(col(textCol)).as("sig")),
+      idCol, maxDistance, prefixBits, bits = 60)
 
   /** SimHash near-dup pairs within prefix buckets: documents sharing the
     * top `prefixBits` bits land in one bucket (cheap blocking), then

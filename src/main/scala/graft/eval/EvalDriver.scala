@@ -162,6 +162,15 @@ object EvalDriver {
           val lc = graft.baselines.LimeC.explain(lRec, rRec, model, schema = schema)
           if (lc.found) ErSources.writeCsv(lc.cfExample, limePath)
         }
+        // dice_random leg (eval.py:142-161): domains from the merged
+        // test pair frame
+        val dicePath = s"$outDir/dice_random_${lid}_$rid"
+        if (!Files.exists(Paths.get(dicePath))) {
+          val domainFrame = schema.mergeSources(testPairs, lsource, rsource)
+          val dice = graft.baselines.DiceRandom.explain(
+            lRec, rRec, model, domainFrame, schema = schema)
+          if (!dice.isEmpty) ErSources.writeCsv(dice, dicePath)
+        }
       }
 
       if (result.cfExamples.columns.isEmpty) {

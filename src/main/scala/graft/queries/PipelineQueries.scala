@@ -222,9 +222,14 @@ object PipelineQueries {
     */
   def q37Simhash(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // the 60-bit vote fold is the expensive stage: compute it ONCE,
+    // cache, and feed both census legs (the distinct count and the
+    // bucketed self-join would otherwise each re-run it — the self-join
+    // twice, once per side)
     val sigs = d.select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig"))
-    val pairs = Dedup.simhashNearDuplicatesPortable(d, "text", "doc_id",
-      maxDistance = 32, prefixBits = 4)
+      .cache()
+    val pairs = Dedup.simhashNearDuplicatesFromSigs(sigs, "doc_id",
+      maxDistance = 32, prefixBits = 4, bits = 60)
     sigs.agg(countDistinct(col("sig")).as("n_distinct_sigs"))
       .crossJoin(pairs.agg(
         count(lit(1)).as("n_near_pairs"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.baselines.{LimeC, Mojito, Shap, ShapC}
+import graft.baselines.{DiceRandom, LimeC, Mojito, Shap, ShapC}
 import graft.matcher.TokenCosineModel
 import graft.metrics.CfMetrics
 import org.apache.spark.sql.functions.col
@@ -56,6 +56,27 @@ class EvidenceCfSpec extends SparkSpec {
     assert(res.newScore < 0.5)
     assert(CfMetrics.validity(res.cfExample, "match_score") > 0.0)
     assert(res.relativeSize > 0.0 && res.relativeSize <= 1.0)
+  }
+
+  test("DiCE-random counterfactuals flip the class, bounded and deterministic") {
+    val model = TokenCosineModel()
+    val dataset = graft.schema.PairSchema.default.mergeSources(
+      Seq((0L, 0L, 1), (1L, 1L, 0)).toDF("ltable_id", "rtable_id", "label"),
+      Seq((0L, "alpha beta gamma delta", "xx yy"),
+        (1L, "omega psi chi phi", "pp qq")).toDF("id", "name", "city"),
+      Seq((0L, "alpha beta gamma delta", "zz ww"),
+        (1L, "rho sigma tau upsilon", "rr ss")).toDF("id", "name", "city"))
+    val cfs = DiceRandom.explain(lRec, rRec, model, dataset, totalCFs = 5,
+      numSamples = 200)
+    val rows = cfs.collect()
+    assert(rows.length <= 5)
+    assert(rows.nonEmpty) // the domain contains disjoint names → flips exist
+    // every CF flips the predicted (match) class
+    rows.foreach(r => assert(r.getAs[Double]("match_score") < 0.5))
+    // deterministic: same inputs → same counterfactuals
+    val again = DiceRandom.explain(lRec, rRec, model, dataset, totalCFs = 5,
+      numSamples = 200).collect()
+    assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
   }
 
   test("no counterfactual → empty result, original score preserved") {
