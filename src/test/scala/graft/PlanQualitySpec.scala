@@ -62,6 +62,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("relational plans carry no load-time round-robin exchange (fan-out is opt-in)") {
+    // round 3 fanned EVERY table out at load; the Exchange polluted all
+    // relational plans and re-executed in every uncached recomputation
+    val p2 = plan(Relational.q02FilterRevenue(spark, dir))
+    assert(!p2.contains("RoundRobinPartitioning"), p2)
+    val p7 = plan(Relational.q07TopK(spark, dir))
+    assert(!p7.contains("RoundRobinPartitioning"), p7)
+  }
+
+  test("q41: portable LSH buckets hash nothing per row (literal weights)") {
+    val p = plan(PipelineQueries.q41EmbedLsh(spark, dir))
+    assert(!p.toLowerCase.contains("md5"), p)
+  }
+
+  test("q37: both census legs read the cached signature pass") {
+    val df = PipelineQueries.q37Simhash(spark, dir)
+    val p = plan(df)
+    // the distinct-count leg and the self-join (two sides) must all hit
+    // the InMemoryRelation, never re-derive the 60-bit vote fold
+    assert(p.contains("InMemoryTableScan"), p)
+    df.sparkSession.catalog.clearCache()
+  }
+
+  test("vertex-resolution id filters push into the parquet scan") {
+    // the shape Perturb.resolve issues: a typed id-IN filter on the
+    // source — it must reach PushedFilters, which a cast on the column
+    // side would block
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val p = plan(part.filter(org.apache.spark.sql.functions.col("p_partkey")
+      .isin(Seq(1L, 2L, 3L).map(x => x: Any): _*)))
+    assert(p.contains("PushedFilters: [In(p_partkey"), p)
+  }
+
   test("whole-stage codegen covers the sketch expressions") {
     // direct scan (no load-time fan-out exchange): an AQE-wrapped plan
     // hides codegen markers until stages finalize, which isn't what
