@@ -258,6 +258,44 @@ object PipelineQueries {
        |       (SELECT CAST(COALESCE(MIN(distance), -1) AS INTEGER) FROM pairs) AS min_distance""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q38
+  /** BPE-ish token statistics per source: sub-word token counts split
+    * by class (letter runs / digit runs / marks). Pure regex + integer
+    * sums — portable to the SQL oracle verbatim.
+    */
+  def q38BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.bpeishTokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("source"),
+        size(toks).as("n_tok"),
+        size(filter(toks, t => t.rlike("^[A-Za-z]+$"))).as("n_alpha"),
+        size(filter(toks, t => t.rlike("^[0-9]+$"))).as("n_digit"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("sum_tokens"),
+        sum(col("n_alpha").cast("long")).as("sum_alpha"),
+        sum(col("n_digit").cast("long")).as("sum_digit"),
+        sum((col("n_tok") - col("n_alpha") - col("n_digit")).cast("long"))
+          .as("sum_marks"))
+      .orderBy(col("source"))
+  }
+
+  val q38Sql: String =
+    s"""WITH tk AS (SELECT source,
+       |  regexp_extract_all(text, '${TextAnalysis.bpeishPattern.replace("'", "''")}') AS toks
+       |  FROM documents),
+       |c AS (SELECT source, len(toks) AS n_tok,
+       |  len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$$'))) AS n_alpha,
+       |  len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$$'))) AS n_digit
+       |  FROM tk)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(n_alpha) AS BIGINT) AS sum_alpha,
+       |  CAST(SUM(n_digit) AS BIGINT) AS sum_digit,
+       |  CAST(SUM(n_tok - n_alpha - n_digit) AS BIGINT) AS sum_marks
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q40
   /** Brute-force cosine top-10 neighbors of vec 0 (exact fold
     * arithmetic both sides).
@@ -339,6 +377,60 @@ object PipelineQueries {
       |    i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum'))) AS cosine
       |  FROM embeddings, p)
       |SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** Embedding-cosine near-dup census (the embedding analog of the
+    * MinHash-LSH text dedup, prompt-listed as a first-class pipeline
+    * op): portable-LSH bucket blocking, exact-cosine verification
+    * inside buckets only — O(n²) never escapes a bucket. Fully
+    * oracle-checked (literal plane weights + the q40-proven fold
+    * arithmetic).
+    */
+  def q43EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    // 4 planes → coarser buckets → enough collisions to verify at
+    // fixture scale; cached so the self-join's two sides reuse one
+    // bucketing pass
+    val b = e.select(col("vec_id"), col("embedding"),
+      Ann.lshBucketPortable(col("embedding"), dim, numPlanes = 4).as("bucket"))
+      .cache()
+    val a1 = b.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b1 = b.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a1.join(b1, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", Ann.cosine(col("emb_a"), col("emb_b")))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("cosine") >= 0.4, 1L).otherwise(0L)).as("n_verified"),
+        coalesce(max(col("cosine")), lit(-2.0)).as("max_cosine"))
+  }
+
+  val q43Sql: String = {
+    def proj(p: Int, side: String): String =
+      s"""list_aggregate(list_transform(range(1, len($side.embedding) + 1),
+         |    i -> CAST($side.embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    def bucket(side: String): String = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p, side)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH bk AS (SELECT vec_id, embedding, (${bucket("embeddings")}) AS bucket
+       |  FROM embeddings),
+       |pr AS (SELECT
+       |  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+       |  (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')) *
+       |   sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))) AS cosine
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       |  COALESCE(MAX(cosine), -2.0) AS max_cosine
+       |FROM pr""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q45
   /** Multimodal metadata census over the binary media table. */
@@ -425,6 +517,46 @@ object PipelineQueries {
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Gap-based sessionization census over the event log (the batch twin
+    * of the flatMapGroupsWithState streaming sessionizer, equivalence-
+    * spec'd in SessionizeSpec): per-user lag + cumulative session ids,
+    * integer-exact session aggregates. Windows are per-user — no global
+    * window anywhere.
+    */
+  def q49Sessions(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    graft.streaming.Sessionize.sessionsBatch(e, gapSeconds = 1800)
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        max(col("n_events")).as("max_events"),
+        sum(col("session_end").cast("long") - col("session_start").cast("long"))
+          .as("sum_duration_sec"))
+  }
+
+  val q49Sql: String =
+    """WITH o AS (SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |m AS (SELECT user_id, ts,
+      |  CASE WHEN prev IS NULL
+      |    OR epoch_ns(ts) // 1000000000 - epoch_ns(prev) // 1000000000 > 1800
+      |    THEN 1 ELSE 0 END AS ns FROM o),
+      |s2 AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      |g AS (SELECT user_id, sid,
+      |    MIN(epoch_ns(ts) // 1000000000) AS a,
+      |    MAX(epoch_ns(ts) // 1000000000) AS b,
+      |    COUNT(*) AS c
+      |  FROM s2 GROUP BY user_id, sid)
+      |SELECT COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+      |  MAX(c) AS max_events,
+      |  CAST(SUM(b - a) AS BIGINT) AS sum_duration_sec
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -434,9 +566,12 @@ object PipelineQueries {
     "q35_top_tokens" -> (q35TopTokens _),
     "q36_fingerprint" -> (q36Fingerprint _),
     "q37_simhash" -> (q37Simhash _),
+    "q38_bpe_tokens" -> (q38BpeTokens _),
     "q40_embed_topk" -> (q40EmbedTopK _),
     "q41_embed_lsh" -> (q41EmbedLsh _),
     "q42_embed_ivf" -> (q42EmbedIvf _),
+    "q43_embed_neardup" -> (q43EmbedNearDup _),
+    "q49_sessions" -> (q49Sessions _),
     "q45_multimodal_meta" -> (q45MultimodalMeta _),
     "q46_multimodal_features" -> (q46MultimodalFeatures _),
     "q47_stream_month" -> (q47StreamMonth _),
@@ -451,9 +586,12 @@ object PipelineQueries {
     "q35_top_tokens" -> q35Sql,
     "q36_fingerprint" -> q36Sql,
     "q37_simhash" -> q37Sql,
+    "q38_bpe_tokens" -> q38Sql,
     "q40_embed_topk" -> q40Sql,
     "q41_embed_lsh" -> q41Sql,
     "q42_embed_ivf" -> q42Sql,
+    "q43_embed_neardup" -> q43Sql,
+    "q49_sessions" -> q49Sql,
     "q45_multimodal_meta" -> q45Sql,
     "q46_multimodal_features" -> q46Sql,
     "q47_stream_month" -> q47Sql,

@@ -149,6 +149,17 @@ object TextAnalysis {
       .select(df.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
+  /** BPE-ish sub-word tokens: letter runs, digit runs, and single
+    * non-alphanumeric marks — the regex skeleton of byte-pair-style
+    * pre-tokenizers (no lookarounds, so the pattern behaves identically
+    * under Java regex and RE2-based engines; CJK characters tokenize
+    * per-character, as byte-level BPE effectively does).
+    */
+  val bpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
   /** Rolling polynomial hash of the token sequence (order-sensitive
     * fingerprint). Horner fold mod a sub-2^30 prime: exact, codegen'd,
     * and overflow-free under ANSI arithmetic (31·acc + crc32 < 2^35).
