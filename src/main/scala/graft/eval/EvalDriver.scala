@@ -93,10 +93,17 @@ object EvalDriver {
         graft.baselines.Landmark.explain(lRec, rRec, model, "l", 100, schema = schema)
           .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
       }
+      // the reference's saliency comparison set is
+      // ['certa', 'landmark', 'mojito', 'shap'] (eval.py:350)
+      val (shap, shapLat) = timed {
+        graft.baselines.Shap.attributions(lRec, rRec, model, schema = schema)
+          .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
+      }
 
       certa.map { case (a, s) => (lid, rid, "certa", a, s, certaLat) } ++
         mojito.map { case (a, s) => (lid, rid, "mojito", a, s, mojitoLat) } ++
-        landmark.map { case (a, s) => (lid, rid, "landmark", a, s, landmarkLat) }
+        landmark.map { case (a, s) => (lid, rid, "landmark", a, s, landmarkLat) } ++
+        shap.map { case (a, s) => (lid, rid, "shap", a, s, shapLat) }
     }
     val df = rows.toDF("ltable_id", "rtable_id", "method", "attribute",
       "score", "latency_sec")

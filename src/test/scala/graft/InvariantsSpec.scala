@@ -132,7 +132,8 @@ class InvariantsSpec extends SparkSpec {
       TokenCosineModel(), out, numTriangles = 4, maxRows = 1)
     val methods = df.select("method").distinct()
       .collect().map(_.getString(0)).toSet
-    assert(methods.contains("mojito") && methods.contains("landmark"))
+    assert(methods.contains("mojito") && methods.contains("landmark") &&
+      methods.contains("shap"))
     assert(df.filter(org.apache.spark.sql.functions.col("latency_sec") <= 0).count() === 0)
   }
 }
