@@ -36,10 +36,14 @@ object Landmark {
   /** Per-token impacts for one orientation.
     *
     * @param variableSide "l": left record perturbed, right is the
-    *                     landmark; "r" for the dual
+    *                     landmark; "r" for the dual; "all": BOTH sides
+    *                     perturbed together with no landmark — the
+    *                     reference's plain-LIME configuration
+    *                     (landmark.py:57-65, variable_side='all')
     * @param inject       add the landmark side's non-overlapping tokens
     *                     to the variable side before perturbation (the
-    *                     'double' / "_injection" configuration)
+    *                     'double' / "_injection" configuration; ignored
+    *                     for "all" — there is no landmark to inject from)
     * @return (id, column, position, word, word_prefix, impact, conf)
     */
   def explainInstance(
@@ -60,24 +64,35 @@ object Landmark {
     def toks(row: org.apache.spark.sql.Row, a: String): IndexedSeq[String] =
       String.valueOf(row.getAs[Any](a)).trim.split("\\s+").toIndexedSeq
 
-    val (varRow, fixRow, varPrefix, fixPrefix) =
-      if (variableSide == "l") (lRow, rRow, schema.lprefix, schema.rprefix)
-      else (rRow, lRow, schema.rprefix, schema.lprefix)
-    val recordId = String.valueOf(varRow.getAs[Any]("id"))
+    // (row, prefix) of each perturbed side; its landmark twin when one
+    // exists ("all" perturbs both sides, landmark-free)
+    val varied: IndexedSeq[(org.apache.spark.sql.Row, String)] = variableSide match {
+      case "l" => IndexedSeq((lRow, schema.lprefix))
+      case "r" => IndexedSeq((rRow, schema.rprefix))
+      case _ => IndexedSeq((lRow, schema.lprefix), (rRow, schema.rprefix))
+    }
+    val fixOpt: Option[(org.apache.spark.sql.Row, String)] = variableSide match {
+      case "l" => Some((rRow, schema.rprefix))
+      case "r" => Some((lRow, schema.lprefix))
+      case _ => None
+    }
+    val recordId = String.valueOf(varied.head._1.getAs[Any]("id"))
 
-    // token table of the variable side; under injection the landmark's
-    // non-overlapping tokens append per attribute (landmark.py
-    // compute_tokens/add_tokens with overlap=False), so injected tokens
-    // sit at positions ≥ the original attribute length
-    val tokenTable: IndexedSeq[(String, Int, String)] = attrs.flatMap { a =>
-      val own = toks(varRow, a)
-      val injected =
-        if (!inject) IndexedSeq.empty
-        else {
-          val inter = own.toSet.intersect(toks(fixRow, a).toSet)
-          toks(fixRow, a).filterNot(inter)
+    // token table of the perturbed side(s); under injection the
+    // landmark's non-overlapping tokens append per attribute
+    // (landmark.py compute_tokens/add_tokens with overlap=False), so
+    // injected tokens sit at positions ≥ the original attribute length
+    val tokenTable: IndexedSeq[(String, Int, String)] = varied.flatMap {
+      case (varRow, varPrefix) => attrs.flatMap { a =>
+        val own = toks(varRow, a)
+        val injected = fixOpt match {
+          case Some((fixRow, _)) if inject =>
+            val inter = own.toSet.intersect(toks(fixRow, a).toSet)
+            toks(fixRow, a).filterNot(inter)
+          case _ => IndexedSeq.empty
         }
-      (own ++ injected).zipWithIndex.map { case (w, p) => (varPrefix + a, p, w) }
+        (own ++ injected).zipWithIndex.map { case (w, p) => (varPrefix + a, p, w) }
+      }
     }
     val n = tokenTable.size
 
@@ -88,15 +103,18 @@ object Landmark {
 
     val samples = spark.range(numSamples.toLong).withColumnRenamed("id", "__sample")
     val byAttr = tokenTable.zipWithIndex.groupBy(_._1._1)
-    val varCols = attrs.map { a =>
-      val entries = byAttr.getOrElse(varPrefix + a, IndexedSeq.empty)
-      val kept = entries.map { case ((_, _, w), g) =>
-        when(keep(g), lit(w)).otherwise(lit(null: String))
+    val varCols = varied.flatMap { case (_, varPrefix) =>
+      attrs.map { a =>
+        val entries = byAttr.getOrElse(varPrefix + a, IndexedSeq.empty)
+        val kept = entries.map { case ((_, _, w), g) =>
+          when(keep(g), lit(w)).otherwise(lit(null: String))
+        }
+        concat_ws(" ", kept: _*).as(varPrefix + a)
       }
-      concat_ws(" ", kept: _*).as(varPrefix + a)
     }
-    val fixCols = attrs.map(a =>
-      lit(String.valueOf(fixRow.getAs[Any](a))).as(fixPrefix + a))
+    val fixCols = fixOpt.toSeq.flatMap { case (fixRow, fixPrefix) =>
+      attrs.map(a => lit(String.valueOf(fixRow.getAs[Any](a))).as(fixPrefix + a))
+    }
     val idCols = Seq(
       lit(String.valueOf(lRow.getAs[Any]("id"))).as(schema.lid),
       lit(String.valueOf(rRow.getAs[Any]("id"))).as(schema.rid))
@@ -119,11 +137,15 @@ object Landmark {
           .asInstanceOf[LinearRegressionModel].coefficients.toArray
       }
 
-    val conf = (if (variableSide == "l") "right_landmark" else "left_landmark") +
-      (if (inject) "_injection" else "")
-    // Mapper letter codes: 'A' + attribute index over the variable side
-    val letter = attrs.zipWithIndex
-      .map { case (a, i) => (varPrefix + a) -> ('A' + i).toChar }.toMap
+    val conf = variableSide match {
+      case "l" => "right_landmark" + (if (inject) "_injection" else "")
+      case "r" => "left_landmark" + (if (inject) "_injection" else "")
+      case _ => "LIME"
+    }
+    // Mapper letter codes: 'A' + column index over the perturbed
+    // column list (left+right when variableSide is "all")
+    val letter = varied.flatMap { case (_, p) => attrs.map(p + _) }
+      .zipWithIndex.map { case (c, i) => c -> ('A' + i).toChar }.toMap
     import spark.implicits._
     tokenTable.zip(impacts.toIndexedSeq).map { case ((column, pos, w), imp) =>
       (recordId, column, pos, w, f"${letter(column)}$pos%02d_$w", imp, conf)

@@ -57,6 +57,14 @@ class MojitoSpec extends SparkSpec {
       r0.getInt(2) >= 3)
     assert(injected.map(_.getString(3)).toSet === Set("omega"))
 
+    // 'LIME' conf: both sides perturbed together, no landmark
+    val lime = Landmark.explainInstance(l, r, TokenCosineModel(),
+      variableSide = "all", numSamples = 64).collect()
+    assert(lime.forall(_.getString(6) === "LIME"))
+    assert(lime.map(_.getString(1)).toSet ===
+      Set("ltable_name", "ltable_city", "rtable_name", "rtable_city"))
+    assert(lime.length === 10) // 5 left tokens + 5 right tokens
+
     // auto on a match: both orientations, no injection
     val auto = Landmark.explainAuto(l, r, TokenCosineModel(), label = 1,
       numSamples = 64)
