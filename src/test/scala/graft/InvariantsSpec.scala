@@ -125,6 +125,22 @@ class InvariantsSpec extends SparkSpec {
       assert(row.getAs[Double]("validity") === 1.0)
   }
 
+  test("eval driver compare leg writes shapc/limec/dice CF sinks") {
+    val out = java.nio.file.Files.createTempDirectory("evalcmp").toString
+    // two pairs so the DiCE domain frame offers alternative values
+    val pairs = Seq((0L, 0L, 1), (1L, 2L, 0)).toDF("ltable_id", "rtable_id", "label")
+    EvalDriver.evalCf(lsource, rsource, pairs,
+      TokenCosineModel(), out, numTriangles = 4, maxRows = 1,
+      compareBaselines = true)
+    def wrote(prefix: String): Boolean =
+      new java.io.File(out).listFiles().exists(_.getName.startsWith(prefix))
+    // the matched (0,0) pair flips under blanking → SHAP-C/LIME-C find
+    // counterfactuals; DiCE finds flips from the domain values
+    assert(wrote("shapc_0_0"))
+    assert(wrote("limec_0_0"))
+    assert(wrote("dice_random_0_0"))
+  }
+
   test("saliency eval driver emits long-form scores for all methods") {
     val out = java.nio.file.Files.createTempDirectory("evalsal").toString
     val pairs = Seq((0L, 0L, 1)).toDF("ltable_id", "rtable_id", "label")
