@@ -85,6 +85,13 @@ class PlanQualitySpec extends SparkSpec {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("q43: near-dup census self-join reads the cached bucketing pass") {
+    val df = PipelineQueries.q43EmbedNearDup(spark, dir)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"), p)
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("vertex-resolution id filters push into the parquet scan") {
     // the shape Perturb.resolve issues: a typed id-IN filter on the
     // source — it must reach PushedFilters, which a cast on the column

@@ -25,6 +25,43 @@ class PropertySpec extends SparkSpec {
   private val text: Gen[String] = Gen.choose(0, 12)
     .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
 
+  /** Driver-side twin of Dedup.simhashPortable (same md5/vote formula)
+    * for cross-checking the Catalyst expression.
+    */
+  private def portableSimhash60Jvm(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = text.split(" ").map { t =>
+      md.reset()
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until 60).foldLeft(0L) { (sig, b) =>
+      val vote = hashes.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+      if (vote > 0) sig | (1L << b) else sig
+    }
+  }
+
+  test("portable simhash: matches JVM twin, permutation-invariant, 60-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Gen.listOfN(40, text).sample.get.filter(_.nonEmpty).distinct
+    val shuffled = texts.map(t => scala.util.Random.shuffle(t.split(" ").toList)
+      .mkString(" "))
+    val got = texts.zip(shuffled).toDF("t", "ts")
+      .select(col("t"),
+        graft.dedup.Dedup.simhashPortable(col("t")).as("sig"),
+        graft.dedup.Dedup.simhashPortable(col("ts")).as("sigShuffled"))
+      .collect()
+    got.foreach { r =>
+      val expect = portableSimhash60Jvm(r.getString(0))
+      assert(r.getLong(1) === expect, s"text='${r.getString(0)}'")
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 60))
+      // bit votes are order-insensitive sums → permutation-invariant
+      assert(r.getLong(2) === r.getLong(1))
+    }
+  }
+
   test("powerset: |subsets(attrs, k)| = C(n, k), all size k, all distinct") {
     check(Prop.forAll(Gen.choose(0, 8), Gen.choose(0, 8)) { (n, k) =>
       val attrs = (1 to n).map("a" + _)
