@@ -70,6 +70,7 @@ object EvalDriver {
     val rows = testPairs.limit(maxRows).collect().toSeq.flatMap { tp =>
       val lid = tp.getAs[Number]("ltable_id").longValue()
       val rid = tp.getAs[Number]("rtable_id").longValue()
+      val label = tp.getAs[Number]("label").intValue()
       val lRec = lsource.filter(col("id") === lid)
       val rRec = rsource.filter(col("id") === rid)
 
@@ -89,8 +90,13 @@ object EvalDriver {
         graft.baselines.Mojito.explain(lRec, rRec, model, "l", 100, schema = schema)
           .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
       }
+      // reference eval.py:300-309 passes the LABELLED item to conf='auto'
+      // (matches 'single', non-matches 'double' with injection) and rolls
+      // up per attribute
       val (landmark, landmarkLat) = timed {
-        graft.baselines.Landmark.explain(lRec, rRec, model, "l", 100, schema = schema)
+        graft.baselines.Landmark.attributeImpacts(
+          graft.baselines.Landmark.explainAuto(lRec, rRec, model, label,
+            numSamples = 100, schema = schema))
           .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
       }
       // the reference's saliency comparison set is

@@ -520,7 +520,7 @@ object PipelineQueries {
   // ---------------------------------------------------------------- q49
   /** Gap-based sessionization census over the event log (the batch twin
     * of the flatMapGroupsWithState streaming sessionizer, equivalence-
-    * spec'd in SessionizeSpec): per-user lag + cumulative session ids,
+    * spec'd in StreamingSpec): per-user lag + cumulative session ids,
     * integer-exact session aggregates. Windows are per-user — no global
     * window anywhere.
     */
