@@ -27,26 +27,41 @@ object Bench {
         .groupBy("n_regionkey").count().count()
     } catch { case _: Throwable => () }
 
+    // Each query runs TWICE and records the min: the bench host shows
+    // intermittent external contention (round-3's recording was inflated
+    // up to 17× by it), and min-of-2 back-to-back runs is the standard
+    // noise floor — it measures the code, not the neighbor. Both raw
+    // runs are emitted for transparency.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolate cache state per query: earlier queries' persisted frames
-      // otherwise squeeze the heap and turn later timings into eviction
-      // noise
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      // a crashing query must NOT look like a fast passing one: record
-      // the failure and surface it in the JSON + on stderr
-      val failure = try { fn(spark, sfDir).count(); None } catch {
-        case t: Throwable =>
-          System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
-          Some(name)
+      def once(): (Double, Option[String]) = {
+        // isolate cache state per run: earlier queries' persisted frames
+        // otherwise squeeze the heap and turn later timings into
+        // eviction noise; the explanation memo resets so a repeated q25
+        // re-runs the full explainer
+        spark.catalog.clearCache()
+        if (name == "q25_certa_saliency")
+          graft.queries.ErQueries.resetExplanationMemo()
+        val t0 = System.nanoTime()
+        // a crashing query must NOT look like a fast passing one: record
+        // the failure and surface it in the JSON + on stderr
+        val failure = try { fn(spark, sfDir).count(); None } catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
+            Some(name)
+        }
+        ((System.nanoTime() - t0) / 1e9, failure)
       }
-      (name, (System.nanoTime() - t0) / 1e9, failure)
+      val (t1, f1) = once()
+      val (t2, f2) = once()
+      (name, math.min(t1, t2), t1, t2, f1.orElse(f2))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failures = results.flatMap(_._3).map("\"" + _ + "\"").mkString("[", ",", "]")
+    def obj(f: ((String, Double, Double, Double, Option[String])) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = obj(_._2)
+    val runs = s"""[${obj(_._3)},${obj(_._4)}]"""
+    val failures = results.flatMap(_._5).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

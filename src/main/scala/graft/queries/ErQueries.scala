@@ -225,6 +225,12 @@ object ErQueries {
   // One explanation per (sfDir) — q25/q26/q27 share it.
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Explanation]
 
+  /** Bench hook: drop the memoized explanation so a repeated q25 run
+    * re-executes the full explainer instead of reading the memo (q26/
+    * q27 keep riding the latest q25 run's memo, as always).
+    */
+  private[graft] def resetExplanationMemo(): Unit = cache.clear()
+
   private def explained(s: SparkSession, dir: String): Explanation =
     cache.getOrElseUpdate(dir, {
       val src = erSource(s, dir)
