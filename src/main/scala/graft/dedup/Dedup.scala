@@ -105,12 +105,21 @@ object Dedup {
       idCol: String, threshold: Double, k: Int = 3): DataFrame = {
     // cached: the shingle frame is joined twice (id_a and id_b legs) —
     // without the cache the full tokenize+shingle pass over the corpus
-    // runs once per leg
+    // runs once per leg.
+    // SHUFFLE_HASH-hinted: the shingle arrays are the WIDE side (each
+    // row carries the document's k-gram set); without the hint AQE's
+    // cold-cache size estimates sometimes pick a driver-side BROADCAST
+    // of this frame — a single-threaded collect+build of hundreds of MB
+    // of arrays, observed as a bimodal 3 s / 60+ s census. A shuffled
+    // hash join keys on the narrow id and builds per-partition — the
+    // only shape that survives corpus scale.
     val sh = df.select(col(idCol), array_distinct(shingles(col(textCol), k)).as("__sh"))
       .cache()
     val withTexts = cands
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
     withTexts
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

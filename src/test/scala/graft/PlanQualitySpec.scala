@@ -85,6 +85,26 @@ class PlanQualitySpec extends SparkSpec {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("q32: shingle-array joins are shuffled hash, never driver broadcast") {
+    // the shingle frame is the WIDE side (per-doc k-gram arrays); AQE's
+    // cold-cache estimates sometimes chose to BROADCAST it — a
+    // single-threaded driver collect+build observed as a bimodal
+    // 3 s / 60+ s census. The shuffle_hash hint pins the scale-safe
+    // shape; this gate runs the query so the AQE-final plan is asserted.
+    val df = PipelineQueries.q32NearDups(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 2, p.take(4000))
+    // the id-keyed joins (shingle legs) must not be broadcast; the
+    // band-key self-join may (its keys are [band, key], and id_a only
+    // appears in its post-condition)
+    val broadcastKeys = "BroadcastHashJoin \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(!broadcastKeys.exists(k => k.contains("id_a#") || k.contains("id_b#")),
+      broadcastKeys.mkString("; "))
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("q43: near-dup census self-join reads the cached bucketing pass") {
     val df = PipelineQueries.q43EmbedNearDup(spark, dir)
     val p = plan(df)
