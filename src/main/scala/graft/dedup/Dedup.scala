@@ -138,6 +138,29 @@ object Dedup {
     verifyJaccard(cands, df, textCol, idCol, threshold, k)
   }
 
+  // ----------------------------------------------------------- winnowing
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    * keep the minimum k-gram hash of every sliding window of `w`
+    * consecutive k-grams; the distinct kept hashes are the document's
+    * sketch. Any shared run of w+k-1 tokens is guaranteed to contribute
+    * a common fingerprint while only ~2/(w+1) of the grams survive —
+    * the classic local fingerprint for plagiarism / near-dup detection,
+    * complementing MinHash (which sketches global set overlap, not
+    * contiguous local matches). Gram hashes use [[portableHash60]] so a
+    * SQL oracle reproduces the sketch bit-for-bit; the whole sketch is
+    * one codegen'd expression over the gram array — no UDF, no shuffle.
+    * Documents shorter than one window contribute their single minimum
+    * gram hash (the reference algorithm's degenerate case).
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(shingles(text, k), g => portableHash60(g))
+    val nWindows = size(hashes) - (w - 1)
+    val mins = when(nWindows >= 1,
+      transform(sequence(lit(1), nWindows), i => array_min(slice(hashes, i, lit(w)))))
+      .otherwise(array(array_min(hashes)))
+    array_sort(array_distinct(mins))
+  }
+
   // ------------------------------------------------------------- simhash
   /** 64-bit SimHash over tokens (xxhash64 token hashes; per-bit majority
     * vote). Near-dups = small hamming distance. Engine-native hash →

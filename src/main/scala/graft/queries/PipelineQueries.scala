@@ -296,6 +296,47 @@ object PipelineQueries {
        |  CAST(SUM(n_tok - n_alpha - n_digit) AS BIGINT) AS sum_marks
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Winnowing fingerprint census (Schleimer et al. SIGMOD 2003 local
+    * fingerprints over 3-gram/window-4 winnowing): per-doc sketch sizes
+    * plus cross-document fingerprint sharing — the local-match
+    * complement to q32's global-set MinHash. The sketch pass is the
+    * expensive stage; it computes ONCE (cached) and feeds all three
+    * census legs.
+    */
+  def q39Winnow(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val fps = d.select(col("doc_id"),
+      Dedup.winnowFingerprints(col("text")).as("fps")).cache()
+    val perDoc = fps.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("fps")).cast("long")).as("sum_fps"))
+    val e = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val distinctFp = e.agg(countDistinct(col("fp")).as("n_distinct_fp"))
+    val shared = e.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .agg(count(lit(1)).as("n_shared_fp"))
+    perDoc.crossJoin(distinctFp).crossJoin(shared)
+  }
+
+  val q39Sql: String =
+    s"""WITH $shingleSqlCte,
+       |h AS (SELECT doc_id,
+       |  list_transform(sh, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS hs
+       |  FROM s),
+       |wn AS (SELECT doc_id, list_sort(list_distinct(
+       |    CASE WHEN len(hs) >= 4
+       |      THEN list_transform(range(1, len(hs) - 2), i -> list_aggregate(hs[i:i+3], 'min'))
+       |      ELSE [list_aggregate(hs, 'min')] END)) AS fps
+       |  FROM h),
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM wn)
+       |SELECT (SELECT COUNT(*) FROM wn) AS n_docs,
+       |  (SELECT CAST(SUM(len(fps)) AS BIGINT) FROM wn) AS sum_fps,
+       |  (SELECT COUNT(DISTINCT fp) FROM e) AS n_distinct_fp,
+       |  (SELECT COUNT(*) FROM (
+       |     SELECT fp FROM e GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1)) AS n_shared_fp""".stripMargin
+
   // ---------------------------------------------------------------- q40
   /** Brute-force cosine top-10 neighbors of vec 0 (exact fold
     * arithmetic both sides).
@@ -557,6 +598,35 @@ object PipelineQueries {
       |  CAST(SUM(b - a) AS BIGINT) AS sum_duration_sec
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Heavy-hitter user profile via SALTED two-phase aggregation
+    * ([[graft.operators.Skew]]): per-user event counts and distinct
+    * event-type sets computed through the (key, salt) scatter/merge
+    * path — the shape that bounds any single reducer's state when a key
+    * is hot (collect_set does not map-side combine, so without salting
+    * ALL of a hot key's rows hit one task). Results are exactly the
+    * plain groupBy's — the oracle is the unsalted SQL.
+    */
+  def q50SaltedHitters(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val counts = graft.operators.Skew.saltedCountByKey(
+      e, Seq("user_id"), nSalts = 8, outCol = "n_events")
+    val types = graft.operators.Skew.saltedCollectSet(
+      e.select(col("user_id"), col("event_type")),
+      Seq("user_id"), "event_type", nSalts = 8, outCol = "types")
+    counts.join(types, Seq("user_id"))
+      .select(col("user_id"), col("n_events"),
+        size(col("types")).as("n_types"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(10)
+  }
+
+  val q50Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id
+      |ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -567,6 +637,8 @@ object PipelineQueries {
     "q36_fingerprint" -> (q36Fingerprint _),
     "q37_simhash" -> (q37Simhash _),
     "q38_bpe_tokens" -> (q38BpeTokens _),
+    "q39_winnow" -> (q39Winnow _),
+    "q50_salted_hitters" -> (q50SaltedHitters _),
     "q40_embed_topk" -> (q40EmbedTopK _),
     "q41_embed_lsh" -> (q41EmbedLsh _),
     "q42_embed_ivf" -> (q42EmbedIvf _),
@@ -587,6 +659,8 @@ object PipelineQueries {
     "q36_fingerprint" -> q36Sql,
     "q37_simhash" -> q37Sql,
     "q38_bpe_tokens" -> q38Sql,
+    "q39_winnow" -> q39Sql,
+    "q50_salted_hitters" -> q50Sql,
     "q40_embed_topk" -> q40Sql,
     "q41_embed_lsh" -> q41Sql,
     "q42_embed_ivf" -> q42Sql,

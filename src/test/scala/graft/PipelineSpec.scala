@@ -60,6 +60,61 @@ class PipelineSpec extends SparkSpec {
     assert(verified === Set((0L, 1L)))
   }
 
+  test("winnowing: shared runs fingerprint together; guarantees coverage") {
+    val fps = docs.select(col("doc_id"),
+      Dedup.winnowFingerprints(col("text")).as("fps")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    // exact dup pair → identical sketches; reordering → different grams
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) !== fps(2L))
+    // doc 5 shares the 8-token prefix run with doc 0 → at least one
+    // common fingerprint survives winnowing (the w+k-1 guarantee)
+    assert(fps(0L).intersect(fps(5L)).nonEmpty)
+    // sketch is sorted + distinct, and never larger than the gram count
+    fps.values.foreach { s =>
+      assert(s === s.sorted && s.distinct.length === s.length)
+    }
+    // short text (< k tokens) degenerates to one whole-text fingerprint
+    val short = Seq((9L, "hi")).toDF("doc_id", "text")
+    assert(short.select(Dedup.winnowFingerprints(col("text")))
+      .head().getSeq[Long](0).length === 1)
+  }
+
+  test("salted join and salted aggregations equal their plain twins") {
+    import graft.operators.Skew
+    val e = Seq(
+      (1L, "click", 1), (1L, "click", 2), (1L, "view", 3), (1L, "error", 4),
+      (2L, "view", 5), (2L, "view", 6), (3L, "click", 7)
+    ).toDF("user_id", "event_type", "event_id")
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+
+    val plainJoin = e.join(dim, Seq("user_id")).orderBy("event_id")
+      .collect().toSeq
+    val salted = Skew.saltedJoin(e, dim, Seq("user_id"), nSalts = 4)
+      .select(plainJoin.headOption.map(_ => e.columns ++ Seq("tier"))
+        .getOrElse(Array("user_id")).map(col).toIndexedSeq: _*)
+      .orderBy("event_id").collect().toSeq
+    assert(salted === plainJoin)
+    // left join preserves unmatched skewed-side rows (user 3)
+    assert(Skew.saltedJoin(e, dim, Seq("user_id"), 4, "left").count() === 7)
+
+    val plainCounts = e.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saltedCounts = Skew.saltedCountByKey(e, Seq("user_id"), nSalts = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saltedCounts === plainCounts)
+
+    val sets = Skew.saltedCollectSet(e, Seq("user_id"), "event_type", nSalts = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sets(1L) === Seq("click", "error", "view")) // sorted merge
+    assert(sets(2L) === Seq("view") && sets(3L) === Seq("click"))
+    // the salt genuinely scatters: phase-1 groups exceed the key count
+    val phase1 = e.withColumn("__salt",
+      pmod(xxhash64(e.columns.map(col).toIndexedSeq: _*), lit(4L)))
+      .select("user_id", "__salt").distinct().count()
+    assert(phase1 > 3)
+  }
+
   test("simhash: identical texts → distance 0; near-dups close, distinct far") {
     val sigs = docs.select($"doc_id", Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
