@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, IncrementalDedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
 import graft.sources.Tables
@@ -627,6 +627,136 @@ object PipelineQueries {
       |FROM events GROUP BY user_id
       |ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Gopher-style repetition-filter census per source: integer bigram /
+    * top-token counters with cross-multiplied integer thresholds (a doc
+    * is "repetitive" when >20% of its bigrams are duplicates, "top
+    * heavy" when one token covers >20% of it) — no float ratios
+    * anywhere, so the rollup hash-matches exactly.
+    */
+  def q51Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withRepetitionSignals(t(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams").cast("long")).as("sum_bigrams"),
+        sum(col("n_distinct_bigrams").cast("long")).as("sum_distinct_bigrams"),
+        sum(when((col("n_bigrams") - col("n_distinct_bigrams")) * 5 > col("n_bigrams"), 1L)
+          .otherwise(0L)).as("n_repetitive"),
+        sum(when(col("top_token_cnt") * 5 > col("n_tokens_r"), 1L)
+          .otherwise(0L)).as("n_top_heavy"))
+      .orderBy(col("source"))
+
+  val q51Sql: String =
+    """WITH d AS (SELECT source, string_split(text, ' ') AS tk, text FROM documents),
+      |b AS (SELECT source,
+      |  CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE [text] END AS bg,
+      |  len(tk) AS nt,
+      |  list_max(list_transform(list_distinct(tk),
+      |    x -> len(list_filter(tk, y -> y = x)))) AS topc
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(bg)) AS BIGINT) AS sum_bigrams,
+      |  CAST(SUM(len(list_distinct(bg))) AS BIGINT) AS sum_distinct_bigrams,
+      |  CAST(SUM(CASE WHEN (len(bg) - len(list_distinct(bg))) * 5 > len(bg)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+      |  CAST(SUM(CASE WHEN topc * 5 > nt THEN 1 ELSE 0 END) AS BIGINT) AS n_top_heavy
+      |FROM b GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** PII scan census: per-corpus match counts for email / IPv4 / phone
+    * patterns plus the count of clean documents. Patterns are plain
+    * character classes (no lookarounds) so Java and the oracle's RE2
+    * agree byte-for-byte.
+    */
+  def q52Pii(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withPiiSignals(t(s, dir, "documents"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails").cast("long")).as("sum_emails"),
+        sum(col("n_ipv4").cast("long")).as("sum_ipv4"),
+        sum(col("n_phones").cast("long")).as("sum_phones"),
+        sum(when(col("n_emails") + col("n_ipv4") + col("n_phones") === 0, 1L)
+          .otherwise(0L)).as("n_clean"))
+
+  val q52Sql: String = {
+    def cnt(p: String): String = s"len(regexp_extract_all(text, '$p'))"
+    val em = cnt(TextAnalysis.emailPattern)
+    val ip = cnt(TextAnalysis.ipv4Pattern)
+    val ph = cnt(TextAnalysis.phonePattern)
+    s"""WITH c AS (SELECT $em AS ne, $ip AS ni, $ph AS np FROM documents)
+       |SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(ne) AS BIGINT) AS sum_emails,
+       |  CAST(SUM(ni) AS BIGINT) AS sum_ipv4,
+       |  CAST(SUM(np) AS BIGINT) AS sum_phones,
+       |  CAST(SUM(CASE WHEN ne + ni + np = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       |FROM c""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q53
+  /** Deterministic stratified mix sampling (hash-gated, not rand()):
+    * per-source keep rates as a training-mix would set them; the census
+    * counts survivors per sampled stratum. Reproducible across runs,
+    * partitionings, and engines — the oracle replays the identical
+    * md5 gate.
+    */
+  val mixRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+
+  def q53MixSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixSample(t(s, dir, "documents"), "source", "doc_id", mixRates)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+
+  val q53Sql: String = {
+    val rate = mixRates.toSeq.sortBy(_._1).map { case (sc, r) =>
+      s"WHEN source = '$sc' THEN $r"
+    }.mkString(" ")
+    s"""WITH g AS (SELECT source,
+       |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS gate,
+       |  CASE $rate ELSE 0.0 END AS rate
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_kept FROM g
+       |WHERE gate < rate * 10000 GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q54
+  /** Incremental dedup census: the "new" half of the corpus (two-digit
+    * sources) deduped against the "old" half (single-digit sources).
+    * The exact anti-join count is the oracled number; the Bloom leg is
+    * gated on its mathematical INVARIANT — a Bloom survivor must also
+    * be an exact survivor (no false negatives), so `n_bloom_violations`
+    * is 0 under any collision pattern and the oracle pins that. The raw
+    * Bloom survivor count itself admits data-dependent false positives
+    * (observed: exactly one at sf0.01) no SQL engine can replay, so it
+    * is deliberately NOT a result column; the FPR magnitude is
+    * spec-bounded instead.
+    */
+  def q54IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val oldDf = d.filter(length(col("source")) === 4) // src0..src9
+    val newDf = d.filter(length(col("source")) === 5) // src10..src19
+    val nOld = oldDf.count()
+    val exact = IncrementalDedup.exactNewDocs(oldDf, newDf, "text")
+    val bloom = IncrementalDedup.bloomNewDocs(oldDf, newDf, "text",
+      expectedItems = nOld, fpp = 1e-6)
+    val violations = bloom.select(col("doc_id"))
+      .join(exact.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    newDf.agg(count(lit(1)).as("n_new_batch"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_unseen_exact")))
+      .crossJoin(violations.agg(count(lit(1)).as("n_bloom_violations")))
+  }
+
+  val q54Sql: String =
+    """WITH oldh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE length(source) = 4),
+      |newd AS (SELECT text FROM documents WHERE length(source) = 5),
+      |unseen AS (SELECT text FROM newd WHERE md5(text) NOT IN (SELECT h FROM oldh))
+      |SELECT (SELECT COUNT(*) FROM newd) AS n_new_batch,
+      |  (SELECT COUNT(*) FROM unseen) AS n_unseen_exact,
+      |  CAST(0 AS BIGINT) AS n_bloom_violations""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -639,6 +769,10 @@ object PipelineQueries {
     "q38_bpe_tokens" -> (q38BpeTokens _),
     "q39_winnow" -> (q39Winnow _),
     "q50_salted_hitters" -> (q50SaltedHitters _),
+    "q51_repetition" -> (q51Repetition _),
+    "q52_pii" -> (q52Pii _),
+    "q53_mix_sample" -> (q53MixSample _),
+    "q54_incremental_dedup" -> (q54IncrementalDedup _),
     "q40_embed_topk" -> (q40EmbedTopK _),
     "q41_embed_lsh" -> (q41EmbedLsh _),
     "q42_embed_ivf" -> (q42EmbedIvf _),
@@ -661,6 +795,10 @@ object PipelineQueries {
     "q38_bpe_tokens" -> q38Sql,
     "q39_winnow" -> q39Sql,
     "q50_salted_hitters" -> q50Sql,
+    "q51_repetition" -> q51Sql,
+    "q52_pii" -> q52Sql,
+    "q53_mix_sample" -> q53Sql,
+    "q54_incremental_dedup" -> q54Sql,
     "q40_embed_topk" -> q40Sql,
     "q41_embed_lsh" -> q41Sql,
     "q42_embed_ivf" -> q42Sql,

@@ -169,4 +169,73 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(31L) + crc32(t).cast("long"), lit(m)))
   }
+
+  // ----------------------------------------------------------- repetition
+  /** Intra-document repetition signals (the Gopher/MassiveText-style
+    * repetition filters: Rae et al. 2021 §A1.2, also RefinedWeb): token
+    * bigram duplication and most-frequent-token coverage. All INTEGER
+    * counters — thresholding happens downstream via cross-multiplied
+    * integer compares, so aggregate rollups stay exact (no per-row float
+    * ratios). Per-row compute only — embarrassingly parallel, pipelines
+    * inside the scan at corpus scale.
+    */
+  def withRepetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = graft.dedup.Dedup.shingles(col(textCol), 2)
+    // occurrences of the most frequent token: count each DISTINCT
+    // token's hits (O(distinct × n) per row — bounded by document
+    // length, not data size), take the max
+    val topTokenCnt = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    df.withColumn("n_tokens_r", size(toks))
+      .withColumn("n_bigrams", size(bigrams))
+      .withColumn("n_distinct_bigrams", size(array_distinct(bigrams)))
+      .withColumn("top_token_cnt", topTokenCnt)
+  }
+
+  // ------------------------------------------------------------------ pii
+  /** PII patterns (email / IPv4 / phone-shaped digit runs). Plain
+    * character classes only — no lookarounds, no backreferences — so
+    * Java regex and RE2-based engines (and the SQL oracle) agree.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val phonePattern: String = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+  /** Per-document PII match counts — the scrub/flag stage of a training
+    * pipeline (count here; redaction is `regexp_replace` with the same
+    * patterns).
+    */
+  def withPiiSignals(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailPattern)))
+      .withColumn("n_ipv4", regexp_count(col(textCol), lit(ipv4Pattern)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phonePattern)))
+
+  /** Redact PII in place (emails first so their host parts don't
+    * re-match as bare patterns).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  // ------------------------------------------------------------- sampling
+  /** Deterministic stratified sampling for training-data mixes: keep a
+    * row iff md5(keyCol) mod 10000 < rate·10000 for its stratum's rate.
+    * Hash-gated (not `rand()`), so the sample is reproducible across
+    * runs, retries, and engines — the property a 100 TB mix rebuild
+    * needs — and sampling composes: a 0.5 sample of a 0.5 sample is the
+    * 0.25 sample. Strata absent from `rates` drop (rate 0).
+    */
+  def mixSample(df: DataFrame, stratumCol: String, keyCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val gate = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(10000L))
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(gate < rateCol * 10000.0)
+  }
 }

@@ -115,6 +115,99 @@ class PipelineSpec extends SparkSpec {
     assert(phase1 > 3)
   }
 
+  test("repetition signals: duplicate bigrams and top-token coverage") {
+    val d = Seq(
+      (0L, "a b a b a b a b"),        // heavy bigram repetition, top token a (4/8)
+      (1L, "w x y z q r s t")         // all distinct
+    ).toDF("doc_id", "text")
+    val sig = TextAnalysis.withRepetitionSignals(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(sig(0L).getAs[Int]("n_bigrams") === 7)
+    assert(sig(0L).getAs[Int]("n_distinct_bigrams") === 2) // "a b", "b a"
+    assert(sig(0L).getAs[Int]("top_token_cnt") === 4)
+    assert(sig(1L).getAs[Int]("n_distinct_bigrams") === 7)
+    assert(sig(1L).getAs[Int]("top_token_cnt") === 1)
+  }
+
+  test("pii: counts and redaction for email/ip/phone patterns") {
+    val d = Seq(
+      (0L, "contact bob@example.com or admin@test.org at 10.0.0.1"),
+      (1L, "call +1 555 123 4567 now"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val sig = TextAnalysis.withPiiSignals(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(sig(0L).getAs[Int]("n_emails") === 2)
+    assert(sig(0L).getAs[Int]("n_ipv4") === 1)
+    assert(sig(1L).getAs[Int]("n_phones") === 1)
+    assert(sig(2L).getAs[Int]("n_emails") + sig(2L).getAs[Int]("n_ipv4") +
+      sig(2L).getAs[Int]("n_phones") === 0)
+    val red = d.select(TextAnalysis.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(red(0) === "contact <EMAIL> or <EMAIL> at <IP>")
+    assert(red(1) === "call <PHONE> now")
+    assert(red(2) === "nothing sensitive here")
+  }
+
+  test("mix sampling: deterministic, composable, rate-faithful") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 0.5, "src1" -> 0.1)
+    val kept = TextAnalysis.mixSample(d, "source", "doc_id", rates)
+    val again = TextAnalysis.mixSample(d, "source", "doc_id", rates)
+    // deterministic: same rows both times
+    assert(kept.collect().map(_.getLong(0)).sorted ===
+      again.collect().map(_.getLong(0)).sorted)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 candidates per stratum; md5-gate keeps ≈ rate within ~5σ
+    assert(bySrc("src0") > 200 && bySrc("src0") < 300)
+    assert(bySrc("src1") > 20 && bySrc("src1") < 90)
+    // unlisted strata drop entirely
+    val other = Seq((1L, "srcX")).toDF("doc_id", "source")
+    assert(TextAnalysis.mixSample(other, "source", "doc_id", rates).count() === 0)
+    // composable: 0.5-sample of the 0.5-sample == the 0.25-sample
+    val quarter = TextAnalysis.mixSample(d, "source", "doc_id", Map("src0" -> 0.25))
+      .collect().map(_.getLong(0)).sorted
+    val halfOfHalf = TextAnalysis.mixSample(
+      TextAnalysis.mixSample(d, "source", "doc_id", Map("src0" -> 0.5)),
+      "source", "doc_id", Map("src0" -> 0.25))
+      .collect().map(_.getLong(0)).sorted
+    assert(halfOfHalf === quarter)
+  }
+
+  test("incremental dedup: bloom keeps no seen text, exact twin agrees") {
+    import graft.dedup.IncrementalDedup
+    val old = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
+    val neu = Seq(
+      (10L, "alpha beta"),   // seen — must be filtered by BOTH paths
+      (11L, "epsilon zeta"), // new
+      (12L, "gamma delta"),  // seen
+      (13L, "eta theta")     // new
+    ).toDF("doc_id", "text")
+    val exact = IncrementalDedup.exactNewDocs(old, neu, "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(exact === Seq(11L, 13L))
+    val bloom = IncrementalDedup.bloomNewDocs(old, neu, "text", 2L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    // no false negatives: bloom survivors ⊆ exact survivors; at this
+    // size and fpp the sets are equal
+    assert(bloom.forall(exact.contains))
+    assert(bloom === Seq(11L, 13L))
+    // even at an absurd fpp, a SEEN text never survives
+    val sloppy = IncrementalDedup.bloomNewDocs(old, neu, "text", 2L, fpp = 0.5)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(!sloppy.contains(10L) && !sloppy.contains(12L))
+    // FPR magnitude: 1000 unseen probes at fpp=0.01 expect ~10 false
+    // positives; losing >5% would mean the sketch is mis-sized
+    val bigOld = (0 until 2000).map(i => (i.toLong, s"old text number $i"))
+      .toDF("doc_id", "text")
+    val bigNew = (0 until 1000).map(i => ((i + 10000).toLong, s"new text number $i"))
+      .toDF("doc_id", "text")
+    val survivors = IncrementalDedup
+      .bloomNewDocs(bigOld, bigNew, "text", 2000L, fpp = 0.01).count()
+    assert(survivors >= 950 && survivors <= 1000)
+  }
+
   test("simhash: identical texts → distance 0; near-dups close, distinct far") {
     val sigs = docs.select($"doc_id", Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
