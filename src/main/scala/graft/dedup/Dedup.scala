@@ -152,13 +152,26 @@ object Dedup {
     * Documents shorter than one window contribute their single minimum
     * gram hash (the reference algorithm's degenerate case).
     */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.WinnowSketch(text, k, w)
+
+  /** Declarative twin of [[winnowFingerprints]] (equivalence-spec'd,
+    * and the formulation the SQL oracle replays). The gram-hash array
+    * is let-bound through a lambda variable: a direct reference from
+    * inside the window lambda would INLINE the md5 pass and re-evaluate
+    * it per window — O(n²) md5 calls per document. Even bound, the
+    * interpreted md5-per-gram pass is ~4× slower than the single-pass
+    * [[graft.functions.WinnowSketch]] expression at corpus scale.
+    */
+  def winnowFingerprintsDeclarative(text: Column, k: Int = 3, w: Int = 4): Column = {
     val hashes = transform(shingles(text, k), g => portableHash60(g))
-    val nWindows = size(hashes) - (w - 1)
-    val mins = when(nWindows >= 1,
-      transform(sequence(lit(1), nWindows), i => array_min(slice(hashes, i, lit(w)))))
-      .otherwise(array(array_min(hashes)))
-    array_sort(array_distinct(mins))
+    element_at(transform(array(hashes), hs => {
+      val nWindows = size(hs) - (w - 1)
+      val mins = when(nWindows >= 1,
+        transform(sequence(lit(1), nWindows), i => array_min(slice(hs, i, lit(w)))))
+        .otherwise(array(array_min(hs)))
+      array_sort(array_distinct(mins))
+    }), 1)
   }
 
   // ------------------------------------------------------------- simhash

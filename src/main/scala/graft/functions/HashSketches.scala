@@ -81,6 +81,69 @@ object HashSketches {
       .map(s => UTF8String.fromString(s): Any))
   }
 
+  /** Winnowing fingerprints (sorted distinct window-mins of 60-bit
+    * md5-derived k-gram hashes) in one pass: one tokenizer walk, one
+    * reused digest per gram, window mins over a ring walk. The gram
+    * hash equals `conv(substring(md5(gram), 1, 15), 16, 10)` — the top
+    * 60 bits of the digest — so the declarative twin
+    * (graft.dedup.Dedup.winnowFingerprintsDeclarative) and any SQL
+    * oracle reproduce it bit-for-bit.
+    */
+  def winnowFingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    val toks = text.split(" ", -1)
+    val md = mdLocal.get()
+    val nShingles = if (toks.length >= k) toks.length - k + 1 else 1
+    val hashes = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      val gram =
+        if (toks.length >= k) {
+          val sb = new java.lang.StringBuilder()
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(s + j))
+            j += 1
+          }
+          sb.toString
+        } else text
+      md.reset()
+      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      hashes(s) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      s += 1
+    }
+    val kept = new java.util.TreeSet[java.lang.Long]()
+    if (nShingles < w) {
+      var m = hashes(0)
+      var i = 1
+      while (i < nShingles) { if (hashes(i) < m) m = hashes(i); i += 1 }
+      kept.add(m)
+    } else {
+      var start = 0
+      while (start + w <= nShingles) {
+        var m = hashes(start)
+        var i = start + 1
+        while (i < start + w) { if (hashes(i) < m) m = hashes(i); i += 1 }
+        kept.add(m)
+        start += 1
+      }
+    }
+    val out = new Array[Long](kept.size)
+    val it = kept.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  def winnowArray(text: UTF8String, k: Int, w: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    new GenericArrayData(winnowFingerprints(text.toString, k, w))
+  }
+
   /** 64-bit SimHash over whitespace tokens with xxhash64 token hashes —
     * one hash per token, 64 counters updated per token (vs 64 separate
     * folds re-hashing every token).
@@ -147,9 +210,31 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<long> winnowing fingerprint sketch of a text column. */
+case class WinnowSketchExpr(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSketches.winnowArray(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashSketches.winnowArray($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSketchExpr =
+    copy(child = newChild)
+}
+
 object MinHashSignature {
   def apply(text: Column, numHashes: Int = 4, k: Int = 3): Column =
     GraftBridge.column(MinHashSignatureExpr(GraftBridge.expression(text), numHashes, k))
+}
+
+object WinnowSketch {
+  def apply(text: Column, k: Int = 3, w: Int = 4): Column =
+    GraftBridge.column(WinnowSketchExpr(GraftBridge.expression(text), k, w))
 }
 
 object SimHash64 {

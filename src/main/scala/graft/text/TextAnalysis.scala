@@ -180,13 +180,17 @@ object TextAnalysis {
     * inside the scan at corpus scale.
     */
   def withRepetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
     val bigrams = graft.dedup.Dedup.shingles(col(textCol), 2)
     // occurrences of the most frequent token: count each DISTINCT
     // token's hits (O(distinct × n) per row — bounded by document
-    // length, not data size), take the max
-    val topTokenCnt = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
+    // length, not data size), take the max. The token array is
+    // let-bound through a lambda variable so the split runs once per
+    // row, not once per distinct token (expression inlining would make
+    // it O(n²) per document).
+    val toks = tokens(col(textCol))
+    val topTokenCnt = element_at(transform(array(toks), tk =>
+      array_max(transform(array_distinct(tk),
+        t => size(filter(tk, x => x === t))))), 1)
     df.withColumn("n_tokens_r", size(toks))
       .withColumn("n_bigrams", size(bigrams))
       .withColumn("n_distinct_bigrams", size(array_distinct(bigrams)))

@@ -122,6 +122,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(p_partkey"), p)
   }
 
+  test("q39: winnowing census reads the cached sketch pass once") {
+    val df = PipelineQueries.q39Winnow(spark, dir)
+    val p = plan(df)
+    // three census legs (per-doc sums, distinct fp, shared fp) must all
+    // hit the InMemoryRelation, never re-run the window-min sketch
+    assert(p.contains("InMemoryTableScan"), p)
+    df.sparkSession.catalog.clearCache()
+  }
+
+  test("q50: salted aggregation is two-phase (scatter then merge)") {
+    val p = plan(PipelineQueries.q50SaltedHitters(spark, dir))
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    // phase 1 groups on (key, salt), phase 2 on key → at least two
+    // aggregate pairs; and the top-k is TakeOrdered, not a global sort
+    assert(tree.count(_.contains("HashAggregate")) >= 4, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q53: the mix-sample hash gate evaluates inside the scan stage") {
+    val p = plan(PipelineQueries.q53MixSample(spark, dir))
+    // one Filter over the scan, no Exchange before it: the gate is
+    // scan-local, which is what makes the sampler free at 100 TB
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    val filterIdx = tree.indexWhere(_.contains("Filter"))
+    val exchangeIdx = tree.indexWhere(_.contains("Exchange"))
+    assert(filterIdx >= 0, p)
+    assert(exchangeIdx < 0 || exchangeIdx < filterIdx, p)
+  }
+
+  test("q54: old-half source filter pushes into the parquet scan") {
+    val p = plan(PipelineQueries.q54IncrementalDedup(spark, dir))
+    // length(source)=4 compiles to a post-scan filter, but the scan must
+    // still prune columns: doc text + source only, never embeddings-wide
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, p)
+    assert(readSchemas.forall(s => !s.contains("n_chars") || s.contains("text")), p)
+    // the exact leg is an anti hash-join, not a nested loop
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the sketch expressions") {
     // direct scan (no load-time fan-out exchange): an AQE-wrapped plan
     // hides codegen markers until stages finalize, which isn't what

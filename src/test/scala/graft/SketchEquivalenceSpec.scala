@@ -29,6 +29,25 @@ class SketchEquivalenceSpec extends SparkSpec {
     assert(cmp.filter(col("fast") =!= col("slow")).count() === 0)
   }
 
+  test("winnow sketch expression equals the declarative window-min fold") {
+    // fixture docs + the real corpus sample shapes: ties inside a
+    // window, docs shorter than one window, docs shorter than one gram
+    val wide = texts.union(Seq(
+      (5L, "r r r r r r r r"),   // all grams identical → one fingerprint
+      (6L, "p q p q p q")        // alternating grams
+    ).toDF("id", "text"))
+    val cmp = wide.select(
+      Dedup.winnowFingerprints(col("text")).as("fast"),
+      Dedup.winnowFingerprintsDeclarative(col("text")).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() === 0)
+    // and on real fixture documents
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp2 = docs.select(
+      Dedup.winnowFingerprints(col("text")).as("fast"),
+      Dedup.winnowFingerprintsDeclarative(col("text")).as("slow"))
+    assert(cmp2.filter(col("fast") =!= col("slow")).count() === 0)
+  }
+
   test("simhash expression equals the declarative per-bit fold") {
     val cmp = texts.select(
       SimHash64(col("text")).as("fast"),
