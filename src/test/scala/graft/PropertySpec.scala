@@ -91,6 +91,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("winnowing: detection guarantee, sampling bound, determinism") {
+    val k = 3; val w = 4
+    // any shared token run of length ≥ w+k-1 must yield a common
+    // fingerprint — the winnowing paper's detection guarantee
+    val run = Gen.choose(w + k - 1, w + k + 3)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    check(Prop.forAll(run, text, text) { (shared, pre, post) =>
+      val a = (pre + " " + shared).trim
+      val b = (shared + " " + post).trim
+      val fa = HashSketches.winnowFingerprints(a, k, w).toSet
+      val fb = HashSketches.winnowFingerprints(b, k, w).toSet
+      fa.intersect(fb).nonEmpty
+    })
+    // sketch ≤ #windows, sorted distinct, deterministic
+    check(Prop.forAll(text) { t =>
+      val f1 = HashSketches.winnowFingerprints(t, k, w)
+      val f2 = HashSketches.winnowFingerprints(t, k, w)
+      val nGrams = math.max(1, t.split(" ", -1).length - k + 1)
+      f1.sameElements(f2) &&
+        f1.length <= math.max(1, nGrams - w + 1) &&
+        f1.sameElements(f1.distinct.sorted)
+    })
+  }
+
   test("minhash: containment — a superset document keeps shingle minima") {
     // appending text can only add shingles → each min can only decrease
     check(Prop.forAll(text.suchThat(_.split(" ").length >= 3), word) { (t, w) =>
