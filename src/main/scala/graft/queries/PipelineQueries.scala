@@ -757,6 +757,112 @@ object PipelineQueries {
       |  (SELECT COUNT(*) FROM unseen) AS n_unseen_exact,
       |  CAST(0 AS BIGINT) AS n_bloom_violations""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** F12 TF-IDF summarization census (reference ditto/summarize.py):
+    * over-long documents keep their 32 highest-IDF tokens in original
+    * order. The oracle replays the full join-based trim — corpus IDF,
+    * per-document rank, ordered reassembly — so this gates CONTENT
+    * (md5-derived hash of every trimmed text), not just counts.
+    * IDF ordering is ln((n+1)/(df+1)): equal docFreq ⇒ identical idf
+    * (ties broken by token then position), distinct docFreq ⇒ idf gaps
+    * far above double-ulp noise — the ordering is engine-stable.
+    */
+  def q55TfidfTrim(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val trimmed = TextAnalysis.tfIdfSummarize(d, "text", maxTokens = 32)
+    trimmed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("sum_tokens_after"),
+      sum(when(size(TextAnalysis.tokens(col("text"))) === 32, 1L).otherwise(0L))
+        .as("n_at_cap"),
+      sum(pmod(Dedup.portableHash60(col("text")), lit(1000003L)))
+        .as("content_hash_sum"))
+  }
+
+  val q55Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+      |idf AS (SELECT token, ln(((SELECT cnt FROM n) + 1.0) / (COUNT(*) + 1.0)) AS idf
+      |  FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
+      |  GROUP BY token),
+      |ol AS (SELECT DISTINCT text FROM documents
+      |  WHERE len(string_split(text, ' ')) > 32),
+      |e AS (SELECT text, string_split(text, ' ') AS tk,
+      |  unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM ol),
+      |x AS (SELECT e.text, e.pos, e.tk[e.pos] AS token,
+      |  COALESCE(idf.idf, 0.0) AS idf FROM e LEFT JOIN idf ON e.tk[e.pos] = idf.token),
+      |r AS (SELECT text, pos, token,
+      |  row_number() OVER (PARTITION BY text ORDER BY idf DESC, token, pos) AS rk
+      |  FROM x),
+      |tr AS (SELECT text, string_agg(token, ' ' ORDER BY pos) AS trimmed
+      |  FROM r WHERE rk <= 32 GROUP BY text),
+      |fin AS (SELECT COALESCE(tr.trimmed, d.text) AS text
+      |  FROM documents d LEFT JOIN tr ON d.text = tr.text)
+      |SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens_after,
+      |  CAST(SUM(CASE WHEN len(string_split(text, ' ')) = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_cap,
+      |  CAST(SUM(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 1000003) AS BIGINT) AS content_hash_sum
+      |FROM fin""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** F11 Ditto pair serialization census (reference ditto/matcher.py
+    * to_str): `COL <name> VAL <value>` segments — content-gated via the
+    * md5-derived hash of every serialized string.
+    */
+  def q56Ditto(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val ser = TextAnalysis.dittoSerialize(Seq(
+      "text" -> col("text"), "lang" -> col("lang"), "source" -> col("source")))
+    d.select(ser.as("ditto")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("ditto")).cast("long")).as("sum_chars"),
+      sum(pmod(Dedup.portableHash60(col("ditto")), lit(1000003L)))
+        .as("content_hash_sum"))
+  }
+
+  val q56Sql: String =
+    """WITH s AS (SELECT concat_ws(' ', 'COL', 'text', 'VAL', COALESCE(text, ''),
+      |    'COL', 'lang', 'VAL', COALESCE(lang, ''),
+      |    'COL', 'source', 'VAL', COALESCE(source, '')) AS ditto
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(length(ditto)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CAST(('0x' || substring(md5(ditto), 1, 15)) AS BIGINT) % 1000003) AS BIGINT) AS content_hash_sum
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** G1 generate_modified census (reference local_explain.py
+    * generate_subsequences): every prefix/suffix token-drop variant of
+    * every document. Content-gated (hash sum over generated texts); the
+    * fresh-id contract (dense range from startId) is checked via
+    * min/max, which the oracle derives from the count without replaying
+    * the engine's rank assignment.
+    */
+  def q57Augment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+    val gen = graft.perturb.Augment.generateSubsequences(d, startId = 100000L,
+      attrs = Seq("text"))
+    gen.agg(
+      count(lit(1)).as("n_generated"),
+      min(col("id")).as("min_id"),
+      max(col("id")).as("max_id"),
+      sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("sum_tokens"),
+      sum(pmod(Dedup.portableHash60(col("text")), lit(1000003L)))
+        .as("content_hash_sum"))
+  }
+
+  val q57Sql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |c AS (SELECT tk, unnest(range(1, len(tk))) AS cut FROM d),
+      |v AS (SELECT array_to_string(tk[cut+1:len(tk)], ' ') AS t FROM c
+      |  UNION ALL SELECT array_to_string(tk[1:cut], ' ') AS t FROM c)
+      |SELECT COUNT(*) AS n_generated,
+      |  CAST(100000 AS BIGINT) AS min_id,
+      |  CAST(100000 + COUNT(*) - 1 AS BIGINT) AS max_id,
+      |  CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 1000003) AS BIGINT) AS content_hash_sum
+      |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -773,6 +879,9 @@ object PipelineQueries {
     "q52_pii" -> (q52Pii _),
     "q53_mix_sample" -> (q53MixSample _),
     "q54_incremental_dedup" -> (q54IncrementalDedup _),
+    "q55_tfidf_trim" -> (q55TfidfTrim _),
+    "q56_ditto" -> (q56Ditto _),
+    "q57_augment" -> (q57Augment _),
     "q40_embed_topk" -> (q40EmbedTopK _),
     "q41_embed_lsh" -> (q41EmbedLsh _),
     "q42_embed_ivf" -> (q42EmbedIvf _),
@@ -799,6 +908,9 @@ object PipelineQueries {
     "q52_pii" -> q52Sql,
     "q53_mix_sample" -> q53Sql,
     "q54_incremental_dedup" -> q54Sql,
+    "q55_tfidf_trim" -> q55Sql,
+    "q56_ditto" -> q56Sql,
+    "q57_augment" -> q57Sql,
     "q40_embed_topk" -> q40Sql,
     "q41_embed_lsh" -> q41Sql,
     "q42_embed_ivf" -> q42Sql,
