@@ -47,4 +47,17 @@ object Bucketing {
       rightTable: String, key: String,
       joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Hive-style partitioned layout (`path/col=value/...`): the pruning
+    * lever for predicates on LOW-cardinality columns (date, source,
+    * lang) — a filter on a partition column skips whole directories
+    * before any row is read (`PartitionFilters` in the scan, vs
+    * `PushedFilters` which still opens every file). Keep partition
+    * columns coarse: at 100 TB a per-day × per-source layout is
+    * thousands of directories; a high-cardinality partition column is
+    * millions of tiny files and a dead name node.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 }

@@ -51,4 +51,21 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("partitioned layout prunes directories via PartitionFilters") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
+    Bucketing.writePartitioned(docs, out, Seq("lang"))
+
+    val back = spark.read.parquet(out)
+    val q = back.filter(col("lang") === "en").select("doc_id")
+    val plan = q.queryExecution.executedPlan.toString
+    // the lang predicate must appear as a PARTITION filter (directory
+    // skip), not only a pushed data filter (which still opens files)
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(plan.contains("(lang"), plan)
+    // and rows survive the round trip
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(q.count() === expected && expected > 0)
+  }
 }
