@@ -863,6 +863,46 @@ object PipelineQueries {
       |  CAST(SUM(CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 1000003) AS BIGINT) AS content_hash_sum
       |FROM v""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Benchmark decontamination census: training documents sharing any
+    * exact 5-gram with the held-out "benchmark" slice (src19) — the
+    * standard eval-contamination check (GPT-3 appendix C / PaLM-style
+    * n-gram overlap). The benchmark gram set is DISTINCT and tiny
+    * relative to the corpus (broadcast side); the train side explodes
+    * to (doc, gram) and joins on the gram key — shuffle-on-key, no
+    * all-pairs anywhere, linear in corpus grams at 100 TB.
+    */
+  def q58Contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bench = d.filter(col("source") === "src19")
+    val train = d.filter(col("source") =!= "src19")
+    val bGrams = bench
+      .select(explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
+      .distinct()
+    val tGrams = train.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
+    val contaminated = tGrams.join(broadcast(bGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+    train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(bench.agg(count(lit(1)).as("n_benchmark")))
+      .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
+  }
+
+  val q58Sql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk, text FROM documents),
+      |g AS (SELECT doc_id, source, unnest(list_distinct(
+      |    CASE WHEN len(tk) >= 5
+      |      THEN list_transform(range(1, len(tk) - 3),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+      |      ELSE [text] END)) AS gram
+      |  FROM d),
+      |bg AS (SELECT DISTINCT gram FROM g WHERE source = 'src19'),
+      |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bg ON g.gram = bg.gram
+      |  WHERE g.source <> 'src19')
+      |SELECT (SELECT COUNT(*) FROM documents WHERE source <> 'src19') AS n_train,
+      |  (SELECT COUNT(*) FROM documents WHERE source = 'src19') AS n_benchmark,
+      |  (SELECT COUNT(*) FROM cont) AS n_contaminated""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -882,6 +922,7 @@ object PipelineQueries {
     "q55_tfidf_trim" -> (q55TfidfTrim _),
     "q56_ditto" -> (q56Ditto _),
     "q57_augment" -> (q57Augment _),
+    "q58_contamination" -> (q58Contamination _),
     "q40_embed_topk" -> (q40EmbedTopK _),
     "q41_embed_lsh" -> (q41EmbedLsh _),
     "q42_embed_ivf" -> (q42EmbedIvf _),
@@ -911,6 +952,7 @@ object PipelineQueries {
     "q55_tfidf_trim" -> q55Sql,
     "q56_ditto" -> q56Sql,
     "q57_augment" -> q57Sql,
+    "q58_contamination" -> q58Sql,
     "q40_embed_topk" -> q40Sql,
     "q41_embed_lsh" -> q41Sql,
     "q42_embed_ivf" -> q42Sql,
