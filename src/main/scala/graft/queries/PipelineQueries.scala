@@ -735,7 +735,11 @@ object PipelineQueries {
     * spec-bounded instead.
     */
   def q54IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // explicit null-text exclusion: a NULL key survives Spark's
+    // left-anti (null never matches) but is dropped by SQL NOT IN
+    // (NULL comparison) — pin one semantic so the oracle can't drift
+    // if a fixture ever carries nulls
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
     val oldDf = d.filter(length(col("source")) === 4) // src0..src9
     val newDf = d.filter(length(col("source")) === 5) // src10..src19
     val nOld = oldDf.count()
@@ -750,8 +754,9 @@ object PipelineQueries {
   }
 
   val q54Sql: String =
-    """WITH oldh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE length(source) = 4),
-      |newd AS (SELECT text FROM documents WHERE length(source) = 5),
+    """WITH oldh AS (SELECT DISTINCT md5(text) AS h FROM documents
+      |  WHERE length(source) = 4 AND text IS NOT NULL),
+      |newd AS (SELECT text FROM documents WHERE length(source) = 5 AND text IS NOT NULL),
       |unseen AS (SELECT text FROM newd WHERE md5(text) NOT IN (SELECT h FROM oldh))
       |SELECT (SELECT COUNT(*) FROM newd) AS n_new_batch,
       |  (SELECT COUNT(*) FROM unseen) AS n_unseen_exact,
