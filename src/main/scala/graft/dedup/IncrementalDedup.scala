@@ -23,7 +23,10 @@ object IncrementalDedup {
 
   /** Rows of `newDf` whose `textCol` content hash is (probably) absent
     * from `oldDf` — guaranteed-superset-free: never returns a row whose
-    * text exists in `oldDf`.
+    * text exists in `oldDf`. NULL texts are kept (a null key never
+    * matches anything, so it is "unseen") — the same semantic the
+    * [[exactNewDocs]] left-anti twin has, so the two paths differ only
+    * by Bloom false positives as documented.
     */
   def bloomNewDocs(oldDf: DataFrame, newDf: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 1e-6): DataFrame = {
@@ -32,7 +35,7 @@ object IncrementalDedup {
     val b = newDf.sparkSession.sparkContext.broadcast(bloom)
     // UDF boundary is deliberate: BloomFilter.mightContain has no
     // Column form; the probe is O(numHashFunctions) bit tests per row
-    val unseen = udf((h: String) => h != null && !b.value.mightContainString(h))
+    val unseen = udf((h: String) => h == null || !b.value.mightContainString(h))
     newDf.filter(unseen(md5(col(textCol))))
   }
 

@@ -39,29 +39,37 @@ object HashSketches {
     new String(out)
   }
 
+  /** Walk the word k-shingles of `text` (k consecutive tokens joined
+    * by one space; texts shorter than k tokens yield the whole text) —
+    * the single shared shingle convention of every sketch below.
+    * split(-1) keeps trailing empty segments, matching Spark's split().
+    */
+  private def foreachShingle(text: String, k: Int)(f: String => Unit): Unit = {
+    val toks = text.split(" ", -1)
+    if (toks.length < k) { f(text); return }
+    val nShingles = toks.length - k + 1
+    var s = 0
+    while (s < nShingles) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(s + j))
+        j += 1
+      }
+      f(sb.toString)
+      s += 1
+    }
+  }
+
   /** MinHash signature: for i in 0 until numHashes, min over word
     * k-shingles of hex(md5(s"$i|$shingle")) — exactly the per-column
     * formulation in graft.dedup.Dedup, one pass.
     */
   def minhashSignature(text: String, numHashes: Int, k: Int): Array[String] = {
-    // split(-1) keeps trailing empty segments, matching Spark's split()
-    val toks = text.split(" ", -1)
     val mins = new Array[String](numHashes)
     val md = mdLocal.get()
-    val nShingles = if (toks.length >= k) toks.length - k + 1 else 1
-    var s = 0
-    while (s < nShingles) {
-      val shingle =
-        if (toks.length >= k) {
-          val sb = new java.lang.StringBuilder()
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(s + j))
-            j += 1
-          }
-          sb.toString
-        } else text
+    foreachShingle(text, k) { shingle =>
       var i = 0
       while (i < numHashes) {
         md.reset()
@@ -70,7 +78,6 @@ object HashSketches {
         if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
         i += 1
       }
-      s += 1
     }
     mins
   }
@@ -90,32 +97,19 @@ object HashSketches {
     * oracle reproduce it bit-for-bit.
     */
   def winnowFingerprints(text: String, k: Int, w: Int): Array[Long] = {
-    val toks = text.split(" ", -1)
     val md = mdLocal.get()
-    val nShingles = if (toks.length >= k) toks.length - k + 1 else 1
-    val hashes = new Array[Long](nShingles)
-    var s = 0
-    while (s < nShingles) {
-      val gram =
-        if (toks.length >= k) {
-          val sb = new java.lang.StringBuilder()
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(s + j))
-            j += 1
-          }
-          sb.toString
-        } else text
+    val hashBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    foreachShingle(text, k) { gram =>
       md.reset()
       val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
       var v = 0L
       var i = 0
       while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-      hashes(s) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
-      s += 1
+      hashBuf += ((v << 4) | ((d(7) & 0xf0L) >>> 4))
     }
+    val hashes = hashBuf.toArray
+    val nShingles = hashes.length
     val kept = new java.util.TreeSet[java.lang.Long]()
     if (nShingles < w) {
       var m = hashes(0)

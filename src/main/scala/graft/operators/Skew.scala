@@ -35,6 +35,13 @@ object Skew {
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
       nSalts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    // right/full joins would emit one null-padded row per REPLICA of an
+    // unmatched `other` row (nSalts duplicates) — reject instead of
+    // silently multiplying
+    val allowed = Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves only the skewed side; joinType '$joinType' " +
+        "would duplicate unmatched rows of the replicated side")
     val salted = skewed.withColumn("__salt", saltCol(skewed, nSalts))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))

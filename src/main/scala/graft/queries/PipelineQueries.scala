@@ -49,12 +49,16 @@ object PipelineQueries {
     * one row per document.
     */
   def q31MinhashSig(s: SparkSession, dir: String): DataFrame =
-    Dedup.withMinhashSignature(t(s, dir, "documents"), "text", numHashes = 4)
+    // null filter mirrors the oracle CTE's WHERE text IS NOT NULL (the
+    // sketch null-propagates; the SQL CASE would not)
+    Dedup.withMinhashSignature(
+        t(s, dir, "documents").filter(col("text").isNotNull), "text", numHashes = 4)
       .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
       .orderBy(col("doc_id"))
 
   private val shingleSqlCte: String =
-    """d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+    """d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+      |  WHERE text IS NOT NULL),
       |s AS (SELECT doc_id, text,
       |  CASE WHEN len(tk) >= 3
       |    THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
@@ -75,7 +79,7 @@ object PipelineQueries {
     * jaccard-verified pairs (threshold 0.7).
     */
   def q32NearDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
     // one LSH stage feeds both census legs (cands is cached; the
     // verify leg reuses it instead of rebuilding signatures)
     val cands = Dedup.lshCandidatePairs(d, "text", "doc_id").cache()
@@ -305,7 +309,10 @@ object PipelineQueries {
     * census legs.
     */
   def q39Winnow(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // null pin (same class as q54): Spark's sketch null-propagates to
+    // NULL while the SQL's CASE yields [NULL] — exclude nulls on both
+    // sides so the semantic cannot drift
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
     val fps = d.select(col("doc_id"),
       Dedup.winnowFingerprints(col("text")).as("fps")).cache()
     val perDoc = fps.agg(
@@ -635,7 +642,10 @@ object PipelineQueries {
     * anywhere, so the rollup hash-matches exactly.
     */
   def q51Repetition(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.withRepetitionSignals(t(s, dir, "documents"))
+    // null pin: DuckDB list_distinct strips NULL entries, Spark
+    // array_distinct keeps them — exclude null texts on both sides
+    TextAnalysis.withRepetitionSignals(
+      t(s, dir, "documents").filter(col("text").isNotNull))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -648,7 +658,8 @@ object PipelineQueries {
       .orderBy(col("source"))
 
   val q51Sql: String =
-    """WITH d AS (SELECT source, string_split(text, ' ') AS tk, text FROM documents),
+    """WITH d AS (SELECT source, string_split(text, ' ') AS tk, text FROM documents
+      |  WHERE text IS NOT NULL),
       |b AS (SELECT source,
       |  CASE WHEN len(tk) >= 2
       |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
@@ -711,8 +722,11 @@ object PipelineQueries {
       .orderBy(col("source"))
 
   val q53Sql: String = {
+    // CAST to DOUBLE: a bare literal parses as exact DECIMAL in DuckDB,
+    // and DECIMAL rate*10000 differs from Spark's IEEE double product
+    // on boundary gates for rates like 0.07
     val rate = mixRates.toSeq.sortBy(_._1).map { case (sc, r) =>
-      s"WHEN source = '$sc' THEN $r"
+      s"WHEN source = '$sc' THEN CAST($r AS DOUBLE)"
     }.mkString(" ")
     s"""WITH g AS (SELECT source,
        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS gate,
@@ -773,7 +787,9 @@ object PipelineQueries {
     * far above double-ulp noise — the ordering is engine-stable.
     */
   def q55TfidfTrim(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // null pin: tfIdfSummarize rewrites NULL text to "" while the SQL's
+    // COALESCE(trimmed, text) keeps NULL — exclude nulls on both sides
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
     val trimmed = TextAnalysis.tfIdfSummarize(d, "text", maxTokens = 32)
     trimmed.agg(
       count(lit(1)).as("n_docs"),
@@ -785,11 +801,12 @@ object PipelineQueries {
   }
 
   val q55Sql: String =
-    """WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+    """WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS cnt FROM docs),
       |idf AS (SELECT token, ln(((SELECT cnt FROM n) + 1.0) / (COUNT(*) + 1.0)) AS idf
-      |  FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents)
+      |  FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM docs)
       |  GROUP BY token),
-      |ol AS (SELECT DISTINCT text FROM documents
+      |ol AS (SELECT DISTINCT text FROM docs
       |  WHERE len(string_split(text, ' ')) > 32),
       |e AS (SELECT text, string_split(text, ' ') AS tk,
       |  unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM ol),
@@ -801,7 +818,7 @@ object PipelineQueries {
       |tr AS (SELECT text, string_agg(token, ' ' ORDER BY pos) AS trimmed
       |  FROM r WHERE rk <= 32 GROUP BY text),
       |fin AS (SELECT COALESCE(tr.trimmed, d.text) AS text
-      |  FROM documents d LEFT JOIN tr ON d.text = tr.text)
+      |  FROM docs d LEFT JOIN tr ON d.text = tr.text)
       |SELECT COUNT(*) AS n_docs,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens_after,
       |  CAST(SUM(CASE WHEN len(string_split(text, ' ')) = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_cap,

@@ -235,8 +235,8 @@ object TextAnalysis {
     */
   def mixSample(df: DataFrame, stratumCol: String, keyCol: String,
       rates: Map[String, Double]): DataFrame = {
-    val gate = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(10000L))
+    val gate = pmod(
+      graft.dedup.Dedup.portableHash60(col(keyCol).cast("string")), lit(10000L))
     val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
       when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
     }

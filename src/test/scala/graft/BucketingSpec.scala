@@ -61,9 +61,12 @@ class BucketingSpec extends SparkSpec {
     val q = back.filter(col("lang") === "en").select("doc_id")
     val plan = q.queryExecution.executedPlan.toString
     // the lang predicate must appear as a PARTITION filter (directory
-    // skip), not only a pushed data filter (which still opens files)
-    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
-    assert(plan.contains("(lang"), plan)
+    // skip), not only a pushed data filter (which still opens files) —
+    // specifically the EQUALITY predicate, not just the isnotnull guard
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(partFilters.contains("isnotnull(lang"), plan)
+    assert(partFilters.contains("= en"), plan)
     // and rows survive the round trip
     val expected = docs.filter(col("lang") === "en").count()
     assert(q.count() === expected && expected > 0)

@@ -154,10 +154,11 @@ class PlanQualitySpec extends SparkSpec {
   test("q54: old-half source filter pushes into the parquet scan") {
     val p = plan(PipelineQueries.q54IncrementalDedup(spark, dir))
     // length(source)=4 compiles to a post-scan filter, but the scan must
-    // still prune columns: doc text + source only, never embeddings-wide
+    // still prune columns: the census needs text/source/doc_id only —
+    // n_chars and lang must never be read
     val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(readSchemas.nonEmpty, p)
-    assert(readSchemas.forall(s => !s.contains("n_chars") || s.contains("text")), p)
+    assert(readSchemas.forall(s => !s.contains("n_chars") && !s.contains("lang")), p)
     // the exact leg is an anti hash-join, not a nested loop
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
