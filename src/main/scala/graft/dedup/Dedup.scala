@@ -208,14 +208,21 @@ object Dedup {
 
   /** Portable 60-bit SimHash twin of [[simhash]]: md5-derived token
     * hashes, per-bit majority vote — bit-for-bit reproducible by a SQL
-    * oracle. Single pass: one `aggregate` carries all 60 vote counters
-    * as an array accumulator, each token's md5 is computed exactly once
-    * (per-bit folds over a hash array would re-run the md5 per bit).
-    * The xxhash64 [[simhash]] stays the production fast path; this twin
-    * is the correctness-gate surface (and the two are structurally
-    * equivalence-tested at the near-dup level).
+    * oracle, computed by the single-pass
+    * [[graft.functions.SimHashPortable60]] expression (one md5 per
+    * token through a reused JVM digest; the declarative fold below
+    * pays the md5 expression interpreter per token).
     */
-  def simhashPortable(text: Column): Column = {
+  def simhashPortable(text: Column): Column =
+    graft.functions.SimHashPortable60(text)
+
+  /** Declarative twin of [[simhashPortable]] (equivalence-spec'd; the
+    * formulation the SQL oracle replays). One `aggregate` carries all
+    * 60 vote counters as an array accumulator, each token's md5 is
+    * computed exactly once (per-bit folds over a hash array would
+    * re-run the md5 per bit).
+    */
+  def simhashPortableDeclarative(text: Column): Column = {
     val bitsN = 60
     val tokh = transform(TextAnalysis.tokens(text), t => portableHash60(t))
     aggregate(

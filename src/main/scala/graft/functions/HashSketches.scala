@@ -138,6 +138,40 @@ object HashSketches {
     new GenericArrayData(winnowFingerprints(text.toString, k, w))
   }
 
+  /** Portable 60-bit SimHash (md5-derived token hashes, per-bit
+    * majority vote — the oracle-reproducible formulation of
+    * graft.dedup.Dedup.simhashPortableDeclarative) in one pass: one
+    * md5 per token, 60 counters updated together.
+    */
+  def simhashPortable60(text: String): Long = {
+    val md = mdLocal.get()
+    val votes = new Array[Int](60)
+    val toks = text.split(" ", -1)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      val h = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash over whitespace tokens with xxhash64 token hashes —
     * one hash per token, 64 counters updated per token (vs 64 separate
     * folds re-hashing every token).
@@ -189,6 +223,22 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Portable 60-bit simhash of a text column. */
+case class SimHashPortable60Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSketches.simhashPortable60(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashSketches.simhashPortable60($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPortable60Expr =
+    copy(child = newChild)
+}
+
 /** 64-bit simhash of a text column. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
@@ -234,4 +284,9 @@ object WinnowSketch {
 object SimHash64 {
   def apply(text: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(text)))
+}
+
+object SimHashPortable60 {
+  def apply(text: Column): Column =
+    GraftBridge.column(SimHashPortable60Expr(GraftBridge.expression(text)))
 }

@@ -48,6 +48,14 @@ class SketchEquivalenceSpec extends SparkSpec {
     assert(cmp2.filter(col("fast") =!= col("slow")).count() === 0)
   }
 
+  test("portable simhash expression equals the declarative vote fold") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = texts.select(col("text")).union(docs.select(col("text"))).select(
+      Dedup.simhashPortable(col("text")).as("fast"),
+      Dedup.simhashPortableDeclarative(col("text")).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() === 0)
+  }
+
   test("simhash expression equals the declarative per-bit fold") {
     val cmp = texts.select(
       SimHash64(col("text")).as("fast"),
