@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Scaling smoke: replicate the documents corpus 1×/4×/16× (each
+  * replica's text salted with a unique token so sketch buckets don't
+  * degenerate into all-duplicate blow-ups) and time the text-pipeline
+  * stages. The point is the GROWTH RATE, not the absolute numbers: a
+  * stage whose time grows ~linearly with corpus size has no hidden
+  * all-pairs/driver bottleneck and extrapolates to cluster scale;
+  * super-linear growth flags the operator long before a 100 TB run
+  * would.
+  *
+  * Dev tool — run manually; results recorded in SURVEY.md §8.1.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def corpus(mult: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      // suffix EVERY token with the replica id: replicas share no
+      // shingles, so the m× corpus is m× DISTINCT documents. A mere
+      // text suffix leaves replicas mutual near-dups and the near-dup
+      // censuses then legitimately emit O(replicas²) pairs per base doc
+      // — a pathological corpus, not an operator scaling measurement.
+      val replicated = base.crossJoin(
+          spark.range(mult).select(col("id").as("__rep")))
+        .select(
+          (col("doc_id") * mult + col("__rep")).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1r"), col("__rep"))).as("text"),
+          col("lang"), col("source"))
+      replicated.repartition(32).cache()
+    }
+
+    def time(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // header printed after mults resolve (below)
+    // every stage aggregates OVER the computed value — a bare count
+    // lets Catalyst prune the sketch expression and time nothing
+    val stages: Seq[(String, DataFrame => Any)] = Seq(
+      "minhash signatures" -> (d => Dedup.withMinhashSignature(d, "text")
+        .agg(min(col("mh0"))).collect()),
+      "lsh near-dup census" -> (d => Dedup.nearDuplicates(d, "text", "doc_id")
+        .agg(count(lit(1))).collect()),
+      "simhash census" -> (d => d.select(Dedup.simhashPortable(col("text")).as("s"))
+        .agg(min(col("s"))).collect()),
+      "winnow census" -> (d => d.select(sum(size(
+        Dedup.winnowFingerprints(col("text"))))).collect()),
+      "language id" -> (d => d.withColumn("l", TextAnalysis.langId(col("text")))
+        .groupBy("l").count().collect()),
+      "repetition signals" -> (d => TextAnalysis.withRepetitionSignals(d)
+        .agg(sum(col("top_token_cnt"))).collect()),
+      "exact dedup" -> (d => Dedup.exactSurvivors(d, "text", "doc_id")
+        .agg(count(lit(1))).collect()))
+
+    // multipliers via args (default 1/4/16); small corpora are
+    // scheduling-bound on 32 cores — flat ratios there mean headroom,
+    // pass larger mults (e.g. "4 32 256") to measure the growth rate
+    val mults =
+      if (args.nonEmpty) args.toIndexedSeq.map(_.toInt) else Seq(1, 4, 16)
+    // mult-major: one corpus cached at a time, ALL caches (the corpus
+    // AND the per-call internals of nearDuplicates etc.) dropped before
+    // the next multiplier — holding every size at once spills the local
+    // disk at large mults
+    val results = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (m <- mults) {
+      val d = corpus(m)
+      d.count()
+      for ((name, stage) <- stages) {
+        stage(d) // warm codegen for this stage shape
+        results((name, m)) = time(stage(d))
+      }
+      spark.catalog.clearCache()
+    }
+
+    val growth = mults.last.toDouble / mults.head
+    println(f"${"stage"}%-22s " + mults.map(m => f"${m + "x"}%8s").mkString(" ") +
+      f"   ${mults.last}x/${mults.head}x (linear=$growth%.0f)")
+    for ((name, _) <- stages) {
+      val ts = mults.map(m => results((name, m)))
+      val ratio = ts.last / ts.head
+      println(f"$name%-22s " + ts.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${ratio}%5.1f")
+    }
+    spark.stop()
+  }
+}
