@@ -96,6 +96,37 @@ object ScaleSmoke {
       println(f"$name%-22s " + ts.map(t => f"$t%7.2fs").mkString(" ") +
         f"   ${ratio}%5.1f")
     }
+
+    // ---- explainer leg: the certa core against m×-scaled SOURCES.
+    // The support search scans the sources (budget-capped TakeOrdered);
+    // triangle resolution is an id-IN pushdown scan — both should grow
+    // at-most-linearly in source size while the lattice stages stay
+    // source-size-independent (powerset-bounded).
+    val explainTs = mults.map { m =>
+      val part0 = graft.sources.Tables.load(spark, sfDir, "part")
+      val part = part0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .select(
+          (col("p_partkey") * m + col("__rep")).as("id"),
+          regexp_replace(col("p_name"), lit("(\\S+)"),
+            concat(lit("$1r"), col("__rep"))).as("name"),
+          concat(col("p_brand"), lit("r"), col("__rep")).as("brand"),
+          col("p_type").as("ptype"), col("p_size").cast("string").as("psize"))
+        .repartition(32).cache()
+      part.count()
+      val model = graft.matcher.TokenCosineModel()
+      val explainer = new graft.explain.CertaExplainer(part, part)
+      val probe = part.filter(col("id") === 0L)
+      explainer.explain(probe, probe, model, numTriangles = 10) // warm
+      val t = time {
+        val e = explainer.explain(probe, probe, model, numTriangles = 10)
+        if (e.saliency.columns.nonEmpty) e.saliency.count()
+      }
+      spark.catalog.clearCache()
+      m -> t
+    }
+    val eRatio = explainTs.last._2 / explainTs.head._2
+    println(f"${"explain (certa core)"}%-22s " +
+      explainTs.map(t => f"${t._2}%7.2fs").mkString(" ") + f"   ${eRatio}%5.1f")
     spark.stop()
   }
 }
