@@ -253,6 +253,28 @@ object ErQueries {
   def q25CertaSaliency(s: SparkSession, dir: String): DataFrame =
     explained(s, dir).saliency.orderBy(col("attribute"))
 
+  /** Baseline saliency comparison on the same pair (the reference
+    * eval.py side-by-side): Mojito (LIME-style masking), full per-token
+    * Landmark rolled up per attribute, and exact-Shapley SHAP — all
+    * seeded/exact, so rows are deterministic; rows-only check (weights
+    * are model-driven, not SQL-expressible).
+    */
+  def q28BaselineSaliency(s: SparkSession, dir: String): DataFrame = {
+    val src = erSource(s, dir)
+    val l = src.filter(col("id") === 0)
+    val model = TokenCosineModel()
+    val mj = graft.baselines.Mojito.explain(l, l, model)
+      .withColumn("method", lit("mojito"))
+    val lm = graft.baselines.Landmark.explain(l, l, model)
+      .withColumn("method", lit("landmark"))
+    val sh = graft.baselines.Shap.attributions(l, l, model)
+      .withColumnRenamed("shap", "weight")
+      .withColumn("method", lit("shap"))
+    mj.unionByName(lm).unionByName(sh)
+      .select(col("method"), col("attribute"), col("weight"))
+      .orderBy(col("method"), col("attribute"))
+  }
+
   /** Probability-of-sufficiency table (A2) from the same explanation. */
   def q26CertaPss(s: SparkSession, dir: String): DataFrame =
     explained(s, dir).pss.select(col("attrSet"), col("pos")).orderBy(col("attrSet"))
@@ -269,7 +291,8 @@ object ErQueries {
     "q24_er_f1" -> (q24ErF1 _),
     "q25_certa_saliency" -> (q25CertaSaliency _),
     "q26_certa_pss" -> (q26CertaPss _),
-    "q27_certa_triangles" -> (q27CertaTriangles _))
+    "q27_certa_triangles" -> (q27CertaTriangles _),
+    "q28_baseline_saliency" -> (q28BaselineSaliency _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
