@@ -96,4 +96,22 @@ object StreamingOps {
     try q.processAllAvailable() finally q.stop()
     agg.sparkSession.table(name)
   }
+
+  /** Durable sink: append the (non-aggregated or watermark-finalized)
+    * stream to a parquet directory with exactly-once checkpointing —
+    * the production sink shape; the memory sink above is a test
+    * harness. Runs the available data to completion and returns the
+    * sink path's batch view.
+    */
+  def runToParquet(stream: DataFrame, outDir: String,
+      checkpointDir: String): DataFrame = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    stream.sparkSession.read.parquet(outDir)
+  }
 }

@@ -38,6 +38,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet sink round trip: append stream, checkpointed, re-readable") {
+    val base = java.nio.file.Files.createTempDirectory("psink").toString
+    val stream = StreamingOps.eventsStream(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val back = StreamingOps.runToParquet(
+      stream, s"$base/out", s"$base/ckpt")
+    val expected = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .count()
+    assert(back.count() === expected)
+    // exactly-once: re-running over the same checkpoint appends nothing
+    val again = StreamingOps.runToParquet(
+      StreamingOps.eventsStream(spark, "/root/testdata/sf0.001")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+      s"$base/out", s"$base/ckpt")
+    assert(again.count() === expected)
+  }
+
   test("stateful sessionization closes sessions on gap, keeps open state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Sessionize.Event]
