@@ -64,6 +64,28 @@ object Tables {
     } catch { case _: Throwable => 0L }
 }
 
+/** Round-trip helpers for the other columnar/row formats Spark ships
+  * (ORC: columnar with pushdown parity to parquet; JSON lines: the
+  * interchange format export pipelines ask for). Parquet stays the
+  * primary format everywhere; these exist so a reference user's
+  * format-conversion jobs have a direct surface.
+  */
+object Formats {
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+  def readJsonLines(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // always pass a schema in production: schema inference re-reads
+    // the whole dataset once before the real job
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+}
+
 /** CSV source/sink for DeepMatcher-convention ER datasets
   * (reference eval.py:45-48: tableA/tableB/train/valid/test CSVs).
   */

@@ -52,6 +52,28 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("orc and json round trips preserve rows; orc keeps pushdown") {
+    import graft.sources.Formats
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("fmt").toString
+
+    Formats.writeOrc(docs, s"$base/orc")
+    val orc = Formats.readOrc(spark, s"$base/orc")
+    assert(orc.count() === docs.count())
+    // ORC scans push filters like parquet — the format swap keeps the
+    // scan-level properties the engine relies on
+    val p = orc.filter(col("n_chars") > 200)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars"), p)
+
+    Formats.writeJsonLines(docs, s"$base/json")
+    val json = Formats.readJsonLines(spark, s"$base/json", Some(docs.schema))
+    assert(json.count() === docs.count())
+    // content survives both round trips exactly
+    assert(orc.select("doc_id", "text").except(docs.select("doc_id", "text")).count() === 0)
+    assert(json.select("doc_id", "text").except(docs.select("doc_id", "text")).count() === 0)
+  }
+
   test("partitioned layout prunes directories via PartitionFilters") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
