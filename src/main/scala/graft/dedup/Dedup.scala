@@ -79,21 +79,38 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: same band key in any band, deduplicated,
-    * id-ordered. The join is per-bucket — the O(n²) blowup of naive
-    * all-pairs never materializes.
+    * id-ordered. Implemented as ONE groupBy-per-bucket pass — not a
+    * band-key self-join — so the signature fold (numHashes md5-min
+    * passes over every shingle) is evaluated exactly once as the
+    * aggregation's input and nothing needs caching: the round-4 version
+    * cached the band keys to keep the self-join from running the sketch
+    * once per side and leaked that cache into long-lived sessions.
+    * In-bucket ordered pairs come from the sorted id array via two
+    * generators (posexplode anchor + per-anchor tail slice), streaming
+    * O(bucket) per output row; the O(n²) blowup of naive all-pairs
+    * never materializes outside a bucket.
+    *
+    * @param maxBucketSize optional skew guard: a degenerate corpus (e.g.
+    *   all-equal texts) collapses every band into one bucket and hands
+    *   one task the whole O(n²) verify. Capping keeps the
+    *   `maxBucketSize` smallest ids per bucket (deterministic), bounding
+    *   any task's fan-out at C(cap, 2) per band at a recall cost —
+    *   opt-in because the uncapped result is the oracle-exact one.
     */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-      numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    // cache the band keys: the signature fold (numHashes md5-min passes
-    // over every shingle) is the expensive stage, and the bucket
-    // self-join would otherwise evaluate it once per join side
-    val keys = lshBandKeys(df, textCol, idCol, numBands, rowsPerBand, k).cache()
-    val a = keys.select(col("band"), col("key"), col(idCol).as("id_a"))
-    val b = keys.select(col("band").as("band_b"), col("key").as("key_b"),
-      col(idCol).as("id_b"))
-    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val keys = lshBandKeys(df, textCol, idCol, numBands, rowsPerBand, k)
+    val buckets = keys.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else buckets.withColumn("__ids", slice(col("__ids"), 1, maxBucketSize))
+    capped
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("id_b"))
+      .distinct()
   }
 
   /** Exact jaccard verification of candidate pairs (id_a, id_b): joins
@@ -103,9 +120,12 @@ object Dedup {
     */
   def verifyJaccard(cands: DataFrame, df: DataFrame, textCol: String,
       idCol: String, threshold: Double, k: Int = 3): DataFrame = {
-    // cached: the shingle frame is joined twice (id_a and id_b legs) —
-    // without the cache the full tokenize+shingle pass over the corpus
-    // runs once per leg.
+    // The pair frame melts to (id_a, id_b, __id) — one row per SIDE —
+    // and joins the shingle frame ONCE, so the full tokenize+shingle
+    // pass over the corpus runs exactly once with nothing cached (the
+    // round-4 version joined the cached shingle frame once per leg and
+    // leaked that cache into long-lived sessions); a groupBy on the
+    // pair key then reassembles the two shingle sets side by side.
     // SHUFFLE_HASH-hinted: the shingle arrays are the WIDE side (each
     // row carries the document's k-gram set); without the hint AQE's
     // cold-cache size estimates sometimes pick a driver-side BROADCAST
@@ -113,13 +133,18 @@ object Dedup {
     // of arrays, observed as a bimodal 3 s / 60+ s census. A shuffled
     // hash join keys on the narrow id and builds per-partition — the
     // only shape that survives corpus scale.
-    val sh = df.select(col(idCol), array_distinct(shingles(col(textCol), k)).as("__sh"))
-      .cache()
-    val withTexts = cands
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
-        .hint("shuffle_hash"), "id_b")
+    val sh = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), k)).as("__sh"))
+    val melted = cands.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("__id"))
+    val withTexts = melted
+      .join(sh.hint("shuffle_hash"), "__id")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col("__id") === col("id_a"), col("__sh")), ignoreNulls = true)
+          .as("sh_a"),
+        first(when(col("__id") === col("id_b"), col("__sh")), ignoreNulls = true)
+          .as("sh_b"))
     withTexts
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -130,11 +155,15 @@ object Dedup {
 
   /** Verified near-dup pairs: LSH candidates whose k-shingle jaccard
     * meets `threshold` (exact verification joins the texts back in).
+    * Leak-free: both stages are single-pass now, so nothing is cached —
+    * a long-lived session can loop this without pinning frames (callers
+    * that consume the result more than once own their persistence).
     */
   def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7, numBands: Int = 2, rowsPerBand: Int = 2,
-      k: Int = 3): DataFrame = {
-    val cands = lshCandidatePairs(df, textCol, idCol, numBands, rowsPerBand, k).cache()
+      k: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val cands = lshCandidatePairs(df, textCol, idCol, numBands, rowsPerBand, k,
+      maxBucketSize)
     verifyJaccard(cands, df, textCol, idCol, threshold, k)
   }
 

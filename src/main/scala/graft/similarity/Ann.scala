@@ -94,17 +94,38 @@ object Ann {
     bits.reduce(_ bitwiseOR _)
   }
 
+  /** All bucket ids within hamming distance `probeBits` of `bucket`
+    * (multi-probe LSH: a vector one sign-flip away lands one bit away).
+    */
+  private[graft] def probeBuckets(bucket: Long, numPlanes: Int,
+      probeBits: Int): Seq[Long] = {
+    val masks = (0 to probeBits).flatMap(d =>
+      (0 until numPlanes).combinations(d).map(_.map(1L << _).sum))
+    masks.map(bucket ^ _).distinct
+  }
+
   /** LSH-accelerated top-k: score only vectors in the probe's bucket
-    * (plus optionally hamming-adjacent buckets via `probeBits` masks).
-    * Falls back to brute force when the bucket has fewer than k hits.
+    * plus hamming-adjacent buckets within `probeBits` flips (multi-probe
+    * — near neighbors that straddle a hyperplane sit one sign bit away).
+    * When the probed buckets hold fewer than k candidates the search
+    * falls back to exact brute force over the corpus, so the result
+    * size is always min(k, corpus) — never a silently-short answer.
+    * The fallback costs one candidate-count job; at index scale that is
+    * a metadata-sized aggregation against one LSH scan.
     */
   def lshTopK(df: DataFrame, embCol: String, idCol: String,
-      probe: Seq[Float], k: Int, numPlanes: Int = 8): DataFrame = {
+      probe: Seq[Float], k: Int, numPlanes: Int = 8,
+      probeBits: Int = 1): DataFrame = {
     val bucketed = df.withColumn("__bucket", lshBucket(col(embCol), numPlanes))
     val probeBucket = bucketed.sparkSession.range(1)
       .select(lshBucket(typedLit(probe), numPlanes).as("b")).head().getLong(0)
-    val candidates = bucketed.filter(col("__bucket") === probeBucket)
-    bruteForceTopK(candidates.drop("__bucket"), embCol, idCol, probe, k)
+    val wanted = probeBuckets(probeBucket, numPlanes, probeBits)
+    val candidates = bucketed
+      .filter(col("__bucket").isin(wanted.map(x => x: Any): _*))
+    val base =
+      if (candidates.limit(k).count() < k) df // sparse buckets: exact fallback
+      else candidates.drop("__bucket")
+    bruteForceTopK(base, embCol, idCol, probe, k)
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
@@ -113,8 +134,16 @@ object Ann {
     * queries scan |corpus|·nProbe/nCells vectors). Seeded k-means keeps
     * the index deterministic.
     */
+  /** The index handle OWNS the cached cell-assignment frame (repeated
+    * probes are the point of an index); `close()` releases it —
+    * long-lived sessions that build indexes in a loop must close each
+    * one or the pinned assignments accumulate without bound.
+    */
   final case class IvfIndex(assigned: DataFrame,
       centroids: Array[Array[Double]], embCol: String, idCol: String)
+      extends AutoCloseable {
+    override def close(): Unit = assigned.unpersist(true)
+  }
 
   /** Coarse quantizers train on a bounded sample, not the corpus (the
     * FAISS recipe: centroid quality needs ~hundreds of vectors per

@@ -94,13 +94,12 @@ class PlanQualitySpec extends SparkSpec {
     val df = PipelineQueries.q32NearDups(spark, dir)
     df.count()
     val p = df.queryExecution.executedPlan.toString
-    assert("ShuffledHashJoin".r.findAllIn(p).length >= 2, p.take(4000))
-    // the id-keyed joins (shingle legs) must not be broadcast; the
-    // band-key self-join may (its keys are [band, key], and id_a only
-    // appears in its post-condition)
+    // the verify stage melts pairs to sides and joins the shingle frame
+    // exactly once — that single id-keyed join must be shuffled hash
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 1, p.take(4000))
     val broadcastKeys = "BroadcastHashJoin \\[([^\\]]*)\\]".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(!broadcastKeys.exists(k => k.contains("id_a#") || k.contains("id_b#")),
+    assert(!broadcastKeys.exists(k => k.contains("__id#")),
       broadcastKeys.mkString("; "))
     df.sparkSession.catalog.clearCache()
   }
