@@ -1,0 +1,127 @@
+package graft.candidates
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextSim
+import graft.schema.PairSchema
+
+/** Strategy for J3 candidate-pair generation (reference
+  * local_explain.py:85-101): given a single probe record, produce the
+  * prefixed pair frame of (candidate, probe) rows the support search
+  * scores. The reference hard-codes "replicate the probe against EVERY
+  * record of the opposite source"; at 100 TB that is a full-corpus scan
+  * per explained pair, so the generator is pluggable (SURVEY §4 / §8.1
+  * name the swap): [[CrossJoinGenerator]] is reference-exact,
+  * [[LshBlockingGenerator]] prunes the scan to minhash-band collisions,
+  * [[SampleGenerator]] bounds it to a deterministic subset.
+  */
+trait CandidateGenerator extends Serializable {
+
+  /** @param probe       one-record un-prefixed entity frame
+    * @param source      opposite entity source (un-prefixed)
+    * @param probeIsLeft true when the probe is the left record and
+    *                    `source` supplies right candidates
+    * @return pair frame: source columns under the varied-side prefix,
+    *         probe columns under the probe-side prefix
+    */
+  def pairs(probe: DataFrame, source: DataFrame, probeIsLeft: Boolean,
+      schema: PairSchema): DataFrame
+
+  protected def prefixes(probeIsLeft: Boolean,
+      schema: PairSchema): (String, String) =
+    if (probeIsLeft) (schema.lprefix, schema.rprefix)
+    else (schema.rprefix, schema.lprefix)
+
+  /** Attach the (single) probe record's columns as literals under its
+    * prefix — the 1-row side of the pair never needs a join, so plans
+    * built this way carry no BroadcastNestedLoopJoin at all.
+    */
+  protected def withProbeLiterals(candidates: DataFrame, probe: DataFrame,
+      probePrefix: String): DataFrame = {
+    val row = probe.head()
+    val fields = probe.schema.fields
+    val probeCols: Seq[Column] = fields.zipWithIndex.map { case (f, i) =>
+      val l = if (row.isNullAt(i)) lit(null) else lit(row.get(i))
+      l.cast(f.dataType).as(probePrefix + f.name)
+    }.toIndexedSeq
+    candidates.select(
+      (candidates.columns.map(col).toIndexedSeq ++ probeCols): _*)
+  }
+}
+
+/** Reference-exact J3: the probe replicates against every source record
+  * — literally Spark's BroadcastNestedLoopJoin (one pass over the
+  * source with the 1-row probe broadcast). Exhaustive recall; cost is a
+  * full scan of the opposite source per explanation.
+  */
+case object CrossJoinGenerator extends CandidateGenerator {
+  override def pairs(probe: DataFrame, source: DataFrame,
+      probeIsLeft: Boolean, schema: PairSchema): DataFrame = {
+    val (probePrefix, variedPrefix) = prefixes(probeIsLeft, schema)
+    val probeB = broadcast(schema.renameWithPrefix(probe, probePrefix))
+    schema.renameWithPrefix(source, variedPrefix).crossJoin(probeB)
+  }
+}
+
+/** MinHash-band blocking (the SURVEY §4 scale path, same sketch as
+  * [[graft.dedup.Dedup.lshBandKeys]]): a source record is a candidate
+  * only when at least one of its minhash band keys equals the probe's
+  * key for the same band. With a single probe the probe-side keys
+  * collapse to literals, so the whole generator is ONE scan-stage
+  * filter over the source — no join, no shuffle, and the probe columns
+  * attach as literals (for bulk probe sets the same band keys feed an
+  * equi-join; `q20_er_pairs` pins that shape). Blocking trades recall
+  * for a pruned scan: records sharing no k-shingle with the probe
+  * cannot collide, so it suits POSITIVE-support search (near-match
+  * hunting); negative hunting wants [[SampleGenerator]] — at corpus
+  * scale almost any record is a negative.
+  */
+final case class LshBlockingGenerator(numBands: Int = 4, rowsPerBand: Int = 2,
+    k: Int = 3) extends CandidateGenerator {
+
+  private def bandKeys(df: DataFrame): DataFrame = {
+    val text = TextSim.recordText(
+      df.columns.filter(_ != "id").map(col).toIndexedSeq)
+    val sigged = df.withColumn("__sig",
+      graft.functions.MinHashSignature(text, numBands * rowsPerBand, k))
+    (0 until numBands).foldLeft(sigged) { (d, b) =>
+      d.withColumn(s"__bk$b", concat_ws("#",
+        (0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))
+    }.drop("__sig")
+  }
+
+  override def pairs(probe: DataFrame, source: DataFrame,
+      probeIsLeft: Boolean, schema: PairSchema): DataFrame = {
+    val (probePrefix, variedPrefix) = prefixes(probeIsLeft, schema)
+    val probeKeys = bandKeys(probe).head()
+    val keyOf: Int => String =
+      b => probeKeys.getAs[String](s"__bk$b")
+    val keyed = bandKeys(source)
+    val collide = (0 until numBands)
+      .map(b => col(s"__bk$b") === lit(keyOf(b)))
+      .reduce(_ || _)
+    val candidates = keyed.filter(collide)
+      .drop((0 until numBands).map(b => s"__bk$b"): _*)
+    withProbeLiterals(
+      schema.renameWithPrefix(candidates, variedPrefix), probe, probePrefix)
+  }
+}
+
+/** Deterministic bounded sample of the source (xxhash64-ordered prefix,
+  * TakeOrderedAndProject — no full sort): the scale answer for
+  * NEGATIVE-support hunting, where almost any record qualifies and
+  * scanning the corpus buys nothing.
+  */
+final case class SampleGenerator(maxCandidates: Int, seed: Long = 42L)
+    extends CandidateGenerator {
+  override def pairs(probe: DataFrame, source: DataFrame,
+      probeIsLeft: Boolean, schema: PairSchema): DataFrame = {
+    val (probePrefix, variedPrefix) = prefixes(probeIsLeft, schema)
+    val sampled = source
+      .orderBy(xxhash64(col("id").cast("string"), lit(seed)), col("id"))
+      .limit(maxCandidates)
+    withProbeLiterals(
+      schema.renameWithPrefix(sampled, variedPrefix), probe, probePrefix)
+  }
+}

@@ -49,20 +49,18 @@ object Candidates {
       maxPredict: Int = -1,
       seed: Long = 42L,
       batched: Boolean = true,
-      schema: PairSchema = PairSchema.default): DataFrame = {
+      schema: PairSchema = PairSchema.default,
+      gen: CandidateGenerator = CrossJoinGenerator): DataFrame = {
 
-    // J3: replicate the (single-record) probe against every source
-    // record — broadcast the probe side explicitly. Without the hint the
-    // planner sees only "filtered frame × frame" and picks a
-    // CartesianProduct whose task count is |partsL| × |partsR|; with it
-    // this is one BroadcastNestedLoopJoin pass over the source.
-    val pairs0 = {
-      val probeB = broadcast(schema.renameWithPrefix(
-        probe, if (probeIsLeft) schema.lprefix else schema.rprefix))
-      val sourceR = schema.renameWithPrefix(
-        source, if (probeIsLeft) schema.rprefix else schema.lprefix)
-      sourceR.crossJoin(probeB)
-    }
+    // J3, pluggable (SURVEY §4's scale swap): the default
+    // CrossJoinGenerator replicates the (single-record) probe against
+    // every source record — one BroadcastNestedLoopJoin pass with the
+    // probe side explicitly broadcast (without the hint the planner sees
+    // only "filtered frame × frame" and picks a CartesianProduct whose
+    // task count is |partsL| × |partsR|). LshBlockingGenerator swaps the
+    // full scan for a minhash-band collision filter; SampleGenerator
+    // bounds it — the scoring/early-exit pipeline below is unchanged.
+    val pairs0 = gen.pairs(probe, source, probeIsLeft, schema)
     // O7 prediction cap: seeded pseudo-random subset. xxhash64 of the
     // ids replaces the reference's unseeded sample(frac=1) — same
     // "uniform random order" effect but deterministic across retries
@@ -151,7 +149,8 @@ object Candidates {
       useRight: Boolean = true,
       useAll: Boolean = false,
       seed: Long = 42L,
-      schema: PairSchema = PairSchema.default): (Boolean, DataFrame) = {
+      schema: PairSchema = PairSchema.default,
+      gen: CandidateGenerator = CrossJoinGenerator): (Boolean, DataFrame) = {
 
     val findPositives = classToExplain == 0
     val numCandidates = numTriangles / 2
@@ -170,11 +169,11 @@ object Candidates {
     // EvalDriver's per-row explain loop.
     val c4r1 = if (useRight)
       findCandidates(lRecord, rsource, probeIsLeft = true, findPositives, model,
-        numCandidates, maxPredict, seed, batched = !useAll, schema)
+        numCandidates, maxPredict, seed, batched = !useAll, schema, gen)
     else empty
     val c4r2 = if (useLeft)
       findCandidates(rRecord, lsource, probeIsLeft = false, findPositives, model,
-        numCandidates, maxPredict, seed, batched = !useAll, schema)
+        numCandidates, maxPredict, seed, batched = !useAll, schema, gen)
     else empty
 
     val n1 = if (useRight) c4r1.count() else 0L

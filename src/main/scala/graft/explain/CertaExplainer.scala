@@ -31,11 +31,20 @@ final case class Explanation(
   * triangles_method.py:301-327); every stage body is a distributed
   * DataFrame program. No per-triangle driver loops anywhere.
   */
+/** @param candidateGen J3 strategy for the support search (SURVEY §4):
+  *   the default [[graft.candidates.CrossJoinGenerator]] is the
+  *   reference-exact full-source scan per explanation;
+  *   [[graft.candidates.LshBlockingGenerator]] prunes that scan to
+  *   minhash-band collisions — the 100 TB shape for positive-support
+  *   hunting; [[graft.candidates.SampleGenerator]] bounds it.
+  */
 class CertaExplainer(
     lsource: DataFrame,
     rsource: DataFrame,
     schema: PairSchema = PairSchema.default,
-    seed: Long = 42L) extends Serializable {
+    seed: Long = 42L,
+    candidateGen: graft.candidates.CandidateGenerator =
+      graft.candidates.CrossJoinGenerator) extends Serializable {
 
   private val spark: SparkSession = lsource.sparkSession
 
@@ -117,7 +126,8 @@ class CertaExplainer(
     // stage 3: support search (batched → bounded LocalRelation result)
     val (_, neighborhood0) = staged("support search")(Candidates.support(
       lRecord, rRecord, lsource, rsource, pc, model, numTriangles,
-      maxPredict, useLeft, useRight, seed = seed, schema = schema))
+      maxPredict, useLeft, useRight, seed = seed, schema = schema,
+      gen = candidateGen))
     if (neighborhood0.columns.isEmpty) return emptyExplanation()
 
     // G2 fallback (reference local_explain.py:51-60): when support is
@@ -141,7 +151,8 @@ class CertaExplainer(
       if (genFromL.count() > 0 && genFromR.count() > 0) {
         val (_, support2) = staged("augmented support search")(Candidates.support(
           lRecord, rRecord, genFromR, genFromL, pc, model, numTriangles,
-          maxPredict, useLeft, useRight, seed = seed, schema = schema))
+          maxPredict, useLeft, useRight, seed = seed, schema = schema,
+          gen = candidateGen))
         if (support2.columns.nonEmpty && support2.count() > 0) {
           neighborhood = neighborhood0.unionByName(support2)
           extendedL = lsource.unionByName(genFromR)

@@ -124,6 +124,54 @@ class CertaCoreSpec extends SparkSpec {
     assert(got(0L) === 1.0)
   }
 
+  test("LSH-blocked candidate search: subset of exhaustive, full recall on dups") {
+    import graft.candidates.{CrossJoinGenerator, LshBlockingGenerator, SampleGenerator}
+    val probe = Seq((0L, "alpha beta gamma delta epsilon", "rome"))
+      .toDF("id", "name", "city")
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon", "rome"),  // exact dup
+      (1L, "alpha beta gamma delta epsilon", "rome"),  // exact dup
+      (2L, "alpha beta gamma delta epsilon", "paris"), // near dup
+      (3L, "zeta eta theta iota kappa", "london"),
+      (4L, "lambda mu nu xi omicron", "berlin"),
+      (5L, "pi rho sigma tau upsilon", "madrid")
+    ).toDF("id", "name", "city")
+    val model = TokenCosineModel()
+    def ids(gen: graft.candidates.CandidateGenerator): Set[Long] =
+      Candidates.findCandidates(probe, corpus, probeIsLeft = true,
+        findPositives = true, model = model, numCandidates = 6, gen = gen)
+        .select("rtable_id").collect().map(_.getLong(0)).toSet
+    val exhaustive = ids(CrossJoinGenerator)
+    val blocked = ids(LshBlockingGenerator())
+    // blocking can only prune — never invent — candidates
+    assert(blocked.subsetOf(exhaustive))
+    // records sharing every shingle with the probe collide on every
+    // band: exact duplicates are guaranteed recall
+    assert(blocked.contains(0L) && blocked.contains(1L))
+    assert(blocked.size.toDouble / exhaustive.size >= 2.0 / 3.0)
+    // the bounded sampler yields a deterministic subset of the corpus
+    val sampled = Candidates.findCandidates(probe, corpus, probeIsLeft = true,
+      findPositives = false, model = model, numCandidates = 6,
+      gen = SampleGenerator(maxCandidates = 3))
+    assert(sampled.count() <= 3)
+  }
+
+  test("explainer runs end-to-end with the LSH-blocked generator") {
+    import graft.candidates.LshBlockingGenerator
+    val model = TokenCosineModel()
+    // explain a NON-match: pc = 0 → the support search hunts positives
+    // (similar records) — the polarity LSH blocking is built for
+    val explainer = new CertaExplainer(lsource, rsource,
+      candidateGen = LshBlockingGenerator())
+    val result = explainer.explain(rec(lsource, 0), rec(rsource, 2), model,
+      numTriangles = 6)
+    assert(result.saliency.columns.nonEmpty)
+    val sal = result.saliency.collect().map(r =>
+      r.getAs[String]("attribute") -> r.getAs[Double]("saliency")).toMap
+    assert(sal.keySet === Set("ltable_name", "ltable_city", "rtable_name", "rtable_city"))
+    assert(result.triangles.count() > 0)
+  }
+
   test("end-to-end explain on a matched pair") {
     val model = TokenCosineModel()
     val explainer = new CertaExplainer(lsource, rsource)

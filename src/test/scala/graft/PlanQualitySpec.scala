@@ -111,6 +111,29 @@ class PlanQualitySpec extends SparkSpec {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("LSH-blocked candidate generation is a scan filter — no nested-loop join") {
+    import org.apache.spark.sql.functions.col
+    import graft.candidates.{CrossJoinGenerator, LshBlockingGenerator}
+    import graft.schema.PairSchema
+    val src = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        col("p_brand").as("brand"))
+    val probe = src.filter(col("id") === 1)
+    // default J3 is the documented BroadcastNestedLoopJoin (one pass,
+    // probe broadcast)…
+    val cross = plan(CrossJoinGenerator.pairs(probe, src, probeIsLeft = true,
+      PairSchema.default))
+    assert(cross.contains("BroadcastNestedLoopJoin"), cross)
+    // …the blocked generator replaces it entirely: the probe's band keys
+    // are literals, candidates come from a scan-stage filter, the probe
+    // columns attach as literals — no join operator of any kind remains
+    val blocked = plan(LshBlockingGenerator().pairs(probe, src,
+      probeIsLeft = true, PairSchema.default))
+    assert(!blocked.contains("BroadcastNestedLoopJoin"), blocked)
+    assert(!blocked.contains("CartesianProduct"), blocked)
+    assert(!blocked.contains("Join"), blocked)
+  }
+
   test("vertex-resolution id filters push into the parquet scan") {
     // the shape Perturb.resolve issues: a typed id-IN filter on the
     // source — it must reach PushedFilters, which a cast on the column
