@@ -283,6 +283,58 @@ object ErQueries {
   def q27CertaTriangles(s: SparkSession, dir: String): DataFrame =
     explained(s, dir).triangles.orderBy(col("u"), col("v"), col("w"))
 
+  // ------------------------------------------------- q60-q62 (golden oracle)
+  /** SF-invariant explainer fixture: nation ⋈ region (both tables are
+    * fixed-size TPC-H tables, bit-identical at every scale factor) with
+    * attributes built for token overlap — same region and same parity
+    * group share tokens, so the deterministic TokenCosineModel yields a
+    * full positive/negative structure. Because the input is identical
+    * at every SF and every stage of the explainer is seeded/hash-
+    * deterministic, the outputs are frozen constants: the DuckDB oracle
+    * is a VALUES literal generated from [[GoldenExplainer]]'s constants
+    * and the driver hash-checks the LIVE explainer run against it —
+    * closing the one core path (reference explain.py:155's tuple) that
+    * was rows-only through round 4. q25-q27 stay as the bench-scale
+    * live run on `part`.
+    */
+  private def goldenSource(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("n_nationkey").cast("long").as("id"),
+        col("n_name").as("name"),
+        col("r_name").as("region"),
+        concat(lit("group "), pmod(col("n_nationkey"), lit(2)).cast("string"))
+          .as("grp"))
+  }
+
+  private val goldenCache = scala.collection.concurrent.TrieMap.empty[String, Explanation]
+
+  private def goldenExplained(s: SparkSession, dir: String): Explanation =
+    goldenCache.getOrElseUpdate(dir, {
+      val src = goldenSource(s, dir)
+      val l = src.filter(col("id") === 0)
+      val e = new CertaExplainer(src, src).explain(l, l, TokenCosineModel(),
+        numTriangles = 10)
+      def localize(df: DataFrame): DataFrame =
+        if (df.columns.isEmpty) df
+        else s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      Explanation(localize(e.saliency), localize(e.pss), localize(e.cfSummary),
+        localize(e.cfExamples), localize(e.triangles))
+    })
+
+  def q60GoldenSaliency(s: SparkSession, dir: String): DataFrame =
+    goldenExplained(s, dir).saliency.orderBy(col("attribute"))
+
+  def q61GoldenPss(s: SparkSession, dir: String): DataFrame =
+    goldenExplained(s, dir).pss.select(col("attrSet"), col("pos"))
+      .orderBy(col("attrSet"))
+
+  def q62GoldenTriangles(s: SparkSession, dir: String): DataFrame =
+    goldenExplained(s, dir).triangles.select(col("u"), col("v"), col("w"))
+      .orderBy(col("u"), col("v"), col("w"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -292,12 +344,18 @@ object ErQueries {
     "q25_certa_saliency" -> (q25CertaSaliency _),
     "q26_certa_pss" -> (q26CertaPss _),
     "q27_certa_triangles" -> (q27CertaTriangles _),
-    "q28_baseline_saliency" -> (q28BaselineSaliency _))
+    "q28_baseline_saliency" -> (q28BaselineSaliency _),
+    "q60_certa_saliency_golden" -> (q60GoldenSaliency _),
+    "q61_certa_pss_golden" -> (q61GoldenPss _),
+    "q62_certa_triangles_golden" -> (q62GoldenTriangles _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
     "q21_er_triangles" -> q21Sql,
     "q22_er_jaccard" -> q22Sql,
     "q23_er_sensitivity" -> q23Sql,
-    "q24_er_f1" -> q24Sql)
+    "q24_er_f1" -> q24Sql,
+    "q60_certa_saliency_golden" -> GoldenExplainer.saliencySql,
+    "q61_certa_pss_golden" -> GoldenExplainer.pssSql,
+    "q62_certa_triangles_golden" -> GoldenExplainer.trianglesSql)
 }

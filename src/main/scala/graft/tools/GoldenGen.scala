@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.queries.ErQueries
+
+/** Deliberate regeneration of [[graft.queries.GoldenExplainer]]'s frozen
+  * constants: runs the golden explainer queries at every SF dir, asserts
+  * the rows are identical across SFs (the fixture is nation⋈region, so
+  * any difference means the fixture lost SF-invariance), and prints the
+  * Scala literals to paste into GoldenExplainer.scala.
+  */
+object GoldenGen {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+
+    def rowsOf(dir: String): (Seq[(String, Double)], Seq[(String, Double)],
+        Seq[(String, String, String)]) = {
+      val sal = ErQueries.q60GoldenSaliency(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val pss = ErQueries.q61GoldenPss(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val tri = ErQueries.q62GoldenTriangles(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      (sal, pss, tri)
+    }
+
+    val all = dirs.map(d => d -> rowsOf(d))
+    val (_, ref) = all.head
+    all.tail.foreach { case (d, got) =>
+      require(got == ref, s"SF-invariance violated at $d:\n$got\nvs\n$ref")
+    }
+    println("// identical across " + dirs.mkString(", "))
+    def lit(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    println("  val saliency: Seq[(String, Double)] = Seq(")
+    println(ref._1.map { case (a, v) => s"    (${lit(a)}, $v)" }.mkString(",\n") + ")")
+    println("  val pss: Seq[(String, Double)] = Seq(")
+    println(ref._2.map { case (a, v) => s"    (${lit(a)}, $v)" }.mkString(",\n") + ")")
+    println("  val triangles: Seq[(String, String, String)] = Seq(")
+    println(ref._3.map { case (u, v, w) =>
+      s"    (${lit(u)}, ${lit(v)}, ${lit(w)})" }.mkString(",\n") + ")")
+    spark.stop()
+  }
+}
