@@ -30,13 +30,37 @@ object IncrementalDedup {
     */
   def bloomNewDocs(oldDf: DataFrame, newDf: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 1e-6): DataFrame = {
-    val bloom = oldDf.select(md5(col(textCol)).as("__h"))
-      .stat.bloomFilter("__h", math.max(1L, expectedItems), fpp)
-    val b = newDf.sparkSession.sparkContext.broadcast(bloom)
-    // UDF boundary is deliberate: BloomFilter.mightContain has no
-    // Column form; the probe is O(numHashFunctions) bit tests per row
-    val unseen = udf((h: String) => h == null || !b.value.mightContainString(h))
-    newDf.filter(unseen(md5(col(textCol))))
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // the whole path stays in Catalyst now (the round-4 probe was a
+    // Scala UDF because util.sketch.BloomFilter has no Column form):
+    // the sketch builds via the BloomFilterAggregate expression —
+    // partial per-partition filters OR-merged, same treeAggregate shape
+    // as df.stat.bloomFilter — and the probe is BloomFilterMightContain,
+    // which carries doGenCode, so the new-batch filter compiles into
+    // whole-stage codegen instead of breaking the stage at a UDF.
+    // Keys are xxhash64(md5(text)): a 64-bit collision between two
+    // DIFFERENT texts is the same event class as a Bloom false positive
+    // (drops a genuinely-new row); a seen text always maps to the same
+    // key, so the no-false-negative contract is untouched.
+    val n = math.max(1L, expectedItems)
+    val numBits = math.max(64L,
+      math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    def key: org.apache.spark.sql.Column = xxhash64(md5(col(textCol)))
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(key),
+      GraftBridge.expression(lit(n)),
+      GraftBridge.expression(lit(numBits))).toAggregateExpression()
+    val bytes = oldDf.select(GraftBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bytes == null) return newDf
+    val mightContain = GraftBridge.column(new BloomFilterMightContain(
+      GraftBridge.expression(lit(bytes)),
+      GraftBridge.expression(key)))
+    // NULL texts are kept explicitly (null key never matches anything —
+    // the same semantic as the exactNewDocs left-anti twin)
+    newDf.filter(col(textCol).isNull || !mightContain)
   }
 
   /** Exact twin: left-anti join on the content hash. One shuffle of

@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * extraction via mapPartitions (the Scala analog of arrow-batched
   * Python UDFs: per-partition decoder init, row-batch processing).
   *
-  * The actual codecs (image decode, audio resample, video frame
-  * sampling) are STUBBED — this container has no media libraries — with
-  * a deterministic digest-based fake, clearly marked below. Everything
-  * Spark-side is real and tested: schema, binary handling, partitioned
-  * batch shape, feature output contract.
+  * The IMAGE path is real: `javax.imageio` ships in the JDK, so
+  * [[synthesizePngs]]/[[decodeImageStats]] run an actual PNG
+  * encode→decode round trip with a per-partition `ImageReader` that is
+  * acquired once, reused across the partition's rows, and disposed when
+  * the iterator drains — the exact lifecycle a native codec handle
+  * needs. Codecs the JDK lacks (audio resample, video frame sampling)
+  * stay STUBBED with a deterministic digest-based fake, clearly marked
+  * below; everything Spark-side is real and tested either way.
   */
 object Multimodal {
 
@@ -57,6 +60,102 @@ object Multimodal {
         it.map { case (id, bytes) => (id, decodeStub(bytes, dim, md)) }
       }
       .toDF("media_id", "features")
+  }
+
+  /** Deterministic synthetic RGB image per row — channel values are pure
+    * integer arithmetic in (id, x, y), so a SQL oracle can recompute any
+    * statistic of the DECODED pixels without an image library (PNG is
+    * lossless). Encoding runs on executors via `javax.imageio`.
+    */
+  def synthesizePngs(ids: DataFrame, idCol: String = "doc_id",
+      w: Int = 8, h: Int = 8): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val buf = new java.io.ByteArrayOutputStream()
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+            val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+            val b = ((id * 11 + x + y) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        buf.reset()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        (id, buf.toByteArray)
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** REAL image decode: per-partition `ImageReader` handle (acquired
+    * once, reset per row via a fresh ImageInputStream, disposed when the
+    * partition drains — the native-codec lifecycle), per-image pixel
+    * statistics out. Output: (media_id, width, height, sum_red,
+    * sum_green, sum_blue) with integer-exact channel sums.
+    *
+    * @param readerInits optional accumulator bumped once per reader
+    *   instantiation — lets a spec pin "one decoder per partition, not
+    *   per row".
+    */
+  def decodeImageStats(media: DataFrame,
+      readerInits: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        var reader: javax.imageio.ImageReader = null
+        def acquire(): javax.imageio.ImageReader = {
+          if (reader == null) {
+            reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("png").next()
+            readerInits.foreach(_.add(1L))
+          }
+          reader
+        }
+        new Iterator[(Long, Int, Int, Long, Long, Long)] {
+          override def hasNext: Boolean = {
+            val more = it.hasNext
+            if (!more && reader != null) { reader.dispose(); reader = null }
+            more
+          }
+          override def next(): (Long, Int, Int, Long, Long, Long) = {
+            val (id, bytes) = it.next()
+            val r = acquire()
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              r.setInput(iis)
+              val img = r.read(0)
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              (id, w, h, sr, sg, sb)
+            } finally iis.close()
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_red", "sum_green", "sum_blue")
   }
 
   /** Frame sampling plumbing: split a payload into fixed-size "frames"

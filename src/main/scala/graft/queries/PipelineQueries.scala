@@ -480,6 +480,41 @@ object PipelineQueries {
        |FROM pr""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q44
+  /** REAL image decode census: synthesize one deterministic 8×8 PNG per
+    * document (channel values are integer arithmetic in (doc_id, x, y)),
+    * decode it with the JDK's actual `javax.imageio` PNG reader through
+    * the per-partition codec lifecycle, and roll up integer-exact pixel
+    * sums. PNG is lossless, so the DuckDB oracle recomputes the decoded
+    * statistics from the generation formula without any image library —
+    * the decode path (codec init/reuse/dispose, binary round trip,
+    * pixel extraction) is what this gates.
+    */
+  def q44ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val media = Multimodal.synthesizePngs(ids, "doc_id", w = 8, h = 8)
+    val stats = Multimodal.decodeImageStats(media)
+    stats.agg(
+      count(lit(1)).as("n_images"),
+      sum(col("width").cast("long")).as("sum_width"),
+      sum(col("height").cast("long")).as("sum_height"),
+      sum(col("sum_red")).as("sum_red"),
+      sum(col("sum_green")).as("sum_green"),
+      sum(col("sum_blue")).as("sum_blue"))
+  }
+
+  val q44Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, xs.x AS x, ys.y AS y
+      |  FROM documents, range(0, 8) xs(x), range(0, 8) ys(y))
+      |SELECT (SELECT COUNT(*) FROM documents) AS n_images,
+      |  (SELECT CAST(8 * COUNT(*) AS BIGINT) FROM documents) AS sum_width,
+      |  (SELECT CAST(8 * COUNT(*) AS BIGINT) FROM documents) AS sum_height,
+      |  CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_red,
+      |  CAST(SUM((doc_id * 17 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_green,
+      |  CAST(SUM((doc_id * 11 + x + y) % 256) AS BIGINT) AS sum_blue
+      |FROM px""".stripMargin
+
   // ---------------------------------------------------------------- q45
   /** Multimodal metadata census over the binary media table. */
   def q45MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
@@ -950,6 +985,7 @@ object PipelineQueries {
     "q42_embed_ivf" -> (q42EmbedIvf _),
     "q43_embed_neardup" -> (q43EmbedNearDup _),
     "q49_sessions" -> (q49Sessions _),
+    "q44_image_decode" -> (q44ImageDecode _),
     "q45_multimodal_meta" -> (q45MultimodalMeta _),
     "q46_multimodal_features" -> (q46MultimodalFeatures _),
     "q47_stream_month" -> (q47StreamMonth _),
@@ -980,6 +1016,7 @@ object PipelineQueries {
     "q42_embed_ivf" -> q42Sql,
     "q43_embed_neardup" -> q43Sql,
     "q49_sessions" -> q49Sql,
+    "q44_image_decode" -> q44Sql,
     "q45_multimodal_meta" -> q45Sql,
     "q46_multimodal_features" -> q46Sql,
     "q47_stream_month" -> q47Sql,

@@ -301,6 +301,27 @@ class PipelineSpec extends SparkSpec {
     assert(frames.count() > 6) // multiple frames per payload
   }
 
+  test("image decode: real PNG round trip, one reader per partition") {
+    val ids = (0L until 40L).toDF("doc_id").repartition(4)
+    val media = Multimodal.synthesizePngs(ids, "doc_id", w = 8, h = 8)
+    val inits = spark.sparkContext.longAccumulator("readerInits")
+    val stats = Multimodal.decodeImageStats(media, Some(inits)).collect()
+    assert(stats.length === 40)
+    // decoded pixel sums equal the generation formula exactly (PNG is
+    // lossless): check one row by hand
+    val row = stats.find(_.getLong(0) == 3L).get
+    def ch(f: (Long, Long, Long) => Long): Long =
+      (for (x <- 0L until 8L; y <- 0L until 8L) yield f(3L, x, y)).sum
+    assert(row.getInt(1) === 8 && row.getInt(2) === 8)
+    assert(row.getLong(3) === ch((id, x, y) => (id * 31 + x * 7 + y * 13) % 256))
+    assert(row.getLong(4) === ch((id, x, y) => (id * 17 + x * 3 + y * 5) % 256))
+    assert(row.getLong(5) === ch((id, x, y) => (id * 11 + x + y) % 256))
+    // codec lifecycle: the reader is acquired once per PARTITION (4),
+    // never once per row (40) — the expensive-init contract real codecs
+    // need
+    assert(inits.value === 4L)
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped

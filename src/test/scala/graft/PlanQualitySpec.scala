@@ -144,6 +144,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("PushedFilters: [In(p_partkey"), p)
   }
 
+  test("q54: bloom probe is a codegen expression, not a UDF") {
+    import org.apache.spark.sql.functions.{col, length}
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val probe = graft.dedup.IncrementalDedup.bloomNewDocs(
+      d.filter(length(col("source")) === 4),
+      d.filter(length(col("source")) === 5),
+      "text", expectedItems = 1000L)
+    val p = plan(probe)
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
   test("q39: winnowing census reads the cached sketch pass once") {
     val df = PipelineQueries.q39Winnow(spark, dir)
     val p = plan(df)
