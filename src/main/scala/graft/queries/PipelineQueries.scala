@@ -640,6 +640,46 @@ object PipelineQueries {
       |  CAST(SUM(b - a) AS BIGINT) AS sum_duration_sec
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Stream-stream interval join census: every (purchase, click) pair of
+    * the same user where the click lands within 30 minutes before the
+    * purchase — attribution, the canonical streaming-join workload. Runs
+    * as a genuine Structured Streaming self-join (two watermarked legs
+    * of the event stream, time-range state eviction, append sink); the
+    * DuckDB oracle replays the identical batch interval join. Timestamp
+    * comparisons run at microsecond precision on both sides (the parquet
+    * carries nanos; Spark reads micros), and the lag sums are
+    * floor-second integers — exact.
+    */
+  def q59StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = StreamingOps.eventsStream(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val joined = StreamingOps.intervalJoin(purchases, clicks, "user_id",
+      "p_ts", "c_ts", lookback = "30 minutes")
+    StreamingOps.runToCompletionAppend(joined,
+        s"stream_ij_${dir.hashCode.abs}")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases_with_click"),
+        sum(col("p_ts").cast("long") - col("c_ts").cast("long")).as("sum_lag_sec"))
+  }
+
+  val q59Sql: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000 AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, epoch_ns(ts) // 1000 AS c_us
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p_id, p_us // 1000000 - c_us // 1000000 AS lag_sec
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c_us >= p_us - 1800000000 AND c_us <= p_us)
+      |SELECT COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT p_id) AS n_purchases_with_click,
+      |  CAST(SUM(lag_sec) AS BIGINT) AS sum_lag_sec
+      |FROM j""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -989,7 +1029,8 @@ object PipelineQueries {
     "q45_multimodal_meta" -> (q45MultimodalMeta _),
     "q46_multimodal_features" -> (q46MultimodalFeatures _),
     "q47_stream_month" -> (q47StreamMonth _),
-    "q48_stream_window" -> (q48StreamWindow _))
+    "q48_stream_window" -> (q48StreamWindow _),
+    "q59_stream_interval_join" -> (q59StreamIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1020,5 +1061,6 @@ object PipelineQueries {
     "q45_multimodal_meta" -> q45Sql,
     "q46_multimodal_features" -> q46Sql,
     "q47_stream_month" -> q47Sql,
-    "q48_stream_window" -> q48Sql)
+    "q48_stream_window" -> q48Sql,
+    "q59_stream_interval_join" -> q59Sql)
 }

@@ -97,6 +97,42 @@ object StreamingOps {
     agg.sparkSession.table(name)
   }
 
+  /** Stream-stream INNER interval join: rows of `left` pair with rows of
+    * `right` sharing `key` whose event time falls in
+    * [leftTs - lookback, leftTs]. Both sides carry watermarks plus the
+    * time-range condition, so the join STATE is bounded (each side
+    * evicts rows older than watermark - lookback); matches themselves
+    * emit immediately on arrival — inner joins never wait for the
+    * watermark, only state cleanup does. Column names of the two sides
+    * must be disjoint apart from `key` (rename upstream).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(key, s"__r_$key")
+      .withWatermark(rightTs, watermark)
+    l.join(r,
+      col(key) === col(s"__r_$key") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop(s"__r_$key")
+  }
+
+  /** Append-mode twin of [[runToCompletion]] for non-aggregating
+    * stateful streams (joins, watermark-finalized output).
+    */
+  def runToCompletionAppend(stream: DataFrame, name: String): DataFrame = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    stream.sparkSession.table(name)
+  }
+
   /** Durable sink: append the (non-aggregated or watermark-finalized)
     * stream to a parquet directory with exactly-once checkpointing —
     * the production sink shape; the memory sink above is a test

@@ -93,6 +93,36 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("stream-stream interval join matches the batch join, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = pIn.toDF().toDF("user_id", "p_ts", "p_id")
+    val clicks = cIn.toDF().toDF("user_id", "c_ts", "c_id")
+    val joined = StreamingOps.intervalJoin(purchases, clicks, "user_id",
+      "p_ts", "c_ts", lookback = "30 minutes", watermark = "1 hour")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ij_test").start()
+    try {
+      cIn.addData(
+        (1L, ts("2024-01-01 00:00:00"), 100L), // 20 min before → match
+        (1L, ts("2024-01-01 00:19:00"), 101L), // 1 min before → match
+        (1L, ts("2024-01-01 00:21:00"), 102L), // AFTER the purchase → no
+        (2L, ts("2024-01-01 00:10:00"), 103L), // other user → no
+        (1L, ts("2023-12-31 23:00:00"), 104L)) // 80 min before → outside
+      pIn.addData((1L, ts("2024-01-01 00:20:00"), 200L))
+      q.processAllAvailable()
+      val got = spark.table("ij_test").select("p_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((200L, 100L), (200L, 101L)))
+      // boundary: a click exactly at the purchase instant matches
+      // (closed interval), arriving in a later micro-batch
+      cIn.addData((1L, ts("2024-01-01 00:20:00"), 105L))
+      q.processAllAvailable()
+      assert(spark.table("ij_test").count() === 3)
+    } finally q.stop()
+  }
+
   test("pure-column model scores a streaming pair frame") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
