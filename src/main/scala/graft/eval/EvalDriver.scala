@@ -20,6 +20,40 @@ import graft.sources.ErSources
   */
 object EvalDriver {
 
+  /** Run the independent per-row bodies concurrently: explanations are
+    * embarrassingly parallel across test rows (reference eval.py:69 —
+    * the loop body touches no shared state), so a bounded thread pool
+    * turns N sequential multi-job explanations into N concurrent job
+    * streams the scheduler interleaves — the real cluster win for eval
+    * workloads, where one explanation rarely fills the executor pool.
+    * Each worker thread tags its jobs into a scheduler pool (with
+    * `spark.scheduler.mode=FAIR` the pools share the cluster fairly;
+    * under default FIFO the tag is inert but jobs from distinct threads
+    * still interleave). Results keep input order, so output is
+    * IDENTICAL to the sequential loop's.
+    */
+  private[graft] def parMap[A, B](items: Seq[A], parallelism: Int,
+      spark: SparkSession, poolName: String = "graft-eval")(f: A => B): Seq[B] =
+    if (parallelism <= 1 || items.size <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, items.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = items.map { a =>
+          scala.concurrent.Future {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", poolName)
+            try f(a)
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+
   /** The generate.py:102-116 retry schedule: explain with num_triangles
     * = start, and while the explanation comes back empty re-run with
     * +step more triangles, giving up past the cap (the reference tries
@@ -60,6 +94,7 @@ object EvalDriver {
       outDir: String,
       numTriangles: Int = 100,
       maxRows: Int = 10,
+      parallelism: Int = 1,
       schema: PairSchema = PairSchema.default): DataFrame = {
 
     val spark = lsource.sparkSession
@@ -67,7 +102,8 @@ object EvalDriver {
     Files.createDirectories(Paths.get(outDir))
     val explainer = new CertaExplainer(lsource, rsource, schema)
 
-    val rows = testPairs.limit(maxRows).collect().toSeq.flatMap { tp =>
+    val rows = parMap(testPairs.limit(maxRows).collect().toSeq, parallelism,
+        spark) { tp =>
       val lid = tp.getAs[Number]("ltable_id").longValue()
       val rid = tp.getAs[Number]("rtable_id").longValue()
       val label = tp.getAs[Number]("label").intValue()
@@ -110,7 +146,7 @@ object EvalDriver {
         mojito.map { case (a, s) => (lid, rid, "mojito", a, s, mojitoLat) } ++
         landmark.map { case (a, s) => (lid, rid, "landmark", a, s, landmarkLat) } ++
         shap.map { case (a, s) => (lid, rid, "shap", a, s, shapLat) }
-    }
+    }.flatten
     val df = rows.toDF("ltable_id", "rtable_id", "method", "attribute",
       "score", "latency_sec")
     val path = s"$outDir/saliency"
@@ -134,6 +170,7 @@ object EvalDriver {
       cfSample: Int = 10,
       compareBaselines: Boolean = false,
       escalate: Boolean = false,
+      parallelism: Int = 1,
       schema: PairSchema = PairSchema.default): DataFrame = {
 
     val spark = lsource.sparkSession
@@ -141,7 +178,8 @@ object EvalDriver {
     Files.createDirectories(Paths.get(outDir))
 
     val explainer = new CertaExplainer(lsource, rsource, schema)
-    val rows = testPairs.limit(maxRows).collect().toSeq.map { tp =>
+    val rows = parMap(testPairs.limit(maxRows).collect().toSeq, parallelism,
+        spark) { tp =>
       val lid = tp.getAs[Number]("ltable_id").longValue()
       val rid = tp.getAs[Number]("rtable_id").longValue()
       val label = tp.getAs[Number]("label").intValue()

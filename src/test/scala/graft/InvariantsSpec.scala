@@ -125,6 +125,33 @@ class InvariantsSpec extends SparkSpec {
       assert(row.getAs[Double]("validity") === 1.0)
   }
 
+  test("parMap runs bodies concurrently and preserves order/results") {
+    // genuine concurrency proof: each body blocks on a latch that only
+    // opens once BOTH bodies have started — the pool must be running ≥2
+    // explanations at once or this deadlocks (bounded by the timeout)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val got = EvalDriver.parMap(Seq(1, 2), parallelism = 2, spark) { i =>
+      latch.countDown()
+      assert(latch.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "second body never started — no concurrency")
+      i * 10
+    }
+    assert(got === Seq(10, 20))
+  }
+
+  test("parallel eval produces identical outputs to the sequential loop") {
+    val pairs = Seq((0L, 0L, 1), (1L, 2L, 0), (0L, 2L, 0))
+      .toDF("ltable_id", "rtable_id", "label")
+    def run(par: Int): Seq[String] = {
+      val out = java.nio.file.Files.createTempDirectory(s"evalpar$par").toString
+      EvalDriver.evalCf(lsource, rsource, pairs, TokenCosineModel(), out,
+          numTriangles = 4, maxRows = 3, parallelism = par)
+        .drop("latencySec") // wall clock is the one legitimately varying column
+        .collect().map(_.toString).toSeq
+    }
+    assert(run(1) === run(3))
+  }
+
   test("eval driver compare leg writes shapc/limec/dice CF sinks") {
     val out = java.nio.file.Files.createTempDirectory("evalcmp").toString
     // two pairs so the DiCE domain frame offers alternative values
