@@ -36,8 +36,48 @@ object Profile {
     val cands = Dedup.lshCandidatePairs(d, "text", "doc_id")
     time("candidate pairs")(cands.count())
     time("candidate pairs again")(cands.count())
+    // legacy self-join shape for comparison
+    def joinCands(): Long = {
+      val keys = Dedup.lshBandKeys(d, "text", "doc_id").cache()
+      val a = keys.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      val b = keys.select(col("band").as("band_b"), col("key").as("key_b"),
+        col("doc_id").as("id_b"))
+      val n = a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().count()
+      keys.unpersist(true)
+      n
+    }
+    time("candidate pairs (join)")(joinCands())
     time("verified near-dups")(
       Dedup.nearDuplicates(d, "text", "doc_id", 0.7).count())
+    time("verified near-dups 2nd")(
+      Dedup.nearDuplicates(d, "text", "doc_id", 0.7).count())
+    time("q32 census full")(graft.queries.PipelineQueries
+      .q32NearDups(spark, sfDir).count())
+    spark.catalog.clearCache()
+    time("q32 census full 2nd")(graft.queries.PipelineQueries
+      .q32NearDups(spark, sfDir).count())
+    spark.catalog.clearCache()
+    // melt verify vs two-leg join verify (uncached sh both)
+    def twoLegVerify(): Long = {
+      val c = Dedup.lshCandidatePairs(d, "text", "doc_id")
+      val sh = d.select(col("doc_id"), array_distinct(Dedup.shingles(col("text"))).as("__sh"))
+      c.join(sh.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")).hint("shuffle_hash"), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")).hint("shuffle_hash"), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+        .filter(col("jaccard") >= 0.7).count()
+    }
+    def meltVerify(): Long = {
+      val c = Dedup.lshCandidatePairs(d, "text", "doc_id")
+      Dedup.verifyJaccard(c, d, "text", "doc_id", 0.7).count()
+    }
+    time("verify two-leg nocache")(twoLegVerify())
+    time("verify two-leg nocache 2")(twoLegVerify())
+    time("verify melt")(meltVerify())
+    time("verify melt 2")(meltVerify())
 
     // per-job attribution for the explain loop
     val jobLog = new scala.collection.mutable.ArrayBuffer[(Int, Long, String)]

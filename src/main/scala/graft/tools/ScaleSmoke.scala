@@ -102,9 +102,9 @@ object ScaleSmoke {
     // triangle resolution is an id-IN pushdown scan — both should grow
     // at-most-linearly in source size while the lattice stages stay
     // source-size-independent (powerset-bounded).
-    val explainTs = mults.map { m =>
+    def scaledPart(m: Int): DataFrame = {
       val part0 = graft.sources.Tables.load(spark, sfDir, "part")
-      val part = part0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+      part0.crossJoin(spark.range(m).select(col("id").as("__rep")))
         .select(
           (col("p_partkey") * m + col("__rep")).as("id"),
           regexp_replace(col("p_name"), lit("(\\S+)"),
@@ -112,6 +112,9 @@ object ScaleSmoke {
           concat(col("p_brand"), lit("r"), col("__rep")).as("brand"),
           col("p_type").as("ptype"), col("p_size").cast("string").as("psize"))
         .repartition(32).cache()
+    }
+    val explainTs = mults.map { m =>
+      val part = scaledPart(m)
       part.count()
       val model = graft.matcher.TokenCosineModel()
       val explainer = new graft.explain.CertaExplainer(part, part)
@@ -127,6 +130,53 @@ object ScaleSmoke {
     val eRatio = explainTs.last._2 / explainTs.head._2
     println(f"${"explain (certa core)"}%-22s " +
       explainTs.map(t => f"${t._2}%7.2fs").mkString(" ") + f"   ${eRatio}%5.1f")
+
+    // ---- candidate-search leg: reference-exact J3 (cross join) vs the
+    // pluggable LSH-blocked generator, positive hunting, same budget.
+    // The blocked search's scan is pruned by the band-collision filter,
+    // so its time should grow no faster than the cross join's and sit
+    // below it at every size.
+    def timeGen(part: DataFrame, gen: graft.candidates.CandidateGenerator): Double = {
+      val model = graft.matcher.TokenCosineModel()
+      val probe = part.filter(col("id") === 0L)
+      def run(): Unit = graft.candidates.Candidates.findCandidates(
+        probe, part, probeIsLeft = true, findPositives = true, model = model,
+        numCandidates = 5, gen = gen).count()
+      run() // warm
+      time(run())
+    }
+    val candTs = mults.map { m =>
+      val part = scaledPart(m)
+      part.count()
+      val cross = timeGen(part, graft.candidates.CrossJoinGenerator)
+      val blocked = timeGen(part, graft.candidates.LshBlockingGenerator())
+      spark.catalog.clearCache()
+      (cross, blocked)
+    }
+    println(f"${"support (cross J3)"}%-22s " +
+      candTs.map(t => f"${t._1}%7.2fs").mkString(" ") +
+      f"   ${candTs.last._1 / candTs.head._1}%5.1f")
+    println(f"${"support (lsh-blocked)"}%-22s " +
+      candTs.map(t => f"${t._2}%7.2fs").mkString(" ") +
+      f"   ${candTs.last._2 / candTs.head._2}%5.1f")
+
+    // ---- image decode leg: real PNG encode→decode via javax.imageio,
+    // pure per-row work — must be linear with corpus size.
+    val imgTs = mults.map { m =>
+      val ids = spark.range(20000L * m).select(col("id").as("doc_id"))
+        .repartition(32).cache()
+      ids.count()
+      def run(): Unit = graft.multimodal.Multimodal.decodeImageStats(
+        graft.multimodal.Multimodal.synthesizePngs(ids, "doc_id"))
+        .agg(sum(col("sum_red"))).collect()
+      run() // warm
+      val t = time(run())
+      spark.catalog.clearCache()
+      t
+    }
+    println(f"${"image decode"}%-22s " +
+      imgTs.map(t => f"$t%7.2fs").mkString(" ") +
+      f"   ${imgTs.last / imgTs.head}%5.1f")
     spark.stop()
   }
 }
