@@ -659,8 +659,21 @@ object PipelineQueries {
       .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
     val joined = StreamingOps.intervalJoin(purchases, clicks, "user_id",
       "p_ts", "c_ts", lookback = "30 minutes")
-    StreamingOps.runToCompletionAppend(joined,
-        s"stream_ij_${dir.hashCode.abs}")
+    // state-store sizing: a stream-stream join keeps FOUR state stores
+    // per shuffle partition; at 32 partitions that is 128 store commits
+    // per micro-batch for a join whose state is a few thousand rows.
+    // 8 partitions is the right order for this stream's volume — on a
+    // real cluster this is the spark.sql.shuffle.partitions the
+    // streaming job would be deployed with, sized to state volume, not
+    // to the batch analytics default.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val result =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        StreamingOps.runToCompletionAppend(joined,
+          s"stream_ij_${dir.hashCode.abs}")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    result
       .agg(
         count(lit(1)).as("n_pairs"),
         countDistinct(col("p_id")).as("n_purchases_with_click"),

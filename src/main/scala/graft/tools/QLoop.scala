@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Dev tool: loop one census query in a single JVM to separate plan cost
+  * from run-to-run variance (codegen warm-up, GC, host contention).
+  */
+object QLoop {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // legacy round-4 census: cached band-key self-join + cached two-leg
+    // verify — for comparison against the current q32
+    def legacy(): Unit = {
+      val d = Tables.loadFanned(spark, sfDir, "documents")
+        .filter(col("text").isNotNull)
+      val keys = Dedup.lshBandKeys(d, "text", "doc_id").cache()
+      val a = keys.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      val b = keys.select(col("band").as("band_b"), col("key").as("key_b"),
+        col("doc_id").as("id_b"))
+      val cands = a.join(b, col("band") === col("band_b") &&
+          col("key") === col("key_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().cache()
+      val sh = d.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("__sh")).cache()
+      val ver = cands
+        .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("sh_a"))
+          .hint("shuffle_hash"), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("sh_b"))
+          .hint("shuffle_hash"), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+        .filter(col("jaccard") >= 0.7)
+      cands.agg(count(lit(1))).crossJoin(ver.agg(count(lit(1)))).count()
+    }
+
+    (1 to 4).foreach { i =>
+      spark.catalog.clearCache()
+      println(f"[qloop] q32 current  #$i ${time(graft.queries.PipelineQueries.q32NearDups(spark, sfDir).count())}%6.2f s")
+    }
+    (1 to 4).foreach { i =>
+      spark.catalog.clearCache()
+      println(f"[qloop] q32 legacy   #$i ${time(legacy())}%6.2f s")
+    }
+    (1 to 2).foreach { i =>
+      spark.catalog.clearCache()
+      println(f"[qloop] q32 current  again #$i ${time(graft.queries.PipelineQueries.q32NearDups(spark, sfDir).count())}%6.2f s")
+    }
+    spark.stop()
+  }
+}
