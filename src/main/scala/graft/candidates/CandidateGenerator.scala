@@ -75,6 +75,16 @@ case object CrossJoinGenerator extends CandidateGenerator {
   * cannot collide, so it suits POSITIVE-support search (near-match
   * hunting); negative hunting wants [[SampleGenerator]] — at corpus
   * scale almost any record is a negative.
+  *
+  * Measured trade (ScaleSmoke, 5.1M-row source): the one-off blocked
+  * search evaluates the minhash sketch on every source row, which costs
+  * MORE than the cheap token-cosine the cross path scores with — 17.1 s
+  * vs 9.8 s at 256×. Blocking wins when (a) the scorer is expensive
+  * (a neural matcher: pruning model calls dominates the sketch pass) or
+  * (b) the corpus band keys are precomputed once and amortized across
+  * the explanation batch — for EvalDriver workloads, key the sources
+  * up front and feed the blocked equi-join shape (`Dedup.lshBandKeys` +
+  * `q20ErPairs`' join) instead of this per-call filter.
   */
 final case class LshBlockingGenerator(numBands: Int = 4, rowsPerBand: Int = 2,
     k: Int = 3) extends CandidateGenerator {
