@@ -87,24 +87,19 @@ case object CrossJoinGenerator extends CandidateGenerator {
   * `q20ErPairs`' join) instead of this per-call filter.
   */
 final case class LshBlockingGenerator(numBands: Int = 4, rowsPerBand: Int = 2,
-    k: Int = 3) extends CandidateGenerator {
+    k: Int = 3,
+    @transient prekeyed: Map[DataFrame, DataFrame] = Map.empty)
+    extends CandidateGenerator {
 
-  private def bandKeys(df: DataFrame): DataFrame = {
-    val text = TextSim.recordText(
-      df.columns.filter(_ != "id").map(col).toIndexedSeq)
-    val sigged = df.withColumn("__sig",
-      graft.functions.MinHashSignature(text, numBands * rowsPerBand, k))
-    (0 until numBands).foldLeft(sigged) { (d, b) =>
-      d.withColumn(s"__bk$b", concat_ws("#",
-        (0 until rowsPerBand).map(r =>
-          element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))
-    }.drop("__sig")
-  }
+  private def bandKeys(df: DataFrame): DataFrame =
+    prekeyed.getOrElse(df,
+      LshBlockingGenerator.withBandKeys(df, numBands, rowsPerBand, k))
 
   override def pairs(probe: DataFrame, source: DataFrame,
       probeIsLeft: Boolean, schema: PairSchema): DataFrame = {
     val (probePrefix, variedPrefix) = prefixes(probeIsLeft, schema)
-    val probeKeys = bandKeys(probe).head()
+    val probeKeys = LshBlockingGenerator
+      .withBandKeys(probe, numBands, rowsPerBand, k).head()
     val keyOf: Int => String =
       b => probeKeys.getAs[String](s"__bk$b")
     val keyed = bandKeys(source)
@@ -115,6 +110,34 @@ final case class LshBlockingGenerator(numBands: Int = 4, rowsPerBand: Int = 2,
       .drop((0 until numBands).map(b => s"__bk$b"): _*)
     withProbeLiterals(
       schema.renameWithPrefix(candidates, variedPrefix), probe, probePrefix)
+  }
+}
+
+object LshBlockingGenerator {
+
+  /** Band-keyed copy of a source: original columns plus `__bk0..__bkN`.
+    * The amortization lever ScaleSmoke's trade points at: the one-off
+    * blocked search pays a full sketch pass per call, which at 5M rows
+    * costs more than the cheap cosine it prunes — but an EvalDriver
+    * batch explains MANY pairs over the SAME sources, so key each
+    * source once, persist it (CALLER-owned: `.cache()` it and unpersist
+    * when the batch ends — the library pins nothing), and hand the
+    * keyed frames to [[LshBlockingGenerator]] via `prekeyed` (matched
+    * by reference identity with the frames passed to the explainer).
+    * Every probe then runs a filter over the cached keyed frame — zero
+    * sketch work per explanation.
+    */
+  def withBandKeys(source: DataFrame, numBands: Int = 4,
+      rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+    val text = TextSim.recordText(
+      source.columns.filter(_ != "id").map(col).toIndexedSeq)
+    val sigged = source.withColumn("__sig",
+      graft.functions.MinHashSignature(text, numBands * rowsPerBand, k))
+    (0 until numBands).foldLeft(sigged) { (d, b) =>
+      d.withColumn(s"__bk$b", concat_ws("#",
+        (0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))
+    }.drop("__sig")
   }
 }
 

@@ -61,6 +61,35 @@ object QLoop {
       spark.catalog.clearCache()
       println(f"[qloop] q32 current  again #$i ${time(graft.queries.PipelineQueries.q32NearDups(spark, sfDir).count())}%6.2f s")
     }
+
+    // support-search generators at a scaled source (args: multiplier)
+    args.headOption.map(_.toInt).foreach { m =>
+      val part0 = Tables.load(spark, sfDir, "part")
+      val part = part0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .select(
+          (col("p_partkey") * m + col("__rep")).as("id"),
+          regexp_replace(col("p_name"), lit("(\\S+)"),
+            concat(lit("$1r"), col("__rep"))).as("name"),
+          concat(col("p_brand"), lit("r"), col("__rep")).as("brand"),
+          col("p_type").as("ptype"), col("p_size").cast("string").as("psize"))
+        .repartition(32).cache()
+      println(s"[qloop] scaled part rows: ${part.count()}")
+      val model = graft.matcher.TokenCosineModel()
+      val probe = part.filter(col("id") === 0L)
+      def search(gen: graft.candidates.CandidateGenerator): Unit =
+        graft.candidates.Candidates.findCandidates(probe, part,
+          probeIsLeft = true, findPositives = true, model = model,
+          numCandidates = 5, gen = gen).count()
+      def best3(gen: graft.candidates.CandidateGenerator): Double =
+        (1 to 3).map(_ => time(search(gen))).min
+      println(f"[qloop] support cross      ${best3(graft.candidates.CrossJoinGenerator)}%6.2f s")
+      println(f"[qloop] support blocked    ${best3(graft.candidates.LshBlockingGenerator())}%6.2f s")
+      val keyed = graft.candidates.LshBlockingGenerator.withBandKeys(part).cache()
+      println(f"[qloop] prekey build       ${time(keyed.count())}%6.2f s (once per batch)")
+      val gen = graft.candidates.LshBlockingGenerator(prekeyed = Map(part -> keyed))
+      println(f"[qloop] support prekeyed   ${best3(gen)}%6.2f s")
+      keyed.unpersist(true)
+    }
     spark.stop()
   }
 }

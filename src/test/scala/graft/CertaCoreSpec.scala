@@ -154,6 +154,14 @@ class CertaCoreSpec extends SparkSpec {
       findPositives = false, model = model, numCandidates = 6,
       gen = SampleGenerator(maxCandidates = 3))
     assert(sampled.count() <= 3)
+    // amortized variant: prekeyed band keys (cached caller-side) give
+    // exactly the per-call generator's results
+    val keyed = LshBlockingGenerator.withBandKeys(corpus).cache()
+    try {
+      keyed.count()
+      val prekeyed = ids(LshBlockingGenerator(prekeyed = Map(corpus -> keyed)))
+      assert(prekeyed === blocked)
+    } finally keyed.unpersist(true)
   }
 
   test("explainer runs end-to-end with the LSH-blocked generator") {
