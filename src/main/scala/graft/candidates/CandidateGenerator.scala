@@ -113,7 +113,39 @@ final case class LshBlockingGenerator(numBands: Int = 4, rowsPerBand: Int = 2,
   }
 }
 
+/** Caller-owned handle for a batch of blocked explanations: holds the
+  * generator wired to the cached band-keyed frames; `close()` releases
+  * every cache (nothing stays pinned once the batch ends — the
+  * EvalDriver leak discipline).
+  */
+final class PrekeyedBlocking private[candidates] (
+    val generator: LshBlockingGenerator,
+    keyed: Seq[DataFrame]) extends AutoCloseable {
+  override def close(): Unit = keyed.foreach(_.unpersist(false))
+}
+
 object LshBlockingGenerator {
+
+  /** Pre-key `sources` for a batch of explanations over the same
+    * corpora: one sketch pass per source (paid here, eagerly), then
+    * every probe in the batch is a band-key filter over the cached
+    * keyed frame. Use with the frames you pass to the explainer —
+    * `prekeyed` matches by reference identity:
+    * {{{
+    * val batch = LshBlockingGenerator.forBatch(Seq(lsource, rsource))
+    * try EvalDriver.evalCf(lsource, rsource, ..., candidateGen = batch.generator)
+    * finally batch.close()
+    * }}}
+    */
+  def forBatch(sources: Seq[DataFrame], numBands: Int = 4,
+      rowsPerBand: Int = 2, k: Int = 3): PrekeyedBlocking = {
+    val keyed = sources.map(s =>
+      s -> withBandKeys(s, numBands, rowsPerBand, k).cache())
+    keyed.foreach(_._2.count())
+    new PrekeyedBlocking(
+      LshBlockingGenerator(numBands, rowsPerBand, k, keyed.toMap),
+      keyed.map(_._2))
+  }
 
   /** Band-keyed copy of a source: original columns plus `__bk0..__bkN`.
     * The amortization lever ScaleSmoke's trade points at: the one-off

@@ -95,12 +95,15 @@ object EvalDriver {
       numTriangles: Int = 100,
       maxRows: Int = 10,
       parallelism: Int = 1,
-      schema: PairSchema = PairSchema.default): DataFrame = {
+      schema: PairSchema = PairSchema.default,
+      candidateGen: graft.candidates.CandidateGenerator =
+        graft.candidates.CrossJoinGenerator): DataFrame = {
 
     val spark = lsource.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(outDir))
-    val explainer = new CertaExplainer(lsource, rsource, schema)
+    val explainer = new CertaExplainer(lsource, rsource, schema,
+      candidateGen = candidateGen)
 
     val rows = parMap(testPairs.limit(maxRows).collect().toSeq, parallelism,
         spark) { tp =>
@@ -171,13 +174,16 @@ object EvalDriver {
       compareBaselines: Boolean = false,
       escalate: Boolean = false,
       parallelism: Int = 1,
-      schema: PairSchema = PairSchema.default): DataFrame = {
+      schema: PairSchema = PairSchema.default,
+      candidateGen: graft.candidates.CandidateGenerator =
+        graft.candidates.CrossJoinGenerator): DataFrame = {
 
     val spark = lsource.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(outDir))
 
-    val explainer = new CertaExplainer(lsource, rsource, schema)
+    val explainer = new CertaExplainer(lsource, rsource, schema,
+      candidateGen = candidateGen)
     val rows = parMap(testPairs.limit(maxRows).collect().toSeq, parallelism,
         spark) { tp =>
       val lid = tp.getAs[Number]("ltable_id").longValue()

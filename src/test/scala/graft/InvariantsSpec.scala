@@ -111,6 +111,7 @@ class InvariantsSpec extends SparkSpec {
     assert(names === Set("b c", "a", "c", "a b"))
     val ids = gen.select("id").as[Long].collect().sorted.toSeq
     assert(ids === Seq(100L, 101L, 102L, 103L))
+    gen.unpersist()
   }
 
   test("eval driver computes per-pair CF metrics with memoized sinks") {
@@ -150,6 +151,28 @@ class InvariantsSpec extends SparkSpec {
         .collect().map(_.toString).toSeq
     }
     assert(run(1) === run(3))
+  }
+
+  test("batch-prekeyed blocked eval matches per-call blocking, pins nothing") {
+    import graft.candidates.{CandidateGenerator, LshBlockingGenerator}
+    // prekeyed frames match by reference identity — bind the sources
+    // once and hand the SAME frames to forBatch and the driver
+    val (l, r) = (lsource, rsource)
+    val pairs = Seq((0L, 0L, 1), (1L, 2L, 0)).toDF("ltable_id", "rtable_id", "label")
+    def run(gen: CandidateGenerator): Seq[String] = {
+      val out = java.nio.file.Files.createTempDirectory("evalblk").toString
+      EvalDriver.evalCf(l, r, pairs, TokenCosineModel(), out,
+          numTriangles = 4, maxRows = 2, candidateGen = gen)
+        .drop("latencySec").collect().map(_.toString).toSeq
+    }
+    val perCall = run(LshBlockingGenerator())
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val batch = LshBlockingGenerator.forBatch(Seq(l, r))
+    val amortized = try run(batch.generator) finally batch.close()
+    assert(amortized === perCall)
+    // close() released the band-keyed caches — the batch leaves the
+    // block manager as it found it
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before)
   }
 
   test("eval driver compare leg writes shapc/limec/dice CF sinks") {
