@@ -1,7 +1,7 @@
 package graft.matcher
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{LogisticRegression, MultilayerPerceptronClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{Column, DataFrame}
@@ -88,6 +88,37 @@ object MLlibMatcher {
     val lr = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setLabelCol("label")
     val pipeline = new Pipeline().setStages(Array(assembler, lr))
+    new MLlibMatcher(pipeline.fit(feat), schema)
+  }
+
+  /** Train a feed-forward NEURAL matcher (MLlib
+    * MultilayerPerceptronClassifier) over the same pair-similarity
+    * features: the in-container stand-in for the reference's torch
+    * wrappers (dm.py / DeepER.py / bert.py — SURVEY §2.9), which all
+    * reduce to "batch pair scorer" behind [[ERModel]]. Scoring is a
+    * distributed `transform` (matrix-vector per row, no driver loop),
+    * so the explainer stack — including [[graft.candidates.
+    * LshBlockingGenerator]]'s expensive-scorer rationale — runs
+    * unchanged against a genuinely non-linear model. Seeded + L-BFGS:
+    * deterministic for the golden/eval fixtures.
+    *
+    * @param hidden hidden-layer widths; the full topology is
+    *               [numFeatures, hidden..., 2]
+    */
+  def trainMlp(labeledPairs: DataFrame, hidden: Seq[Int] = Seq(8, 4),
+      seed: Long = 42L,
+      schema: PairSchema = PairSchema.default): MLlibMatcher = {
+    val cols = featureCols(labeledPairs, schema)
+    val feat = withFeatures(labeledPairs, schema)
+      .withColumn("label", col("label").cast("double"))
+    val assembler = new VectorAssembler()
+      .setInputCols(cols.toArray)
+      .setOutputCol("features")
+    val mlp = new MultilayerPerceptronClassifier()
+      .setLayers((cols.size +: hidden :+ 2).toArray)
+      .setSeed(seed).setMaxIter(200).setSolver("l-bfgs")
+      .setLabelCol("label")
+    val pipeline = new Pipeline().setStages(Array(assembler, mlp))
     new MLlibMatcher(pipeline.fit(feat), schema)
   }
 
