@@ -122,8 +122,11 @@ object Landmark {
       when(keep(g), 1.0).otherwise(0.0).as(s"__k_$g"))
 
     val pairs = samples.select(col("__sample") +: (idCols ++ varCols ++ fixCols): _*)
+    // coalesce(1) as in Mojito: bit-deterministic surrogate fit under
+    // any partition layout (the design frame is numSamples rows)
     val design = model.predict(pairs)
       .select(col("match_score").as("__y") +: keepCols: _*)
+      .coalesce(1)
 
     val impacts: Array[Double] =
       if (n == 0) Array.empty
@@ -170,9 +173,12 @@ object Landmark {
         explainInstance(lRecord, rRecord, model, "r", inject, numSamples, seed, schema))
   }
 
-  /** eval.py:309 rollup: per-attribute impact sums. */
+  /** eval.py:309 rollup: per-attribute impact sums. coalesce(1) keeps
+    * the FP sum in row order (the per-token frame is a driver-local
+    * relation with deterministic order) — bit-stable across sessions.
+    */
   def attributeImpacts(perToken: DataFrame): DataFrame =
-    perToken.groupBy(col("column").as("attribute"))
+    perToken.coalesce(1).groupBy(col("column").as("attribute"))
       .agg(sum(col("impact")).as("weight"))
 
   /** Attribute-level façade (the EvalDriver surface): full per-token

@@ -57,9 +57,15 @@ object Mojito {
             .otherwise(size(kept).cast("double") / size(toks).cast("double")))
     }
 
+    // single partition before the fit: the surrogate's gram-matrix
+    // accumulation then runs in row order (range order — deterministic)
+    // instead of partition-merge order, so the coefficients are
+    // bit-identical under any session parallelism — required for the
+    // frozen-golden oracle. The frame is numSamples × attrs tiny.
     val scored = model.predict(masked)
       .select(col("__sample") +: col("match_score").as("__y") +:
         attrs.map(a => col(s"__keep_$a")): _*)
+      .coalesce(1)
 
     val pipeline = new Pipeline().setStages(Array(
       new VectorAssembler().setInputCols(attrs.map(a => s"__keep_$a").toArray)

@@ -229,7 +229,9 @@ object ErQueries {
     * re-executes the full explainer instead of reading the memo (q26/
     * q27 keep riding the latest q25 run's memo, as always).
     */
-  private[graft] def resetExplanationMemo(): Unit = cache.clear()
+  private[graft] def resetExplanationMemo(): Unit = {
+    cache.clear(); goldenCache.clear()
+  }
 
   private def explained(s: SparkSession, dir: String): Explanation =
     cache.getOrElseUpdate(dir, {
@@ -335,6 +337,30 @@ object ErQueries {
     goldenExplained(s, dir).triangles.select(col("u"), col("v"), col("w"))
       .orderBy(col("u"), col("v"), col("w"))
 
+  /** Baseline saliency on the golden fixture: the same three exact /
+    * seeded explainers as [[q28BaselineSaliency]] (Mojito masking,
+    * Landmark per-token rollup, exact Shapley), but over the
+    * SF-invariant nation⋈region source — so their weights freeze to
+    * constants and the driver hash-checks the live run against a
+    * VALUES oracle ([[GoldenExplainer.baselinesSql]]), upgrading the
+    * baseline-explainer path from rows-only to fully checked.
+    */
+  def q63GoldenBaselines(s: SparkSession, dir: String): DataFrame = {
+    val src = goldenSource(s, dir)
+    val l = src.filter(col("id") === 0)
+    val model = TokenCosineModel()
+    val mj = graft.baselines.Mojito.explain(l, l, model)
+      .withColumn("method", lit("mojito"))
+    val lm = graft.baselines.Landmark.explain(l, l, model)
+      .withColumn("method", lit("landmark"))
+    val sh = graft.baselines.Shap.attributions(l, l, model)
+      .withColumnRenamed("shap", "weight")
+      .withColumn("method", lit("shap"))
+    mj.unionByName(lm).unionByName(sh)
+      .select(col("method"), col("attribute"), col("weight"))
+      .orderBy(col("method"), col("attribute"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -347,7 +373,8 @@ object ErQueries {
     "q28_baseline_saliency" -> (q28BaselineSaliency _),
     "q60_certa_saliency_golden" -> (q60GoldenSaliency _),
     "q61_certa_pss_golden" -> (q61GoldenPss _),
-    "q62_certa_triangles_golden" -> (q62GoldenTriangles _))
+    "q62_certa_triangles_golden" -> (q62GoldenTriangles _),
+    "q63_baseline_saliency_golden" -> (q63GoldenBaselines _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
@@ -357,5 +384,6 @@ object ErQueries {
     "q24_er_f1" -> q24Sql,
     "q60_certa_saliency_golden" -> GoldenExplainer.saliencySql,
     "q61_certa_pss_golden" -> GoldenExplainer.pssSql,
-    "q62_certa_triangles_golden" -> GoldenExplainer.trianglesSql)
+    "q62_certa_triangles_golden" -> GoldenExplainer.trianglesSql,
+    "q63_baseline_saliency_golden" -> GoldenExplainer.baselinesSql)
 }

@@ -49,6 +49,18 @@ object GoldenExplainer {
     ("1@0", "0@0", "1@23"),
     ("1@0", "0@0", "1@24"))
 
+  // generated 2026-08-13 by GoldenGen; identical across sf0.001/0.01/0.1
+  val baselines: Seq[(String, String, Double)] = Seq(
+    ("landmark", "ltable_grp", 0.43789778429251647),
+    ("landmark", "ltable_name", 0.2105803501507792),
+    ("landmark", "ltable_region", 0.21145250337849247),
+    ("mojito", "ltable_grp", 0.17161318103852333),
+    ("mojito", "ltable_name", 0.17758887475476978),
+    ("mojito", "ltable_region", 0.17145881404484037),
+    ("shap", "ltable_grp", 0.4553418012614796),
+    ("shap", "ltable_name", 0.2723290993692602),
+    ("shap", "ltable_region", 0.2723290993692602))
+
   private def d(v: Double): String = s"CAST($v AS DOUBLE)"
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -66,4 +78,9 @@ object GoldenExplainer {
     triangles.map { case (u, v, w) => s"(${q(u)}, ${q(v)}, ${q(w)})" }
       .mkString("SELECT * FROM (VALUES ", ", ",
         ") t(u, v, w) ORDER BY u, v, w")
+
+  val baselinesSql: String =
+    baselines.map { case (m, a, v) => s"(${q(m)}, ${q(a)}, ${d(v)})" }
+      .mkString("SELECT * FROM (VALUES ", ", ",
+        ") t(method, attribute, weight) ORDER BY method, attribute")
 }

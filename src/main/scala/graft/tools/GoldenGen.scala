@@ -22,14 +22,16 @@ object GoldenGen {
       "/root/testdata/sf0.1")
 
     def rowsOf(dir: String): (Seq[(String, Double)], Seq[(String, Double)],
-        Seq[(String, String, String)]) = {
+        Seq[(String, String, String)], Seq[(String, String, Double)]) = {
       val sal = ErQueries.q60GoldenSaliency(spark, dir).collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
       val pss = ErQueries.q61GoldenPss(spark, dir).collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
       val tri = ErQueries.q62GoldenTriangles(spark, dir).collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
-      (sal, pss, tri)
+      val base = ErQueries.q63GoldenBaselines(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+      (sal, pss, tri, base)
     }
 
     val all = dirs.map(d => d -> rowsOf(d))
@@ -46,6 +48,9 @@ object GoldenGen {
     println("  val triangles: Seq[(String, String, String)] = Seq(")
     println(ref._3.map { case (u, v, w) =>
       s"    (${lit(u)}, ${lit(v)}, ${lit(w)})" }.mkString(",\n") + ")")
+    println("  val baselines: Seq[(String, String, Double)] = Seq(")
+    println(ref._4.map { case (m, a, v) =>
+      s"    (${lit(m)}, ${lit(a)}, $v)" }.mkString(",\n") + ")")
     spark.stop()
   }
 }

@@ -32,6 +32,12 @@ class GoldenExplainerSpec extends SparkSpec {
     assert(got === GoldenExplainer.triangles)
   }
 
+  test("baseline explainers equal their frozen goldens exactly") {
+    val got = ErQueries.q63GoldenBaselines(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === GoldenExplainer.baselines)
+  }
+
   test("golden VALUES oracles carry the same rows the constants do") {
     // the oracle SQL is generated, not hand-written: pin the generation
     // so an accidental edit to the formatter can't desync driver + spec
