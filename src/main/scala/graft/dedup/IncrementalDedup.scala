@@ -30,36 +30,77 @@ object IncrementalDedup {
     */
   def bloomNewDocs(oldDf: DataFrame, newDf: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 1e-6): DataFrame = {
+    val bytes = sketchBytes(oldDf, textCol, expectedItems, fpp)
+    if (bytes == null) newDf else filterUnseen(newDf, textCol, bytes)
+  }
+
+  // the whole path stays in Catalyst now (the round-4 probe was a
+  // Scala UDF because util.sketch.BloomFilter has no Column form):
+  // the sketch builds via the BloomFilterAggregate expression —
+  // partial per-partition filters OR-merged, same treeAggregate shape
+  // as df.stat.bloomFilter — and the probe is BloomFilterMightContain,
+  // which carries doGenCode, so the new-batch filter compiles into
+  // whole-stage codegen instead of breaking the stage at a UDF.
+  // Keys are xxhash64(md5(text)): a 64-bit collision between two
+  // DIFFERENT texts is the same event class as a Bloom false positive
+  // (drops a genuinely-new row); a seen text always maps to the same
+  // key, so the no-false-negative contract is untouched.
+  private def key(textCol: String): org.apache.spark.sql.Column =
+    xxhash64(md5(col(textCol)))
+
+  private[graft] def sketchBits(expectedItems: Long, fpp: Double): Long = {
+    val n = math.max(1L, expectedItems)
+    math.max(64L,
+      math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+  }
+
+  /** Serialized Bloom sketch of `df`'s text-content keys (null when the
+    * frame is empty). The binary is the standard
+    * `org.apache.spark.util.sketch.BloomFilter` stream format, so
+    * sketches built here merge with [[mergeSketches]] and probe with
+    * [[filterUnseen]].
+    */
+  private[graft] def sketchBytes(df: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 1e-6): Array[Byte] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(key(textCol)),
+      GraftBridge.expression(lit(math.max(1L, expectedItems))),
+      GraftBridge.expression(lit(sketchBits(expectedItems, fpp))))
+      .toAggregateExpression()
+    df.select(GraftBridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+  }
+
+  /** OR-merge two serialized sketches built with the same
+    * (expectedItems, fpp) — the driver-side fold of an incremental
+    * ingest loop. Either side may be null (empty frame).
+    */
+  private[graft] def mergeSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    if (a == null) b
+    else if (b == null) a
+    else {
+      val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+      val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+      fa.mergeInPlace(fb)
+      val out = new java.io.ByteArrayOutputStream()
+      fa.writeTo(out)
+      out.toByteArray
+    }
+  }
+
+  /** Rows of `newDf` whose content key is (probably) absent from the
+    * sketch. NULL texts are kept explicitly (null key never matches
+    * anything — the same semantic as the exactNewDocs left-anti twin).
+    */
+  private[graft] def filterUnseen(newDf: DataFrame, textCol: String,
+      bytes: Array[Byte]): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    // the whole path stays in Catalyst now (the round-4 probe was a
-    // Scala UDF because util.sketch.BloomFilter has no Column form):
-    // the sketch builds via the BloomFilterAggregate expression —
-    // partial per-partition filters OR-merged, same treeAggregate shape
-    // as df.stat.bloomFilter — and the probe is BloomFilterMightContain,
-    // which carries doGenCode, so the new-batch filter compiles into
-    // whole-stage codegen instead of breaking the stage at a UDF.
-    // Keys are xxhash64(md5(text)): a 64-bit collision between two
-    // DIFFERENT texts is the same event class as a Bloom false positive
-    // (drops a genuinely-new row); a seen text always maps to the same
-    // key, so the no-false-negative contract is untouched.
-    val n = math.max(1L, expectedItems)
-    val numBits = math.max(64L,
-      math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    def key: org.apache.spark.sql.Column = xxhash64(md5(col(textCol)))
-    val agg = new BloomFilterAggregate(
-      GraftBridge.expression(key),
-      GraftBridge.expression(lit(n)),
-      GraftBridge.expression(lit(numBits))).toAggregateExpression()
-    val bytes = oldDf.select(GraftBridge.column(agg).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    if (bytes == null) return newDf
     val mightContain = GraftBridge.column(new BloomFilterMightContain(
       GraftBridge.expression(lit(bytes)),
-      GraftBridge.expression(key)))
-    // NULL texts are kept explicitly (null key never matches anything —
-    // the same semantic as the exactNewDocs left-anti twin)
+      GraftBridge.expression(key(textCol))))
     newDf.filter(col(textCol).isNull || !mightContain)
   }
 

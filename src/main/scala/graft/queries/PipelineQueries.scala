@@ -693,6 +693,52 @@ object PipelineQueries {
       |  CAST(SUM(lag_sec) AS BIGINT) AS sum_lag_sec
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Streaming Bloom-gated incremental dedup census
+    * ([[StreamingOps.bloomDedupStream]]): the documents table replayed
+    * as FOUR micro-batches (chunked by doc_id, one file per trigger);
+    * every batch filters against the driver-merged Bloom sketch of all
+    * previously emitted docs before being folded in itself. Survivors =
+    * one row per distinct text plus every null-text row, independent of
+    * batch order — exactly what the DuckDB oracle counts. fpp 1e-9 over
+    * ≤20k docs puts the expected false-positive drop at ~1e-5 (and the
+    * sketch hashing is deterministic, so the run is exact-or-not
+    * reproducibly; verified exact at sf0.001/0.01/0.1).
+    */
+  def q64StreamBloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val tmp = java.nio.file.Files.createTempDirectory("q64").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (0 until 4).foreach { k =>
+      val stage = s"$tmp/stage$k"
+      docs.filter(pmod(col("doc_id"), lit(4)) === k).coalesce(1)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$in/chunk-$k.parquet"))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    var nBatches = 0L
+    var nSurvivors = 0L
+    val q = StreamingOps.bloomDedupStream(stream, "text",
+        expectedItems = 100000L, fpp = 1e-9) { (unseen, _) =>
+      nBatches += 1
+      nSurvivors += unseen.count()
+    }
+    try q.processAllAvailable() finally q.stop()
+    import s.implicits._
+    Seq((nSurvivors, nBatches)).toDF("n_unique_docs", "n_batches")
+  }
+
+  val q64Sql: String =
+    """SELECT (SELECT COUNT(DISTINCT text) FROM documents WHERE text IS NOT NULL)
+      |     + (SELECT COUNT(*) FROM documents WHERE text IS NULL) AS n_unique_docs,
+      |  CAST(4 AS BIGINT) AS n_batches""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1043,7 +1089,8 @@ object PipelineQueries {
     "q46_multimodal_features" -> (q46MultimodalFeatures _),
     "q47_stream_month" -> (q47StreamMonth _),
     "q48_stream_window" -> (q48StreamWindow _),
-    "q59_stream_interval_join" -> (q59StreamIntervalJoin _))
+    "q59_stream_interval_join" -> (q59StreamIntervalJoin _),
+    "q64_stream_bloom_dedup" -> (q64StreamBloomDedup _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1075,5 +1122,6 @@ object PipelineQueries {
     "q46_multimodal_features" -> q46Sql,
     "q47_stream_month" -> q47Sql,
     "q48_stream_window" -> q48Sql,
-    "q59_stream_interval_join" -> q59Sql)
+    "q59_stream_interval_join" -> q59Sql,
+    "q64_stream_bloom_dedup" -> q64Sql)
 }

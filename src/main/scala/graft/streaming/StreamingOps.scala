@@ -75,6 +75,45 @@ object StreamingOps {
       sink(model.predict(batch), id)
     }.start()
 
+  /** Streaming incremental dedup against ALL history with BOUNDED
+    * state: each micro-batch is (1) content-deduped within itself,
+    * (2) filtered against a Bloom sketch of everything emitted so far
+    * ([[graft.dedup.IncrementalDedup]]'s codegen probe), (3) handed to
+    * `sink`, and (4) OR-merged into the sketch on the driver.
+    *
+    * [[dedupStream]] keeps one state-store row per key inside the
+    * watermark and FORGETS beyond it — re-ingesting last month's crawl
+    * re-emits it. This keeps a fixed `1.44·log2(1/fpp)` bits per
+    * expected item — a few hundred MB for 10^9 docs — for the WHOLE
+    * corpus lifetime, never re-emits a seen text (Bloom has no false
+    * negatives), and drops ~fpp of genuinely-new texts: the crawl-dedup
+    * trade. NULL-text rows always pass. The sketch is driver-held like
+    * any streaming aggregation's state-store metadata; the per-batch
+    * build is a distributed partial-sketch merge, and the probe stays
+    * in whole-stage codegen.
+    */
+  def bloomDedupStream(docs: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 1e-6)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var sketch: Array[Byte] = null
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val nn = batch.filter(col(textCol).isNotNull)
+        .withColumn("__h", md5(col(textCol)))
+        .dropDuplicates("__h").drop("__h")
+      val fresh = nn.unionByName(batch.filter(col(textCol).isNull))
+      val unseen =
+        (if (sketch == null) fresh
+         else graft.dedup.IncrementalDedup.filterUnseen(fresh, textCol, sketch))
+          .persist()
+      try {
+        sink(unseen, id)
+        sketch = graft.dedup.IncrementalDedup.mergeSketches(sketch,
+          graft.dedup.IncrementalDedup.sketchBytes(
+            unseen, textCol, expectedItems, fpp))
+      } finally unseen.unpersist(false)
+    }.start()
+  }
+
   /** Streaming exact dedup: watermark-bounded dropDuplicates on the key
     * — state expires with the watermark, so memory stays bounded.
     */

@@ -141,6 +141,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom dedup stream suppresses duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = StreamingOps.bloomDedupStream(docs, "text",
+        expectedItems = 1000L, fpp = 1e-9) { (unseen, _) =>
+      emitted ++= unseen.collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)).orNull))
+    }
+    try {
+      // batch 1: a dup WITHIN the batch and a null text
+      input.addData((1L, "alpha beta"), (2L, "alpha beta"), (3L, null))
+      q.processAllAvailable()
+      // batch 2: a dup of batch 1 (must be suppressed by HISTORY, which
+      // dropDuplicates-with-watermark would eventually forget), a fresh
+      // text, another null (nulls always pass)
+      input.addData((4L, "alpha beta"), (5L, "gamma delta"), (6L, null))
+      q.processAllAvailable()
+      val texts = emitted.map(_._2)
+      assert(texts.count(_ == "alpha beta") === 1) // once, ever
+      assert(texts.count(_ == "gamma delta") === 1)
+      assert(texts.count(_ == null) === 2) // null rows all pass
+      assert(emitted.map(_._1).toSet === Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
