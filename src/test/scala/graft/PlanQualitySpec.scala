@@ -134,6 +134,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!blocked.contains("Join"), blocked)
   }
 
+  test("prekeyed blocked generation reads the cached keyed frame, no sketch recompute") {
+    import org.apache.spark.sql.functions.col
+    import graft.candidates.LshBlockingGenerator
+    import graft.schema.PairSchema
+    val src = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        col("p_brand").as("brand"))
+    val probe = src.filter(col("id") === 1)
+    val batch = LshBlockingGenerator.forBatch(Seq(src))
+    try {
+      val p = plan(batch.generator.pairs(probe, src, probeIsLeft = true,
+        PairSchema.default))
+      // the candidate side comes straight from the cached band-keyed
+      // frame — the per-call sketch pass (minhash over every source
+      // row) must be gone from the EXECUTED plan. InMemoryRelation
+      // echoes its build lineage below the cache boundary, so only the
+      // plan above it counts.
+      assert(p.contains("InMemoryTableScan"), p)
+      val aboveCache = p.split("InMemoryRelation").head
+      assert(!aboveCache.toLowerCase.contains("minhash"), p)
+      assert(!p.contains("Join"), p)
+    } finally {
+      batch.close()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    }
+  }
+
   test("vertex-resolution id filters push into the parquet scan") {
     // the shape Perturb.resolve issues: a typed id-IN filter on the
     // source — it must reach PushedFilters, which a cast on the column
