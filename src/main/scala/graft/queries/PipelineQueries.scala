@@ -739,6 +739,29 @@ object PipelineQueries {
       |     + (SELECT COUNT(*) FROM documents WHERE text IS NULL) AS n_unique_docs,
       |  CAST(4 AS BIGINT) AS n_batches""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** One-pass table profile ([[graft.operators.Profile]]) over the
+    * documents corpus — the ingest data-quality report. Exact path
+    * (multi-distinct Expand, one scan) as the oracle surface; the HLL
+    * sketch twin is error-bound spec'd in PipelineSpec and is what a
+    * 100 TB profile would run.
+    */
+  def q65Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.exact(
+        t(s, dir, "documents"), "doc_id", "lang", "source")
+      .orderBy(col("col_name"))
+
+  val q65Sql: String = {
+    def leg(c: String): String =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source").map(leg)
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+  }
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1090,7 +1113,8 @@ object PipelineQueries {
     "q47_stream_month" -> (q47StreamMonth _),
     "q48_stream_window" -> (q48StreamWindow _),
     "q59_stream_interval_join" -> (q59StreamIntervalJoin _),
-    "q64_stream_bloom_dedup" -> (q64StreamBloomDedup _))
+    "q64_stream_bloom_dedup" -> (q64StreamBloomDedup _),
+    "q65_profile" -> (q65Profile _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1123,5 +1147,6 @@ object PipelineQueries {
     "q47_stream_month" -> q47Sql,
     "q48_stream_window" -> q48Sql,
     "q59_stream_interval_join" -> q59Sql,
-    "q64_stream_bloom_dedup" -> q64Sql)
+    "q64_stream_bloom_dedup" -> q64Sql,
+    "q65_profile" -> q65Sql)
 }

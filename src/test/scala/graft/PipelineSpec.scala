@@ -25,6 +25,35 @@ class PipelineSpec extends SparkSpec {
     (5L, "the quick brown fox jumps over the lazy cat", "en", "c")  // near-dup of 0
   ).toDF("doc_id", "text", "lang", "source")
 
+  test("profile: exact stats are right; HLL twin tracks them; one scan each") {
+    import graft.operators.Profile
+    val withNull = docs.unionByName(
+      Seq((6L, null.asInstanceOf[String], "en", "a"))
+        .toDF("doc_id", "text", "lang", "source"))
+    val ex = Profile.exact(withNull, "doc_id", "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(ex("doc_id") === ((7L, 0L, 7L, "0")))
+    assert(ex("lang") === ((7L, 0L, 2L, "en")))
+    // one null text; two exact-identical texts collapse
+    assert(ex("text")._2 === 1L)
+    assert(ex("text")._3 === 5L)
+    // HLL twin: same shape, counts within the configured rsd (small
+    // cardinalities are exact in HLL++'s sparse mode)
+    val sk = Profile.sketch(withNull, Seq("doc_id", "lang", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sk === ex.map { case (k, v) => k -> v._3 })
+    // both paths are ONE scan of the input (AQE prints the initial plan
+    // below the final one — count only the final)
+    def scans(df: DataFrame): Int =
+      "Scan ".r.findAllIn(df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).length
+    // (docs, not withNull: the union fixture is two local relations —
+    // two scans by construction)
+    assert(scans(Profile.exact(docs, "doc_id", "lang")) === 1)
+    assert(scans(Profile.sketch(docs, Seq("doc_id", "lang"))) === 1)
+  }
+
   test("exact dedup groups identical texts, keeps min-id survivor") {
     val surv = Dedup.exactSurvivors(docs, "text", "doc_id").collect()
     assert(surv.length === 5) // 6 docs, one exact pair
