@@ -762,6 +762,60 @@ object PipelineQueries {
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
   }
 
+  // ---------------------------------------------------------------- q66
+  /** Group-capped mix sampling census ([[graft.operators.Sampling]]):
+    * at most 7 docs per (lang, source) stratum, selected by a seeded
+    * portable hash order — the id checksum pins the EXACT kept set,
+    * not just its size.
+    */
+  def q66CapSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(
+        t(s, dir, "documents"), Seq("lang", "source"), 7, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+      .orderBy(col("lang"), col("source"))
+
+  val q66Sql: String =
+    """WITH k AS (SELECT lang, source, doc_id,
+      |  row_number() OVER (PARTITION BY lang, source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id) AS rn
+      |  FROM documents)
+      |SELECT lang, source, COUNT(*) AS n_kept,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+      |FROM k WHERE rn <= 7 GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** Per-language token-count distribution: EXACT quartiles via Spark's
+    * `percentile` (sort-based linear interpolation — the same
+    * definition as DuckDB's PERCENTILE_CONT, and exact in doubles
+    * because quarter-fractions of integer gaps are dyadic). The corpus
+    * length-profile report; at 100 TB swap `percentile` for
+    * `approx_percentile` (KLL-style sketch, mergeable partials) — the
+    * same trade the profiler makes for distinct counts.
+    */
+  def q67LenPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("double").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(col("n_tokens")).as("n_docs"),
+        expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D))").as("__ps"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("__ps"), 1).as("p25"),
+        element_at(col("__ps"), 2).as("p50"),
+        element_at(col("__ps"), 3).as("p75"))
+      .orderBy(col("lang"))
+
+  val q67Sql: String =
+    """SELECT lang, COUNT(n_tokens) AS n_docs,
+      |  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY n_tokens) AS p25,
+      |  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY n_tokens) AS p50,
+      |  PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY n_tokens) AS p75
+      |FROM (SELECT lang,
+      |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1114,7 +1168,9 @@ object PipelineQueries {
     "q48_stream_window" -> (q48StreamWindow _),
     "q59_stream_interval_join" -> (q59StreamIntervalJoin _),
     "q64_stream_bloom_dedup" -> (q64StreamBloomDedup _),
-    "q65_profile" -> (q65Profile _))
+    "q65_profile" -> (q65Profile _),
+    "q66_cap_sample" -> (q66CapSample _),
+    "q67_len_percentiles" -> (q67LenPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1148,5 +1204,7 @@ object PipelineQueries {
     "q48_stream_window" -> q48Sql,
     "q59_stream_interval_join" -> q59Sql,
     "q64_stream_bloom_dedup" -> q64Sql,
-    "q65_profile" -> q65Sql)
+    "q65_profile" -> q65Sql,
+    "q66_cap_sample" -> q66Sql,
+    "q67_len_percentiles" -> q67Sql)
 }

@@ -54,6 +54,26 @@ class PipelineSpec extends SparkSpec {
     assert(scans(Profile.sketch(docs, Seq("doc_id", "lang"))) === 1)
   }
 
+  test("capPerGroup keeps exactly the n hash-smallest rows per stratum") {
+    import graft.operators.Sampling
+    val capped = Sampling.capPerGroup(docs, Seq("source"), 1, "doc_id")
+    // one row per source, and the winner is the hash-min of its group —
+    // recompute the hash order driver-side to pin selection identity
+    val bySource = docs.collect().map(r => (r.getString(3), r.getLong(0)))
+      .groupBy(_._1)
+    val expect = bySource.map { case (src, rows) =>
+      src -> rows.map(_._2).minBy(id =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id#42".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id))
+    }
+    val got = capped.collect().map(r => (r.getString(3), r.getLong(0))).toMap
+    assert(got === expect)
+    // capping at group-size-or-more is the identity
+    assert(Sampling.capPerGroup(docs, Seq("source"), 100, "doc_id").count()
+      === docs.count())
+  }
+
   test("exact dedup groups identical texts, keeps min-id survivor") {
     val surv = Dedup.exactSurvivors(docs, "text", "doc_id").collect()
     assert(surv.length === 5) // 6 docs, one exact pair
