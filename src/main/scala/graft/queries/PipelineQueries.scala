@@ -816,6 +816,127 @@ object PipelineQueries {
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Near-dup CLUSTER resolution ([[graft.dedup.Components]]): the
+    * verified MinHash-LSH pairs of q32 closed into connected components
+    * via alternating large-star/small-star rounds; output is the full
+    * (doc_id → component representative) mapping — the exact survivor
+    * assignment a dedup pass deletes against. Pair-level dedup alone
+    * under-deletes chains (A~B~C with A!~C keeps two of three); the
+    * oracle replays the closure with a recursive CTE.
+    */
+  def q68NearDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    val edges = Dedup.nearDuplicates(d, "text", "doc_id", threshold = 0.7)
+      .select(col("id_a"), col("id_b"))
+    val mapping = graft.dedup.Components.connectedComponents(edges)
+    mapping.select(col("id").as("doc_id"), col("rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q68Sql: String =
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |sig AS (SELECT doc_id, sh,
+       |  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS h0,
+       |  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS h1,
+       |  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS h2,
+       |  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS h3
+       |  FROM s),
+       |keys AS (
+       |  SELECT doc_id, 0 AS band, h0 || '#' || h1 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h2 || '#' || h3 AS key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM keys a JOIN keys b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ver AS (SELECT ia, ib FROM cand
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS sha FROM sig) x ON x.doc_id = ia
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS shb FROM sig) y ON y.doc_id = ib
+       |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= 0.7),
+       |sym AS (SELECT ia AS a, ib AS b FROM ver
+       |  UNION SELECT ib AS a, ia AS b FROM ver),
+       |reach(a, b) AS (SELECT a, b FROM sym
+       |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+       |rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep
+       |  FROM reach GROUP BY a)
+       |SELECT doc_id, rep FROM rep ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** As-of attribution ([[graft.operators.AsOf]]): every purchase event
+    * joined to the single most recent click of the same user at-or-before
+    * it — "latest prior state", resolved with zero join operators (one
+    * key shuffle + per-key ordered window; a range join would fan out
+    * every in-window pair first). Output is the full per-purchase
+    * mapping at microsecond precision; the oracle resolves each
+    * purchase independently with a correlated LIMIT 1.
+    */
+  def q69AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    graft.operators.AsOf.joinAsOf(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", tieCol = "click_id", payload = Seq("click_id", "c_ts"))
+      .select(col("purchase_id"), col("user_id"),
+        col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val q69Sql: String =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.purchase_id, p.user_id,
+      |  (SELECT c.click_id FROM c
+      |   WHERE c.user_id = p.user_id AND c.c_us <= p.p_us
+      |   ORDER BY c.c_us DESC, c.click_id DESC LIMIT 1) AS click_id,
+      |  (SELECT p.p_us - c.c_us FROM c
+      |   WHERE c.user_id = p.user_id AND c.c_us <= p.p_us
+      |   ORDER BY c.c_us DESC, c.click_id DESC LIMIT 1) AS lag_us
+      |FROM p ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Int8-quantized cosine top-10 ([[Ann.int8TopK]]): the memory-bound
+    * ANN scan — 4 bytes/dim becomes 1, and because per-vector scales
+    * cancel inside cosine, ranking runs on pure integer dots (exact in
+    * both engines) plus one sqrt and one division (IEEE-identical).
+    * Same probe and TakeOrdered shape as q40; the score column is the
+    * quantized cosine, hash-compared bit-for-bit.
+    */
+  def q70EmbedInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Ann.int8TopK(e, "embedding", "vec_id", probe, k = 10, excludeId = Some(0L))
+  }
+
+  val q70Sql: String =
+    """WITH m AS (SELECT vec_id, embedding,
+      |  list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+      |  FROM embeddings),
+      |q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CASE WHEN mx = 0 THEN 0
+      |    ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INTEGER) END) AS c
+      |  FROM m),
+      |p AS (SELECT c AS pc FROM q WHERE vec_id = 0),
+      |sc AS (SELECT vec_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(c) + 1),
+      |    i -> CAST(c[i] AS BIGINT) * pc[i]), 'sum') AS BIGINT) AS dot,
+      |  CAST(list_aggregate(list_transform(range(1, len(c) + 1),
+      |    i -> CAST(c[i] AS BIGINT) * c[i]), 'sum') AS BIGINT) AS na,
+      |  CAST(list_aggregate(list_transform(range(1, len(pc) + 1),
+      |    i -> CAST(pc[i] AS BIGINT) * pc[i]), 'sum') AS BIGINT) AS nb
+      |  FROM q, p WHERE vec_id <> 0)
+      |SELECT vec_id, CASE WHEN na * nb = 0 THEN 0.0
+      |  ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END AS qcosine
+      |FROM sc ORDER BY qcosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1170,7 +1291,10 @@ object PipelineQueries {
     "q64_stream_bloom_dedup" -> (q64StreamBloomDedup _),
     "q65_profile" -> (q65Profile _),
     "q66_cap_sample" -> (q66CapSample _),
-    "q67_len_percentiles" -> (q67LenPercentiles _))
+    "q67_len_percentiles" -> (q67LenPercentiles _),
+    "q68_neardup_components" -> (q68NearDupComponents _),
+    "q69_asof_attribution" -> (q69AsofAttribution _),
+    "q70_embed_int8" -> (q70EmbedInt8 _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1206,5 +1330,8 @@ object PipelineQueries {
     "q64_stream_bloom_dedup" -> q64Sql,
     "q65_profile" -> q65Sql,
     "q66_cap_sample" -> q66Sql,
-    "q67_len_percentiles" -> q67Sql)
+    "q67_len_percentiles" -> q67Sql,
+    "q68_neardup_components" -> q68Sql,
+    "q69_asof_attribution" -> q69Sql,
+    "q70_embed_int8" -> q70Sql)
 }

@@ -188,6 +188,78 @@ object ScaleSmoke {
     println(f"${"image decode"}%-22s " +
       imgTs.map(t => f"$t%7.2fs").mkString(" ") +
       f"   ${imgTs.last / imgTs.head}%5.1f")
+
+    // ---- connected-components leg: near-dup pairs closed into clusters.
+    // Edge count grows linearly (replicas share no shingles) and round
+    // count logarithmically, so total time should track the near-dup
+    // census's growth, not exceed it.
+    val ccTs = mults.map { m =>
+      val d = corpus(m)
+      d.count()
+      def run(): Unit = {
+        val mapping = graft.dedup.Components.connectedComponents(
+          Dedup.nearDuplicates(d, "text", "doc_id").select(col("id_a"), col("id_b")))
+        mapping.count()
+        mapping.unpersist(true)
+      }
+      run() // warm
+      val t = time(run())
+      spark.catalog.clearCache()
+      t
+    }
+    println(f"${"neardup components"}%-22s " +
+      ccTs.map(t => f"$t%7.2fs").mkString(" ") +
+      f"   ${ccTs.last / ccTs.head}%5.1f")
+
+    // ---- as-of join leg: scaled event log, replica-distinct users —
+    // per-user sort runs stay constant size, so the single key shuffle
+    // must scale linearly.
+    val asofTs = mults.map { m =>
+      val ev0 = graft.sources.Tables.load(spark, sfDir, "events")
+      val ev = ev0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .select((col("event_id") * m + col("__rep")).as("event_id"),
+          (col("user_id") * m + col("__rep")).as("user_id"),
+          col("ts"), col("event_type"))
+        .repartition(32).cache()
+      ev.count()
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      def run(): Unit = graft.operators.AsOf.joinAsOf(purchases, clicks,
+        Seq("user_id"), "p_ts", "c_ts", "click_id", Seq("click_id"))
+        .agg(count(col("click_id"))).collect()
+      run() // warm
+      val t = time(run())
+      spark.catalog.clearCache()
+      t
+    }
+    println(f"${"asof attribution"}%-22s " +
+      asofTs.map(t => f"$t%7.2fs").mkString(" ") +
+      f"   ${asofTs.last / asofTs.head}%5.1f")
+
+    // ---- int8 quantized ANN leg: pure scan work (quantize + integer
+    // dot + TakeOrdered) — must be linear like the image decode.
+    val int8Ts = mults.map { m =>
+      val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = e0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .select((col("vec_id") * m + col("__rep")).as("vec_id"), col("embedding"))
+        .repartition(32).cache()
+      e.count()
+      val probe = e0.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      def run(): Unit = graft.similarity.Ann.int8TopK(
+        e, "embedding", "vec_id", probe, k = 10).collect()
+      run() // warm
+      val t = time(run())
+      spark.catalog.clearCache()
+      t
+    }
+    println(f"${"int8 ann topk"}%-22s " +
+      int8Ts.map(t => f"$t%7.2fs").mkString(" ") +
+      f"   ${int8Ts.last / int8Ts.head}%5.1f")
     spark.stop()
   }
 }

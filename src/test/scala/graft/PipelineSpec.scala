@@ -308,6 +308,47 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(top.head.getDouble(1) - 0.9 / math.sqrt(0.82)) < 1e-9)
   }
 
+  test("int8 quantization: codes match the driver formula; error bounded") {
+    val embs = Seq(
+      (0L, Seq(1.0f, -0.5f, 0.25f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f)), // zero vector → all-zero codes
+      (2L, Seq(-2.0f, 1.0f, 1.5f))
+    ).toDF("vec_id", "embedding")
+    val got = embs.select($"vec_id", Ann.int8Codes(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(0L) === Ann.int8CodesLocal(Seq(1.0f, -0.5f, 0.25f)))
+    assert(got(0L) === Seq(127, -63, 32)) // -0.5→-63.5+0.5 floor; 0.25→32.25
+    assert(got(1L) === Seq(0, 0, 0))
+    assert(got(2L) === Seq(-127, 64, 95)) // 1.5·127/2=95.25
+    // dequantized max error per dim ≤ scale/2 = max|x|/254
+    got.foreach { case (id, codes) =>
+      val v = Map(0L -> Seq(1.0f, -0.5f, 0.25f), 1L -> Seq(0f, 0f, 0f),
+        2L -> Seq(-2.0f, 1.0f, 1.5f))(id)
+      val mx = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      if (mx > 0) codes.zip(v).foreach { case (c, x) =>
+        assert(math.abs(c * mx / 127.0 - x) <= mx / 254.0 + 1e-12)
+      }
+    }
+  }
+
+  test("int8 top-k tracks exact top-k on well-separated vectors") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val probe = Seq(1.0f, 0.0f, 0.0f)
+    val exact = Ann.bruteForceTopK(embs, "embedding", "vec_id", probe,
+      k = 3, excludeId = Some(0L)).collect().map(_.getLong(0)).toSeq
+    val quant = Ann.int8TopK(embs, "embedding", "vec_id", probe,
+      k = 3, excludeId = Some(0L)).collect()
+    assert(quant.map(_.getLong(0)).toSeq === exact)
+    // codes of id 1 are (127, 14, 0): qcos = 127·127 / (127·√16325)
+    assert(math.abs(quant.head.getDouble(1) - 127.0 / math.sqrt(16325.0)) < 1e-12)
+  }
+
   test("ANN LSH bucket is deterministic and groups identical vectors") {
     val embs = Seq(
       (0L, Seq(1.0f, 2.0f, 3.0f)),
