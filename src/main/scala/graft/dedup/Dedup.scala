@@ -167,6 +167,35 @@ object Dedup {
     verifyJaccard(cands, df, textCol, idCol, threshold, k)
   }
 
+  /** The end-user dedup surface: remove every near-duplicate except its
+    * cluster representative (component MINIMUM id — deterministic). The
+    * pair→component closure runs through [[Components]]; docs in no
+    * near-dup pair survive untouched. The handle OWNS the pinned
+    * loser-id frame the survivors anti-join against (pinning the loser
+    * list — the duplicate mass, small next to the corpus — instead of
+    * the full mapping); `close()` releases it, after which actions on
+    * `survivors` would recompute the whole closure. Same ownership
+    * contract as `Ann.IvfIndex`.
+    */
+  final case class NearDupResult(survivors: DataFrame, losers: DataFrame)
+      extends AutoCloseable {
+    override def close(): Unit = losers.unpersist(true)
+  }
+
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, numBands: Int = 2, rowsPerBand: Int = 2,
+      k: Int = 3): NearDupResult = {
+    val pairs = nearDuplicates(df, textCol, idCol, threshold, numBands,
+      rowsPerBand, k).select(col("id_a"), col("id_b"))
+    val mapping = Components.connectedComponents(pairs)
+    val losers = mapping.filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+      .persist()
+    losers.count() // materialize while the mapping cache is alive
+    mapping.unpersist()
+    NearDupResult(df.join(losers, Seq(idCol), "left_anti"), losers)
+  }
+
   // ----------------------------------------------------------- winnowing
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
     * keep the minimum k-gram hash of every sliding window of `w`

@@ -829,7 +829,16 @@ object PipelineQueries {
     val d = t(s, dir, "documents").filter(col("text").isNotNull)
     val edges = Dedup.nearDuplicates(d, "text", "doc_id", threshold = 0.7)
       .select(col("id_a"), col("id_b"))
-    val mapping = graft.dedup.Components.connectedComponents(edges)
+    // iteration shuffles are EDGE-sized (the duplicate graph), orders of
+    // magnitude below the corpus scan — size them to that state volume,
+    // not the analytics default (the q59 streaming-join precedent); each
+    // closure round is ~6 shuffles, so the overhead multiplies
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val mapping =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.dedup.Components.connectedComponents(edges)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     mapping.select(col("id").as("doc_id"), col("rep"))
       .orderBy(col("doc_id"))
   }
@@ -936,6 +945,35 @@ object PipelineQueries {
       |SELECT vec_id, CASE WHEN na * nb = 0 THEN 0.0
       |  ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END AS qcosine
       |FROM sc ORDER BY qcosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Sequence-packing census ([[graft.operators.Packing]]): documents
+    * concatenated per language in doc_id order and chunked into
+    * 512-token training sequences — chunk counts, token totals, and
+    * boundary straddlers, all integer window arithmetic (exact). At
+    * corpus scale the group key gains a deterministic shard column so
+    * every (lang, shard) packs independently.
+    */
+  def q71Packing(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packingCensus(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).as("sz")),
+        Seq("lang"), "doc_id", "sz", budget = 512)
+      .orderBy(col("lang"))
+
+  val q71Sql: String =
+    """WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS sz
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT lang, doc_id, sz, SUM(sz) OVER (PARTITION BY lang
+      |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+      |a AS (SELECT lang, sz, (cum - sz) // 512 AS cs,
+      |  CASE WHEN sz > 0 THEN (cum - 1) // 512 ELSE (cum - sz) // 512 END AS ce
+      |  FROM c)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(sz) AS BIGINT) AS n_tokens,
+      |  MAX(ce) + 1 AS n_chunks,
+      |  CAST(SUM(CASE WHEN ce > cs THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+      |FROM a GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
@@ -1294,7 +1332,8 @@ object PipelineQueries {
     "q67_len_percentiles" -> (q67LenPercentiles _),
     "q68_neardup_components" -> (q68NearDupComponents _),
     "q69_asof_attribution" -> (q69AsofAttribution _),
-    "q70_embed_int8" -> (q70EmbedInt8 _))
+    "q70_embed_int8" -> (q70EmbedInt8 _),
+    "q71_packing" -> (q71Packing _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1333,5 +1372,6 @@ object PipelineQueries {
     "q67_len_percentiles" -> q67Sql,
     "q68_neardup_components" -> q68Sql,
     "q69_asof_attribution" -> q69Sql,
-    "q70_embed_int8" -> q70Sql)
+    "q70_embed_int8" -> q70Sql,
+    "q71_packing" -> q71Sql)
 }

@@ -316,6 +316,24 @@ object Ann {
       .limit(k)
   }
 
+  /** Quantized scan + exact re-rank: the int8 pass shortlists
+    * `k · overfetch` candidates (memory-bound, 1 byte/dim), then exact
+    * float cosine re-ranks ONLY the shortlist — recall recovery at
+    * shortlist cost, the standard two-stage ANN recipe. The second
+    * stage is a broadcast-semi-join-free `isin` filter over the
+    * shortlist ids (driver-bounded at k·overfetch) + one more
+    * TakeOrdered.
+    */
+  def int8TopKRerank(df: DataFrame, embCol: String, idCol: String,
+      probe: Seq[Float], k: Int, overfetch: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val shortlist = int8TopK(df, embCol, idCol, probe, k * overfetch, excludeId)
+      .select(col(idCol)).collect().map(_.get(0))
+    bruteForceTopK(
+      df.filter(col(idCol).isin(shortlist.toIndexedSeq: _*)),
+      embCol, idCol, probe, k, excludeId)
+  }
+
   /** All-pairs near neighbors above a cosine threshold, LSH-bucketed:
     * the embedding analog of MinHash near-dup detection. Join is
     * per-bucket; at 100 TB this is the only tractable shape.

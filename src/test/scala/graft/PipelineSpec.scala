@@ -349,6 +349,68 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(quant.head.getDouble(1) - 127.0 / math.sqrt(16325.0)) < 1e-12)
   }
 
+  test("int8 rerank recovers the exact ranking from the quantized shortlist") {
+    val rnd = new scala.util.Random(3)
+    val embs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val probe = Seq.fill(8)(rnd.nextFloat() - 0.5f)
+    val exact = Ann.bruteForceTopK(embs, "embedding", "vec_id", probe, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val reranked = Ann.int8TopKRerank(embs, "embedding", "vec_id", probe,
+      k = 5, overfetch = 4).collect().map(_.getLong(0)).toSeq
+    // with 4× overfetch on 40 vectors the shortlist holds half the
+    // corpus — the exact top-5 survives quantization at that margin
+    assert(reranked === exact)
+  }
+
+  test("sequence packing: chunk intervals and census are exact") {
+    import graft.operators.Packing
+    val d = Seq(
+      ("en", 0L, 300L), ("en", 1L, 300L), ("en", 2L, 500L),
+      ("fr", 0L, 512L), ("fr", 1L, 1L)
+    ).toDF("lang", "doc_id", "sz")
+    val a = Packing.chunkAssignments(d, Seq("lang"), "doc_id", "sz", 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // en: cum 300/600/1100 → doc0 [0,0]@0, doc1 [0,1]@300, doc2 [1,2]@88
+    assert(a(("en", 0L)) === ((0L, 0L, 0L)))
+    assert(a(("en", 1L)) === ((0L, 1L, 300L)))
+    assert(a(("en", 2L)) === ((1L, 2L, 88L)))
+    // fr: doc0 fills chunk 0 exactly; doc1 opens chunk 1
+    assert(a(("fr", 0L)) === ((0L, 0L, 0L)))
+    assert(a(("fr", 1L)) === ((1L, 1L, 0L)))
+    val census = Packing.packingCensus(d, Seq("lang"), "doc_id", "sz", 512)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(census("en") === ((3L, 1100L, 3L, 2L)))
+    assert(census("fr") === ((2L, 513L, 2L, 0L)))
+  }
+
+  test("dropNearDuplicates keeps cluster minima and untouched docs") {
+    // expected survivors derived from the operator's OWN pair output
+    // via a driver union-find (whether (0,5) LSH-collides is
+    // band-dependent; (0,1) always does)
+    val pairs = Dedup.nearDuplicates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = parent.keys.filter(k => find(k) != k).toSet
+    assert(losers.contains(1L)) // the exact dup always clusters
+    val result = Dedup.dropNearDuplicates(docs, "text", "doc_id")
+    val kept = result.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === (0L to 5L).toSet -- losers)
+    result.close()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("ANN LSH bucket is deterministic and groups identical vectors") {
     val embs = Seq(
       (0L, Seq(1.0f, 2.0f, 3.0f)),
