@@ -301,12 +301,27 @@ object Ann {
   }
 
   /** Brute-force top-k by QUANTIZED cosine: the memory-bound scan shape
-    * — 4× less data read per vector than float32, integer multiplies in
-    * codegen, same TakeOrdered plan as [[bruteForceTopK]]. Recall loss
-    * is bounded by the quantization error (spec'd); re-ranking the
-    * top-k·4 by exact cosine recovers it when needed.
+    * — 4× less data read per vector than float32, one fused codegen'd
+    * scoring call per row ([[graft.functions.Int8Cosine]]), same
+    * TakeOrdered plan as [[bruteForceTopK]]. Recall loss is bounded by
+    * the quantization error (spec'd); [[int8TopKRerank]] recovers it.
     */
   def int8TopK(df: DataFrame, embCol: String, idCol: String,
+      probe: Seq[Float], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val probeCodes = int8CodesLocal(probe).toArray
+    val base = excludeId.fold(df)(id => df.filter(col(idCol) =!= id))
+    base.select(col(idCol),
+        graft.functions.Int8Cosine(col(embCol), probeCodes).as("qcosine"))
+      .orderBy(col("qcosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Declarative twin of [[int8TopK]] (higher-order-function folds —
+    * CodegenFallback, so ~3 interpreted lambda passes per row; kept as
+    * the equivalence-spec surface and the formulation the SQL oracle
+    * replays).
+    */
+  def int8TopKDeclarative(df: DataFrame, embCol: String, idCol: String,
       probe: Seq[Float], k: Int, excludeId: Option[Long] = None): DataFrame = {
     val probeCodes = typedLit(int8CodesLocal(probe))
     val base = excludeId.fold(df)(id => df.filter(col(idCol) =!= id))

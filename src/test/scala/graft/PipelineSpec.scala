@@ -349,6 +349,18 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(quant.head.getDouble(1) - 127.0 / math.sqrt(16325.0)) < 1e-12)
   }
 
+  test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
+    val rnd = new scala.util.Random(19)
+    val embs = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val probe = Seq.fill(16)(rnd.nextFloat() * 2f - 1f)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fused = rows(Ann.int8TopK(embs, "embedding", "vec_id", probe, k = 50))
+    val decl = rows(Ann.int8TopKDeclarative(embs, "embedding", "vec_id", probe, k = 50))
+    assert(fused === decl) // exact double equality, all 50 rows
+  }
+
   test("int8 rerank recovers the exact ranking from the quantized shortlist") {
     val rnd = new scala.util.Random(3)
     val embs = Seq.tabulate(40)(i =>

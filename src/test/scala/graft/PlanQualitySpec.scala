@@ -235,4 +235,14 @@ class PlanQualitySpec extends SparkSpec {
     // formatted mode marks whole-stage-codegen operators with '*'
     assert(p.contains("* Project"), p)
   }
+
+  test("q70: fused int8 scoring stays in whole-stage codegen") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(e.select(graft.functions.Int8Cosine(
+      org.apache.spark.sql.functions.col("embedding"), Array(1, 2, 3))))
+    assert(p.contains("* Project"), p)
+    // the declarative twin's higher-order folds would appear as
+    // aggregate/transform lambdas — the fused plan carries none
+    assert(!p.contains("aggregate("), p)
+  }
 }
