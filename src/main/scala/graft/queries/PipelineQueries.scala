@@ -975,6 +975,138 @@ object PipelineQueries {
       |  CAST(SUM(CASE WHEN ce > cs THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
       |FROM a GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Cross-document duplicated n-gram fraction
+    * ([[TextAnalysis.dupNgramFraction]]): per-document share of
+    * distinct 5-grams occurring in ≥ 5 docs corpus-wide — the
+    * boilerplate/template signal the WITHIN-doc repetition filters
+    * (q51) cannot see. Full per-doc mapping hash-checked.
+    */
+  def q72DupNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupNgramFraction(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "text", "doc_id", n = 5, minDocs = 5)
+      .orderBy(col("doc_id"))
+
+  val q72Sql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |s5 AS (SELECT doc_id,
+      |  CASE WHEN len(tk) >= 5
+      |    THEN list_transform(range(1, len(tk) - 3),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+      |    ELSE [text] END AS sh
+      |  FROM d),
+      |g AS (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM s5),
+      |f AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+      |FROM g JOIN f USING (gram)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Leakage-safe split census ([[graft.operators.Split]]): the q68
+    * near-dup components assigned WHOLE-cluster to train/val/test by a
+    * portable md5 gate on the component representative. `n_moved`
+    * counts docs whose naive per-doc gate would have disagreed — i.e.
+    * the train/test leaks the cluster-consistent split prevents. The
+    * id checksum pins the exact per-split membership.
+    */
+  def q73LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    val edges = Dedup.nearDuplicates(d, "text", "doc_id", threshold = 0.7)
+      .select(col("id_a"), col("id_b"))
+    // closure shuffles are edge-sized — size them to that state volume
+    // (the q68 precedent)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val mapping =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.dedup.Components.connectedComponents(edges)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    graft.operators.Split.leakageSafeSplit(d, mapping, "doc_id")
+      .withColumn("naive_split",
+        graft.operators.Split.splitOf(col("doc_id"), "split42"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split_key")).as("n_clusters"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(when(col("naive_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy(col("split"))
+  }
+
+  val q73Sql: String =
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |sig AS (SELECT doc_id, sh,
+       |  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS h0,
+       |  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS h1,
+       |  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS h2,
+       |  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS h3
+       |  FROM s),
+       |keys AS (
+       |  SELECT doc_id, 0 AS band, h0 || '#' || h1 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h2 || '#' || h3 AS key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM keys a JOIN keys b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ver AS (SELECT ia, ib FROM cand
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS sha FROM sig) x ON x.doc_id = ia
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS shb FROM sig) y ON y.doc_id = ib
+       |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= 0.7),
+       |sym AS (SELECT ia AS a, ib AS b FROM ver
+       |  UNION SELECT ib AS a, ia AS b FROM ver),
+       |reach(a, b) AS (SELECT a, b FROM sym
+       |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+       |rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep
+       |  FROM reach GROUP BY a),
+       |asg AS (SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS split_key
+       |  FROM d LEFT JOIN rep r ON r.doc_id = d.doc_id),
+       |lab AS (SELECT doc_id, split_key,
+       |  CASE WHEN substr(md5('split42|' || CAST(split_key AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |       WHEN substr(md5('split42|' || CAST(split_key AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CASE WHEN substr(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |       WHEN substr(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS naive_split
+       |  FROM asg)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT split_key) AS n_clusters,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |FROM lab GROUP BY split ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Training-order shuffle census ([[graft.operators.Shard]]): the
+    * deterministic global shuffle laid out as 8 hash shards, no global
+    * sort. Per shard: exact membership checksum plus the first/last doc
+    * in within-shard order — together with the shard-from-leading-bits
+    * rule this pins the full global ordering's endpoints.
+    */
+  def q74TrainingOrder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Shard.trainingOrder(
+        t(s, dir, "documents"), "doc_id", seed = 7L, nShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        min_by(col("doc_id"), col("order_key")).as("first_doc"),
+        max_by(col("doc_id"), col("order_key")).as("last_doc"))
+      .orderBy(col("shard"))
+
+  val q74Sql: String =
+    """WITH h AS (SELECT doc_id,
+      |  md5(CAST(doc_id AS VARCHAR) || '#7') AS order_key FROM documents),
+      |s AS (SELECT doc_id, order_key,
+      |  CAST(('0x' || substr(order_key, 1, 4)) AS INTEGER) // 8192 AS shard FROM h)
+      |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  arg_min(doc_id, order_key) AS first_doc,
+      |  arg_max(doc_id, order_key) AS last_doc
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1333,7 +1465,10 @@ object PipelineQueries {
     "q68_neardup_components" -> (q68NearDupComponents _),
     "q69_asof_attribution" -> (q69AsofAttribution _),
     "q70_embed_int8" -> (q70EmbedInt8 _),
-    "q71_packing" -> (q71Packing _))
+    "q71_packing" -> (q71Packing _),
+    "q72_dup_ngrams" -> (q72DupNgrams _),
+    "q73_leakage_split" -> (q73LeakageSplit _),
+    "q74_training_order" -> (q74TrainingOrder _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1373,5 +1508,8 @@ object PipelineQueries {
     "q68_neardup_components" -> q68Sql,
     "q69_asof_attribution" -> q69Sql,
     "q70_embed_int8" -> q70Sql,
-    "q71_packing" -> q71Sql)
+    "q71_packing" -> q71Sql,
+    "q72_dup_ngrams" -> q72Sql,
+    "q73_leakage_split" -> q73Sql,
+    "q74_training_order" -> q74Sql)
 }

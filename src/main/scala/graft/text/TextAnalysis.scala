@@ -225,6 +225,44 @@ object TextAnalysis {
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
 
+  // ------------------------------------------- cross-document duplication
+  /** Corpus-duplicated n-gram fraction — the CROSS-document repetition
+    * signal (boilerplate / template / licence-header detection in
+    * RefinedWeb- and Dolma-style pipelines): for each document, the
+    * share of its DISTINCT n-grams that occur in at least `minDocs`
+    * documents corpus-wide. Complements [[withRepetitionSignals]],
+    * which only sees repetition *within* one document.
+    *
+    * Shape: one exploded (doc, gram) frame feeds both legs. The gram
+    * census aggregates with map-side partial counts — one shuffle on
+    * the gram key — and the join back is a hash join on the same key,
+    * so no gram's rows ever concentrate on one task and there is no
+    * all-pairs step anywhere: linear in corpus grams at 100 TB. With a
+    * realistic boilerplate threshold (`minDocs` in the hundreds) the
+    * surviving hot set is tiny relative to the corpus — pass
+    * `broadcastHot = true` to ship it to the scan side and skip the
+    * join shuffle entirely.
+    */
+  def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 5, minDocs: Int = 2, broadcastHot: Boolean = false): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(array_distinct(graft.dedup.Dedup.shingles(col(textCol), n)))
+        .as("__g"))
+    // grams are distinct within each doc, so a plain count IS the
+    // document frequency — no count-distinct state per gram
+    val hot0 = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__g"), lit(1).as("__hot"))
+    val hot = if (broadcastHot) broadcast(hot0) else hot0
+    grams.join(hot, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hot")).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
   // ------------------------------------------------------------- sampling
   /** Deterministic stratified sampling for training-data mixes: keep a
     * row iff md5(keyCol) mod 10000 < rate·10000 for its stratum's rate.

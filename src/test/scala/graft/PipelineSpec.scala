@@ -349,6 +349,70 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(quant.head.getDouble(1) - 127.0 / math.sqrt(16325.0)) < 1e-12)
   }
 
+  test("dupNgramFraction sees cross-doc sharing; broadcast twin identical") {
+    // 9-token docs → five 5-grams each; docs 0/1 identical, doc 5 shares
+    // its first four grams with them, docs 2/3/4 share none
+    val r = TextAnalysis.dupNgramFraction(docs, "text", "doc_id",
+        n = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(0L) === ((5L, 5L, 1.0)))
+    assert(r(1L) === ((5L, 5L, 1.0)))
+    assert(r(2L)._2 === 0L) // reordered tokens → different grams
+    assert(r(4L) === ((2L, 0L, 0.0))) // 6 tokens → two 5-grams, unique
+    assert(r(5L) === ((5L, 4L, 0.8)))
+    val b = TextAnalysis.dupNgramFraction(docs, "text", "doc_id",
+        n = 5, minDocs = 2, broadcastHot = true)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r === b)
+  }
+
+  test("leakage-safe split keeps each near-dup cluster whole; singletons gate on own id") {
+    import graft.operators.Split
+    val ids = (0L until 300L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (50L, 51L), (200L, 299L))
+      .toDF("id_a", "id_b")
+    val mapping = graft.dedup.Components.connectedComponents(edges)
+    val out = Split.leakageSafeSplit(ids, mapping, "doc_id")
+    // structural guarantee: one split per cluster key
+    val torn = out.groupBy(col("split_key"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(torn === 0L)
+    val by = out.collect().map(r2 => r2.getLong(0) -> r2.getString(2)).toMap
+    assert(by(0L) === by(1L) && by(1L) === by(2L) && by(50L) === by(51L)
+      && by(200L) === by(299L))
+    // a singleton's split is exactly the direct gate on its own id
+    val direct = ids.select(col("doc_id"),
+        Split.splitOf(col("doc_id"), "split42").as("s"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getString(1)).toMap
+    assert(by(7L) === direct(7L) && by(123L) === direct(123L))
+    // all three splits populated at this size
+    assert(out.select(col("split")).distinct().count() === 3L)
+    // the components mapping is the one caller-owned cached frame
+    mapping.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("training-order shards concatenate to the exact global hash order") {
+    import graft.operators.Shard
+    val d = (0L until 200L).toDF("doc_id")
+    val out = Shard.trainingOrder(d, "doc_id", seed = 7L, nShards = 8)
+      .select(col("shard"), col("order_key"), col("doc_id")).collect()
+      .map(r2 => (r2.getInt(0), r2.getString(1), r2.getLong(2)))
+    val concatenated = out.sortBy(x => (x._1, x._2)).map(_._3).toSeq
+    val globalOrder = out.sortBy(_._2).map(_._3).toSeq
+    assert(concatenated === globalOrder) // range sharding preserves prefix order
+    // deterministic under any input layout
+    val out2 = Shard.trainingOrder(d.repartition(13), "doc_id", 7L, 8)
+      .select(col("shard"), col("order_key"), col("doc_id")).collect()
+      .map(r2 => (r2.getInt(0), r2.getString(1), r2.getLong(2)))
+    assert(out.sortBy(_._3).toSeq === out2.sortBy(_._3).toSeq)
+  }
+
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
     val rnd = new scala.util.Random(19)
     val embs = Seq.tabulate(50)(i =>

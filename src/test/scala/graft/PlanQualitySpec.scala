@@ -236,6 +236,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("* Project"), p)
   }
 
+  test("q72: hot-gram set broadcasts when requested; gram census partial-aggregates") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.text.TextAnalysis.dupNgramFraction(
+      d, "text", "doc_id", n = 5, minDocs = 5, broadcastHot = true))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // census leg combines map-side before the gram-key shuffle
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q74: training order has no global sort — range exchange + local sorts only") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Shard.trainingOrder(d, "doc_id", 7L, 8))
+    // formatted mode lists the Exchange's arguments on their own line
+    assert(p.contains("rangepartitioning(shard"), p)
+    // formatted Sort arguments end in ", <global>, 0" — all must be local
+    assert(p.contains("], false, 0"), p)
+    assert(!p.contains("], true, 0"), p)
+  }
+
   test("q70: fused int8 scoring stays in whole-stage codegen") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(e.select(graft.functions.Int8Cosine(
