@@ -1107,6 +1107,98 @@ object PipelineQueries {
       |  arg_max(doc_id, order_key) AS last_doc
       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** DSIR-shaped data selection ([[graft.text.Importance]]): raw docs
+    * scored by hashed-bigram affinity to the `src0` target slice and
+    * the top 20 kept — integer cross-multiplied surrogate of the
+    * smoothed log-likelihood ratio, so the exact scores hash-check.
+    * The 256-bucket weight table is broadcast (plan-pinned).
+    */
+  def q75TargetAffinity(s: SparkSession, dir: String): DataFrame =
+    graft.text.Importance.targetAffinity(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "text", "doc_id", col("source") === "src0", nBuckets = 256, n = 2)
+      .orderBy(col("affinity").desc, col("doc_id"))
+      .limit(20)
+
+  val q75Sql: String =
+    """WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |g0 AS (SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE [text] END) AS gram FROM d),
+      |g AS (SELECT doc_id, source = 'src0' AS t,
+      |  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 256 AS b FROM g0),
+      |c AS (SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+      |  SUM(CASE WHEN t THEN 0 ELSE 1 END) AS rc FROM g GROUP BY b),
+      |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM c),
+      |w AS (SELECT b, (tc + 1) * (rt + 256) - (rc + 1) * (tt + 256) AS w
+      |  FROM c, tot)
+      |SELECT g.doc_id, COUNT(*) AS n_grams, CAST(SUM(w.w) AS BIGINT) AS affinity
+      |FROM g JOIN w USING (b) WHERE NOT g.t
+      |GROUP BY g.doc_id ORDER BY affinity DESC, g.doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  /** SemDeDup survivor census ([[graft.similarity.SemDedup]]): q43's
+    * verified embedding pairs (cosine ≥ 0.4 within portable LSH cells)
+    * closed into components and DELETED down to min-id representatives
+    * — the embedding-space twin of q68→dropNearDuplicates. The id
+    * checksum pins the exact survivor set; the oracle replays cells,
+    * cosines, and the recursive closure.
+    */
+  def q76SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // closure shuffles are edge-sized — the q68 sizing rule
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val result =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
+          e, "embedding", "vec_id", threshold = 0.4, numPlanes = 4)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // the handle's pinned loser frame backs the lazy census; in the
+    // catalog the driver's per-query clearCache releases it (the q68
+    // mapping precedent) — library users call result.close()
+    result.survivors.agg(
+      count(lit(1)).as("n_survivors"),
+      sum(col("vec_id")).as("survivor_id_sum"))
+      .crossJoin(result.losers.agg(count(lit(1)).as("n_losers")))
+  }
+
+  val q76Sql: String = {
+    def proj(p: Int, side: String): String =
+      s"""list_aggregate(list_transform(range(1, len($side.embedding) + 1),
+         |    i -> CAST($side.embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    def bucket(side: String): String = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p, side)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding,
+       |  (${bucket("embeddings")}) AS bucket FROM embeddings),
+       |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+       |  (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')) *
+       |   sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))) AS cosine
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |e AS (SELECT ia, ib FROM pr WHERE cosine >= 0.4),
+       |sym AS (SELECT ia AS a, ib AS b FROM e
+       |  UNION SELECT ib AS a, ia AS b FROM e),
+       |reach(a, b) AS (SELECT a, b FROM sym
+       |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+       |rep AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS rep
+       |  FROM reach GROUP BY a),
+       |losers AS (SELECT vec_id FROM rep WHERE vec_id <> rep)
+       |SELECT
+       |  (SELECT COUNT(*) FROM embeddings) - (SELECT COUNT(*) FROM losers) AS n_survivors,
+       |  CAST((SELECT SUM(vec_id) FROM embeddings)
+       |    - COALESCE((SELECT SUM(vec_id) FROM losers), 0) AS BIGINT) AS survivor_id_sum,
+       |  (SELECT COUNT(*) FROM losers) AS n_losers""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1468,7 +1560,9 @@ object PipelineQueries {
     "q71_packing" -> (q71Packing _),
     "q72_dup_ngrams" -> (q72DupNgrams _),
     "q73_leakage_split" -> (q73LeakageSplit _),
-    "q74_training_order" -> (q74TrainingOrder _))
+    "q74_training_order" -> (q74TrainingOrder _),
+    "q75_target_affinity" -> (q75TargetAffinity _),
+    "q76_semdedup" -> (q76SemDedup _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1511,5 +1605,7 @@ object PipelineQueries {
     "q71_packing" -> q71Sql,
     "q72_dup_ngrams" -> q72Sql,
     "q73_leakage_split" -> q73Sql,
-    "q74_training_order" -> q74Sql)
+    "q74_training_order" -> q74Sql,
+    "q75_target_affinity" -> q75Sql,
+    "q76_semdedup" -> q76Sql)
 }

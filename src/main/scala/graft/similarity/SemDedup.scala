@@ -1,0 +1,71 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Components, Dedup}
+
+/** Semantic (embedding-space) near-duplicate DELETION — the SemDeDup
+  * recipe (Abbas et al. 2023, arXiv:2303.09540): bucket vectors into
+  * cells, verify exact cosine only within a cell, close the verified
+  * pairs into connected components, and keep one representative per
+  * component. The q43 census counts these pairs; this operator is the
+  * end-user surface that actually drops the losers.
+  *
+  * Cells here are portable hyperplane-LSH buckets
+  * ([[Ann.lshBucketPortable]] — md5-derived plane weights, so a SQL
+  * oracle replays the exact candidate set). The paper clusters with
+  * k-means; [[Ann.ivfBuild]]'s cell assignments drop in for that when
+  * cross-engine exactness isn't required — the verify/close/survive
+  * stages are identical either way.
+  *
+  * Scale shape: candidate generation is a bucket-key equi-join (never
+  * all-pairs), the component closure shuffles only the EDGE set
+  * (duplicate pairs — orders of magnitude below the corpus), and the
+  * final anti-join streams the corpus against the loser ids once.
+  * Nothing is cached here (the library leak rule): the join's two
+  * bucket projections are structurally identical, so exchange reuse
+  * computes the bucketing pass once anyway. Ownership of the result
+  * follows [[Dedup.dropNearDuplicates]]: the one pinned loser frame is
+  * released by `close()`.
+  */
+object SemDedup {
+
+  /** Verified same-cell cosine pairs (id_a < id_b, cosine ≥ threshold).
+    * Pure — nothing cached, safe to call in long-lived sessions.
+    */
+  def nearDuplicatePairs(df: DataFrame, embCol: String, idCol: String,
+      threshold: Double, numPlanes: Int = 4): DataFrame = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val b = df.select(col(idCol), col(embCol),
+      Ann.lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
+    val left = b.select(col("__bucket"), col(idCol).as("id_a"),
+      col(embCol).as("__ea"))
+    val right = b.select(col("__bucket").as("__bucket_b"),
+      col(idCol).as("id_b"), col(embCol).as("__eb"))
+    left
+      .join(right, col("__bucket") === col("__bucket_b")
+        && col("id_a") < col("id_b"))
+      .withColumn("cosine", Ann.cosine(col("__ea"), col("__eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Drop embedding near-duplicates, keeping each component's min-id
+    * representative. Same ownership contract as
+    * [[Dedup.dropNearDuplicates]] / `Ann.IvfIndex`.
+    */
+  def dropEmbeddingNearDuplicates(df: DataFrame, embCol: String,
+      idCol: String, threshold: Double,
+      numPlanes: Int = 4): Dedup.NearDupResult = {
+    val edges = nearDuplicatePairs(df, embCol, idCol, threshold, numPlanes)
+      .select(col("id_a"), col("id_b"))
+    val mapping = Components.connectedComponents(edges)
+    val losers = mapping.filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+      .persist()
+    losers.count() // materialize while the mapping cache is alive
+    mapping.unpersist()
+    Dedup.NearDupResult(df.join(losers, Seq(idCol), "left_anti"), losers)
+  }
+}

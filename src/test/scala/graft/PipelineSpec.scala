@@ -413,6 +413,55 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(_._3).toSeq === out2.sortBy(_._3).toSeq)
   }
 
+  test("target affinity ranks target-like docs above disjoint ones") {
+    import graft.text.Importance
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", true),
+      (1L, "alpha beta gamma delta epsilon zeta", false), // = target text
+      (2L, "alpha beta gamma other words here", false),   // partial overlap
+      (3L, "nothing shared with anything else xx", false)
+    ).toDF("doc_id", "text", "is_t")
+    val r = Importance.targetAffinity(corpus, "text", "doc_id",
+        col("is_t"), nBuckets = 64, n = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L)) // target rows are never scored
+    assert(r(1L)._1 === 5L) // 6 tokens → five bigrams
+    assert(r(1L)._2 > r(2L)._2 && r(2L)._2 > r(3L)._2)
+  }
+
+  test("semantic dedup keeps min-id reps; handle releases its cache") {
+    import graft.similarity.SemDedup
+    val embs = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, Seq(1.0f, 2.0f, 3.0f)),   // exact dup of 0
+      (2L, Seq(2.0f, 4.0f, 6.0f)),   // colinear with 0 → cosine 1
+      (3L, Seq(-5.0f, 1.0f, -2.0f)),
+      (4L, Seq(0.3f, -9.0f, 2.2f))
+    ).toDF("vec_id", "embedding")
+    // expected losers from the operator's OWN pair output (bucket
+    // placement of near-but-not-identical vectors is plane-dependent)
+    val pairs = SemDedup.nearDuplicatePairs(embs, "embedding", "vec_id", 0.95)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.contains((0L, 1L))) // identical vectors always pair
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val rr = find(p); parent(x) = rr; rr }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = parent.keys.filter(k => find(k) != k).toSet
+    val result = SemDedup.dropEmbeddingNearDuplicates(
+      embs, "embedding", "vec_id", threshold = 0.95)
+    val kept = result.survivors.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === (0L to 4L).toSet -- losers)
+    result.close()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
     val rnd = new scala.util.Random(19)
     val embs = Seq.tabulate(50)(i =>

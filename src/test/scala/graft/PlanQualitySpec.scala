@@ -256,6 +256,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("], true, 0"), p)
   }
 
+  test("q75: the hashed-bucket weight table broadcasts to the scoring scan") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.text.Importance.targetAffinity(
+      d, "text", "doc_id",
+      org.apache.spark.sql.functions.col("source") === "src0",
+      nBuckets = 256, n = 2))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q76: semantic-dedup candidates join on the cell key — no nested loop") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.similarity.SemDedup.nearDuplicatePairs(
+      e, "embedding", "vec_id", threshold = 0.4))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") && p.contains("bucket"), p)
+  }
+
   test("q70: fused int8 scoring stays in whole-stage codegen") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(e.select(graft.functions.Int8Cosine(
