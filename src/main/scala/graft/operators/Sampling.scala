@@ -38,4 +38,34 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
   }
+
+  /** Deterministic FRACTIONAL upsampling — the other half of mix
+    * building (rates thin, caps bound, weights > 1 repeat): every row
+    * emits `floor(w)` copies plus one more when its seeded hash gate
+    * falls under `frac(w)`, so a 2.5-weighted stratum lands at exactly
+    * 2.5× in expectation with a reproducible, engine-portable copy set
+    * (the q53 md5-gate rule — no `rand()`). Weights below 1 thin
+    * (0 copies when the gate misses); strata absent from `weights`
+    * pass through at 1×. `copy_idx` (1-based) disambiguates the
+    * repeats downstream (e.g. for epoch-aware shuffling).
+    *
+    * Scale: copy generation is a scan-local explode — rows multiply at
+    * the scan, nothing shuffles. Use binary-exact fractional parts
+    * (.5, .25, .125 …) so the gate threshold compares identically in
+    * every engine.
+    */
+  def upsampleByWeight(df: DataFrame, stratumCol: String, keyCol: String,
+      weights: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val w = weights.foldLeft(lit(1.0)) { case (acc, (stratum, v)) =>
+      when(col(stratumCol) === stratum, lit(v)).otherwise(acc)
+    }
+    val gate = pmod(graft.dedup.Dedup.portableHash60(
+      concat(col(keyCol).cast("string"), lit("#up" + seed))), lit(10000L))
+    val copies = (floor(w)
+      + when(gate < (w - floor(w)) * 10000.0, 1L).otherwise(0L)).cast("int")
+    // sequence(1, 0) would COUNT DOWN in Spark — guard the empty case
+    df.withColumn("copy_idx",
+      explode(when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

@@ -1199,6 +1199,111 @@ object PipelineQueries {
        |  (SELECT COUNT(*) FROM losers) AS n_losers""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q77
+  /** RefinedWeb-style quality-gate FUNNEL: the four scan-local filter
+    * families (language agreement, quality thresholds, Gopher
+    * repetition, PII-free) composed into one keep/drop cascade with
+    * per-stage attrition counts. Every signal is computed in a single
+    * pass over the corpus — the whole gate pipelines inside the scan;
+    * the only shuffle is the final one-row rollup.
+    */
+  def q77QualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withPiiSignals(
+      TextAnalysis.withRepetitionSignals(
+        TextAnalysis.withQualitySignals(
+          t(s, dir, "documents").filter(col("text").isNotNull))))
+    val langOk = TextAnalysis.langId(col("text")) === col("lang")
+    val qualOk = col("is_quality")
+    val repOk =
+      !((col("n_bigrams") - col("n_distinct_bigrams")) * 5 > col("n_bigrams")) &&
+        !(col("top_token_cnt") * 5 > col("n_tokens_r"))
+    val piiOk = col("n_emails") + col("n_ipv4") + col("n_phones") === 0
+    d.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(langOk, 1L).otherwise(0L)).as("n_lang_ok"),
+      sum(when(langOk && qualOk, 1L).otherwise(0L)).as("n_after_quality"),
+      sum(when(langOk && qualOk && repOk, 1L).otherwise(0L))
+        .as("n_after_repetition"),
+      sum(when(langOk && qualOk && repOk && piiOk, 1L).otherwise(0L))
+        .as("n_kept"))
+  }
+
+  val q77Sql: String = {
+    def hits(lang: String): String = {
+      val list = TextAnalysis.stopwords.toMap.apply(lang)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(tk, x -> list_contains($list, x)))"
+    }
+    def cnt(p: String): String = s"len(regexp_extract_all(text, '$p'))"
+    s"""WITH d AS (SELECT lang, text, string_split(text, ' ') AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (SELECT lang, text, tk,
+       |  ${hits("de")} AS hde, ${hits("en")} AS hen, ${hits("es")} AS hes,
+       |  ${hits("fr")} AS hfr, ${hits("zh")} AS hzh,
+       |  len(tk) AS nt, len(list_distinct(tk)) AS ndt,
+       |  CASE WHEN len(tk) >= 2
+       |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+       |    ELSE [text] END AS bg,
+       |  list_max(list_transform(list_distinct(tk),
+       |    x -> len(list_filter(tk, y -> y = x)))) AS topc,
+       |  ${cnt(TextAnalysis.emailPattern)} + ${cnt(TextAnalysis.ipv4Pattern)}
+       |    + ${cnt(TextAnalysis.phonePattern)} AS npii
+       |  FROM d),
+       |g AS (SELECT
+       |  (CASE WHEN GREATEST(hde, hen, hes, hfr, hzh) = 0 THEN 'und'
+       |        WHEN hde = GREATEST(hde, hen, hes, hfr, hzh) THEN 'de'
+       |        WHEN hen = GREATEST(hde, hen, hes, hfr, hzh) THEN 'en'
+       |        WHEN hes = GREATEST(hde, hen, hes, hfr, hzh) THEN 'es'
+       |        WHEN hfr = GREATEST(hde, hen, hes, hfr, hzh) THEN 'fr'
+       |        ELSE 'zh' END) = lang AS lang_ok,
+       |  (nt >= 20 AND nt <= 1000 AND ndt >= 10) AS qual_ok,
+       |  (NOT ((len(bg) - len(list_distinct(bg))) * 5 > len(bg))
+       |    AND NOT (topc * 5 > nt)) AS rep_ok,
+       |  npii = 0 AS pii_ok
+       |  FROM f)
+       |SELECT COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       |  CAST(SUM(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+       |  CAST(SUM(CASE WHEN lang_ok AND qual_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_repetition,
+       |  CAST(SUM(CASE WHEN lang_ok AND qual_ok AND rep_ok AND pii_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM g""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q78
+  /** Deterministic fractional upsampling census
+    * ([[graft.operators.Sampling.upsampleByWeight]]): src0 weighted
+    * 2.5×, src1 thinned to 0.25×, everything else 1× — the
+    * domain-weighting step of a training mix, reproducible because the
+    * fractional copy is md5-gated, not random. The doc×copy checksum
+    * pins the exact output multiset.
+    */
+  def q78Upsample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.upsampleByWeight(
+        t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 0.25))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id") * col("copy_idx")).as("checksum"))
+      .orderBy(col("source"))
+
+  val q78Sql: String =
+    """WITH w AS (SELECT doc_id, source,
+      |  CASE WHEN source = 'src0' THEN 2.5
+      |       WHEN source = 'src1' THEN 0.25 ELSE 1.0 END AS wt,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#up42'), 1, 15))
+      |    AS BIGINT) % 10000 AS gate
+      |  FROM documents),
+      |c AS (SELECT doc_id, source,
+      |  CAST(floor(wt) + CASE WHEN gate < (wt - floor(wt)) * 10000.0
+      |    THEN 1 ELSE 0 END AS INTEGER) AS n FROM w),
+      |e AS (SELECT doc_id, source, unnest(generate_series(1, n)) AS copy_idx
+      |  FROM c WHERE n >= 1)
+      |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_rows,
+      |  CAST(SUM(doc_id * copy_idx) AS BIGINT) AS checksum
+      |FROM e GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1562,7 +1667,9 @@ object PipelineQueries {
     "q73_leakage_split" -> (q73LeakageSplit _),
     "q74_training_order" -> (q74TrainingOrder _),
     "q75_target_affinity" -> (q75TargetAffinity _),
-    "q76_semdedup" -> (q76SemDedup _))
+    "q76_semdedup" -> (q76SemDedup _),
+    "q77_quality_funnel" -> (q77QualityFunnel _),
+    "q78_upsample" -> (q78Upsample _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1607,5 +1714,7 @@ object PipelineQueries {
     "q73_leakage_split" -> q73Sql,
     "q74_training_order" -> q74Sql,
     "q75_target_affinity" -> q75Sql,
-    "q76_semdedup" -> q76Sql)
+    "q76_semdedup" -> q76Sql,
+    "q77_quality_funnel" -> q77Sql,
+    "q78_upsample" -> q78Sql)
 }

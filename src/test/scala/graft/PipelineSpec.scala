@@ -462,6 +462,32 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("upsampleByWeight: integer copies exact, zero drops, deterministic") {
+    import graft.operators.Sampling
+    val d = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "c"))
+      .toDF("doc_id", "src")
+    def run() = Sampling.upsampleByWeight(d, "src", "doc_id",
+        Map("a" -> 3.0, "b" -> 0.0))
+      .collect().map(r2 => (r2.getLong(0), r2.getString(1), r2.getInt(2)))
+    val rows = run()
+    // weight 3 → exactly copies 1..3 per doc
+    assert(rows.filter(_._2 == "a").groupBy(_._1).values
+      .forall(_.map(_._3).sorted.toSeq == Seq(1, 2, 3)))
+    // weight 0 → stratum vanishes; absent strata pass through at 1×
+    assert(!rows.exists(_._2 == "b"))
+    assert(rows.filter(_._2 == "c").map(x => (x._1, x._3)).toSet
+      === Set((3L, 1), (4L, 1)))
+    assert(rows.toSeq === run().toSeq) // md5-gated, not rand()
+  }
+
+  test("quality funnel stages are monotone over the fixture corpus") {
+    val r = graft.queries.PipelineQueries
+      .q77QualityFunnel(spark, "/root/testdata/sf0.001").head()
+    val vals = (0 until 5).map(r.getLong)
+    assert(vals(0) > 0)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
     val rnd = new scala.util.Random(19)
     val embs = Seq.tabulate(50)(i =>
