@@ -33,12 +33,31 @@ object SemDedup {
 
   /** Verified same-cell cosine pairs (id_a < id_b, cosine ≥ threshold).
     * Pure — nothing cached, safe to call in long-lived sessions.
+    *
+    * @param maxBucketSize optional skew guard (the
+    *   [[Dedup.lshCandidatePairs]] contract): a degenerate corpus — or
+    *   too few planes for the corpus density — collapses many vectors
+    *   into one cell and hands ONE task that cell's O(n²) cosine
+    *   verify. Capping keeps the `maxBucketSize` id-smallest vectors
+    *   per cell (deterministic; a per-cell sort, O(b log b), replaces
+    *   the O(b²) blow-up) at a recall cost — opt-in because the
+    *   uncapped result is the oracle-exact one. The non-degenerate fix
+    *   is more planes: cells should be sized to corpus density.
     */
   def nearDuplicatePairs(df: DataFrame, embCol: String, idCol: String,
-      threshold: Double, numPlanes: Int = 4): DataFrame = {
+      threshold: Double, numPlanes: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val dim = df.select(size(col(embCol))).head().getInt(0)
-    val b = df.select(col(idCol), col(embCol),
+    val b0 = df.select(col(idCol), col(embCol),
       Ann.lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
+    val b =
+      if (maxBucketSize == Int.MaxValue) b0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__bucket")).orderBy(col(idCol))
+        b0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucketSize).drop("__rn")
+      }
     val left = b.select(col("__bucket"), col(idCol).as("id_a"),
       col(embCol).as("__ea"))
     val right = b.select(col("__bucket").as("__bucket_b"),
@@ -56,9 +75,10 @@ object SemDedup {
     * [[Dedup.dropNearDuplicates]] / `Ann.IvfIndex`.
     */
   def dropEmbeddingNearDuplicates(df: DataFrame, embCol: String,
-      idCol: String, threshold: Double,
-      numPlanes: Int = 4): Dedup.NearDupResult = {
-    val edges = nearDuplicatePairs(df, embCol, idCol, threshold, numPlanes)
+      idCol: String, threshold: Double, numPlanes: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): Dedup.NearDupResult = {
+    val edges = nearDuplicatePairs(df, embCol, idCol, threshold, numPlanes,
+        maxBucketSize)
       .select(col("id_a"), col("id_b"))
     val mapping = Components.connectedComponents(edges)
     val losers = mapping.filter(col("id") =!= col("rep"))

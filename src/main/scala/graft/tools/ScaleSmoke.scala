@@ -65,7 +65,33 @@ object ScaleSmoke {
       "repetition signals" -> (d => TextAnalysis.withRepetitionSignals(d)
         .agg(sum(col("top_token_cnt"))).collect()),
       "exact dedup" -> (d => Dedup.exactSurvivors(d, "text", "doc_id")
-        .agg(count(lit(1))).collect()))
+        .agg(count(lit(1))).collect()),
+      "dup-ngram fraction" -> (d => TextAnalysis.dupNgramFraction(
+        d, "text", "doc_id", n = 5, minDocs = 5)
+        .agg(sum(col("n_dup"))).collect()),
+      "target affinity" -> (d => graft.text.Importance.targetAffinity(
+        d, "text", "doc_id", col("source") === "src0")
+        .agg(sum(col("affinity"))).collect()),
+      "quality funnel" -> (d => {
+        val sig = TextAnalysis.withPiiSignals(
+          TextAnalysis.withRepetitionSignals(TextAnalysis.withQualitySignals(d)))
+        sig.agg(sum(when(col("is_quality")
+          && TextAnalysis.langId(col("text")) === col("lang")
+          && col("n_emails") + col("n_ipv4") + col("n_phones") === 0, 1L)
+          .otherwise(0L))).collect()
+      }),
+      "upsample 2.5x" -> (d => graft.operators.Sampling.upsampleByWeight(
+        d, "source", "doc_id", Map("src0" -> 2.5))
+        .agg(count(lit(1))).collect()),
+      "training order" -> (d => graft.operators.Shard.trainingOrder(
+        d, "doc_id", seed = 7L, nShards = 8)
+        .groupBy(col("shard")).count().collect()))
+
+    // SMOKE_ONLY=substr,substr filters legs (dev iteration on one leg)
+    val legFilter = sys.env.get("SMOKE_ONLY").map(_.split(",").toSet)
+    def on(name: String): Boolean =
+      legFilter.forall(f => f.exists(name.contains))
+    val activeStages = stages.filter(s => on(s._1))
 
     // multipliers via args (default 1/4/16); small corpora are
     // scheduling-bound on 32 cores — flat ratios there mean headroom,
@@ -80,7 +106,7 @@ object ScaleSmoke {
     for (m <- mults) {
       val d = corpus(m)
       d.count()
-      for ((name, stage) <- stages) {
+      for ((name, stage) <- activeStages) {
         stage(d) // warm codegen for this stage shape
         results((name, m)) = time(stage(d))
       }
@@ -90,7 +116,7 @@ object ScaleSmoke {
     val growth = mults.last.toDouble / mults.head
     println(f"${"stage"}%-22s " + mults.map(m => f"${m + "x"}%8s").mkString(" ") +
       f"   ${mults.last}x/${mults.head}x (linear=$growth%.0f)")
-    for ((name, _) <- stages) {
+    for ((name, _) <- activeStages) {
       val ts = mults.map(m => results((name, m)))
       val ratio = ts.last / ts.head
       println(f"$name%-22s " + ts.map(t => f"$t%7.2fs").mkString(" ") +
@@ -113,23 +139,25 @@ object ScaleSmoke {
           col("p_type").as("ptype"), col("p_size").cast("string").as("psize"))
         .repartition(32).cache()
     }
-    val explainTs = mults.map { m =>
-      val part = scaledPart(m)
-      part.count()
-      val model = graft.matcher.TokenCosineModel()
-      val explainer = new graft.explain.CertaExplainer(part, part)
-      val probe = part.filter(col("id") === 0L)
-      explainer.explain(probe, probe, model, numTriangles = 10) // warm
-      val t = time {
-        val e = explainer.explain(probe, probe, model, numTriangles = 10)
-        if (e.saliency.columns.nonEmpty) e.saliency.count()
+    if (on("explain (certa core)")) {
+      val explainTs = mults.map { m =>
+        val part = scaledPart(m)
+        part.count()
+        val model = graft.matcher.TokenCosineModel()
+        val explainer = new graft.explain.CertaExplainer(part, part)
+        val probe = part.filter(col("id") === 0L)
+        explainer.explain(probe, probe, model, numTriangles = 10) // warm
+        val t = time {
+          val e = explainer.explain(probe, probe, model, numTriangles = 10)
+          if (e.saliency.columns.nonEmpty) e.saliency.count()
+        }
+        spark.catalog.clearCache()
+        m -> t
       }
-      spark.catalog.clearCache()
-      m -> t
+      val eRatio = explainTs.last._2 / explainTs.head._2
+      println(f"${"explain (certa core)"}%-22s " +
+        explainTs.map(t => f"${t._2}%7.2fs").mkString(" ") + f"   ${eRatio}%5.1f")
     }
-    val eRatio = explainTs.last._2 / explainTs.head._2
-    println(f"${"explain (certa core)"}%-22s " +
-      explainTs.map(t => f"${t._2}%7.2fs").mkString(" ") + f"   ${eRatio}%5.1f")
 
     // ---- candidate-search leg: reference-exact J3 (cross join) vs the
     // pluggable LSH-blocked generator, positive hunting, same budget.
@@ -145,121 +173,166 @@ object ScaleSmoke {
       run() // warm
       time(run())
     }
-    val candTs = mults.map { m =>
-      val part = scaledPart(m)
-      part.count()
-      val cross = timeGen(part, graft.candidates.CrossJoinGenerator)
-      val blocked = timeGen(part, graft.candidates.LshBlockingGenerator())
-      // amortized path: band keys computed once per source (the
-      // EvalDriver shape — caller-owned cache), probes pay a filter only
-      val keyed = graft.candidates.LshBlockingGenerator.withBandKeys(part).cache()
-      keyed.count()
-      val prekeyedGen = graft.candidates.LshBlockingGenerator(
-        prekeyed = Map(part -> keyed))
-      val prekeyed = timeGen(part, prekeyedGen)
-      keyed.unpersist(true)
-      spark.catalog.clearCache()
-      (cross, blocked, prekeyed)
+    if (on("support")) {
+  val candTs = mults.map { m =>
+        val part = scaledPart(m)
+        part.count()
+        val cross = timeGen(part, graft.candidates.CrossJoinGenerator)
+        val blocked = timeGen(part, graft.candidates.LshBlockingGenerator())
+        // amortized path: band keys computed once per source (the
+        // EvalDriver shape — caller-owned cache), probes pay a filter only
+        val keyed = graft.candidates.LshBlockingGenerator.withBandKeys(part).cache()
+        keyed.count()
+        val prekeyedGen = graft.candidates.LshBlockingGenerator(
+          prekeyed = Map(part -> keyed))
+        val prekeyed = timeGen(part, prekeyedGen)
+        keyed.unpersist(true)
+        spark.catalog.clearCache()
+        (cross, blocked, prekeyed)
+      }
+      println(f"${"support (cross J3)"}%-22s " +
+        candTs.map(t => f"${t._1}%7.2fs").mkString(" ") +
+        f"   ${candTs.last._1 / candTs.head._1}%5.1f")
+      println(f"${"support (lsh-blocked)"}%-22s " +
+        candTs.map(t => f"${t._2}%7.2fs").mkString(" ") +
+        f"   ${candTs.last._2 / candTs.head._2}%5.1f")
+      println(f"${"support (lsh prekeyed)"}%-22s " +
+        candTs.map(t => f"${t._3}%7.2fs").mkString(" ") +
+        f"   ${candTs.last._3 / candTs.head._3}%5.1f")
     }
-    println(f"${"support (cross J3)"}%-22s " +
-      candTs.map(t => f"${t._1}%7.2fs").mkString(" ") +
-      f"   ${candTs.last._1 / candTs.head._1}%5.1f")
-    println(f"${"support (lsh-blocked)"}%-22s " +
-      candTs.map(t => f"${t._2}%7.2fs").mkString(" ") +
-      f"   ${candTs.last._2 / candTs.head._2}%5.1f")
-    println(f"${"support (lsh prekeyed)"}%-22s " +
-      candTs.map(t => f"${t._3}%7.2fs").mkString(" ") +
-      f"   ${candTs.last._3 / candTs.head._3}%5.1f")
 
     // ---- image decode leg: real PNG encode→decode via javax.imageio,
     // pure per-row work — must be linear with corpus size.
-    val imgTs = mults.map { m =>
-      val ids = spark.range(20000L * m).select(col("id").as("doc_id"))
-        .repartition(32).cache()
-      ids.count()
-      def run(): Unit = graft.multimodal.Multimodal.decodeImageStats(
-        graft.multimodal.Multimodal.synthesizePngs(ids, "doc_id"))
-        .agg(sum(col("sum_red"))).collect()
-      run() // warm
-      val t = time(run())
-      spark.catalog.clearCache()
-      t
+    if (on("image decode")) {
+  val imgTs = mults.map { m =>
+        val ids = spark.range(20000L * m).select(col("id").as("doc_id"))
+          .repartition(32).cache()
+        ids.count()
+        def run(): Unit = graft.multimodal.Multimodal.decodeImageStats(
+          graft.multimodal.Multimodal.synthesizePngs(ids, "doc_id"))
+          .agg(sum(col("sum_red"))).collect()
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"image decode"}%-22s " +
+        imgTs.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${imgTs.last / imgTs.head}%5.1f")
     }
-    println(f"${"image decode"}%-22s " +
-      imgTs.map(t => f"$t%7.2fs").mkString(" ") +
-      f"   ${imgTs.last / imgTs.head}%5.1f")
 
     // ---- connected-components leg: near-dup pairs closed into clusters.
     // Edge count grows linearly (replicas share no shingles) and round
     // count logarithmically, so total time should track the near-dup
     // census's growth, not exceed it.
-    val ccTs = mults.map { m =>
-      val d = corpus(m)
-      d.count()
-      def run(): Unit = {
-        val mapping = graft.dedup.Components.connectedComponents(
-          Dedup.nearDuplicates(d, "text", "doc_id").select(col("id_a"), col("id_b")))
-        mapping.count()
-        mapping.unpersist(true)
+    if (on("neardup components")) {
+  val ccTs = mults.map { m =>
+        val d = corpus(m)
+        d.count()
+        def run(): Unit = {
+          val mapping = graft.dedup.Components.connectedComponents(
+            Dedup.nearDuplicates(d, "text", "doc_id").select(col("id_a"), col("id_b")))
+          mapping.count()
+          mapping.unpersist(true)
+        }
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
       }
-      run() // warm
-      val t = time(run())
-      spark.catalog.clearCache()
-      t
+      println(f"${"neardup components"}%-22s " +
+        ccTs.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${ccTs.last / ccTs.head}%5.1f")
     }
-    println(f"${"neardup components"}%-22s " +
-      ccTs.map(t => f"$t%7.2fs").mkString(" ") +
-      f"   ${ccTs.last / ccTs.head}%5.1f")
 
     // ---- as-of join leg: scaled event log, replica-distinct users —
     // per-user sort runs stay constant size, so the single key shuffle
     // must scale linearly.
-    val asofTs = mults.map { m =>
-      val ev0 = graft.sources.Tables.load(spark, sfDir, "events")
-      val ev = ev0.crossJoin(spark.range(m).select(col("id").as("__rep")))
-        .select((col("event_id") * m + col("__rep")).as("event_id"),
-          (col("user_id") * m + col("__rep")).as("user_id"),
-          col("ts"), col("event_type"))
-        .repartition(32).cache()
-      ev.count()
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("p_ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("c_ts"))
-      def run(): Unit = graft.operators.AsOf.joinAsOf(purchases, clicks,
-        Seq("user_id"), "p_ts", "c_ts", "click_id", Seq("click_id"))
-        .agg(count(col("click_id"))).collect()
-      run() // warm
-      val t = time(run())
-      spark.catalog.clearCache()
-      t
+    if (on("asof attribution")) {
+  val asofTs = mults.map { m =>
+        val ev0 = graft.sources.Tables.load(spark, sfDir, "events")
+        val ev = ev0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+          .select((col("event_id") * m + col("__rep")).as("event_id"),
+            (col("user_id") * m + col("__rep")).as("user_id"),
+            col("ts"), col("event_type"))
+          .repartition(32).cache()
+        ev.count()
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_ts"))
+        def run(): Unit = graft.operators.AsOf.joinAsOf(purchases, clicks,
+          Seq("user_id"), "p_ts", "c_ts", "click_id", Seq("click_id"))
+          .agg(count(col("click_id"))).collect()
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"asof attribution"}%-22s " +
+        asofTs.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${asofTs.last / asofTs.head}%5.1f")
     }
-    println(f"${"asof attribution"}%-22s " +
-      asofTs.map(t => f"$t%7.2fs").mkString(" ") +
-      f"   ${asofTs.last / asofTs.head}%5.1f")
 
     // ---- int8 quantized ANN leg: pure scan work (quantize + integer
     // dot + TakeOrdered) — must be linear like the image decode.
-    val int8Ts = mults.map { m =>
-      val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val e = e0.crossJoin(spark.range(m).select(col("id").as("__rep")))
-        .select((col("vec_id") * m + col("__rep")).as("vec_id"), col("embedding"))
-        .repartition(32).cache()
-      e.count()
-      val probe = e0.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0)
-      def run(): Unit = graft.similarity.Ann.int8TopK(
-        e, "embedding", "vec_id", probe, k = 10).collect()
-      run() // warm
-      val t = time(run())
-      spark.catalog.clearCache()
-      t
+    if (on("int8 ann topk")) {
+  val int8Ts = mults.map { m =>
+        val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val e = e0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+          .select((col("vec_id") * m + col("__rep")).as("vec_id"), col("embedding"))
+          .repartition(32).cache()
+        e.count()
+        val probe = e0.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0)
+        def run(): Unit = graft.similarity.Ann.int8TopK(
+          e, "embedding", "vec_id", probe, k = 10).collect()
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"int8 ann topk"}%-22s " +
+        int8Ts.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${int8Ts.last / int8Ts.head}%5.1f")
     }
-    println(f"${"int8 ann topk"}%-22s " +
-      int8Ts.map(t => f"$t%7.2fs").mkString(" ") +
-      f"   ${int8Ts.last / int8Ts.head}%5.1f")
+
+    // ---- semantic-dedup leg: replica-rotated embeddings (components
+    // cyclically shifted by the replica id — within-replica geometry
+    // identical to the base corpus, cross-replica projections
+    // decorrelated, so the m× corpus is m× distinct near-dup structure;
+    // a constant shift would be WRONG here: it pushes every high-shift
+    // replica to the same sign pattern and collapses them into one
+    // cell) with CELL COUNT GROWN WITH THE CORPUS (numPlanes += log2 m
+    // — the deployment rule: cells sized to corpus density, keeping
+    // per-cell pair work roughly constant). Verified-pair census.
+    if (on("semantic dedup")) {
+      val semTs = mults.map { m =>
+        val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val dim = e0.select(size(col("embedding"))).head().getInt(0)
+        val e = e0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+          .select((col("vec_id") * m + col("__rep")).as("vec_id"),
+            transform(col("embedding"), (_, i) =>
+              element_at(col("embedding"),
+                (pmod(i + col("__rep"), lit(dim)) + 1).cast("int")))
+              .as("embedding"))
+          .repartition(32).cache()
+        e.count()
+        val planes = 4 + (31 - Integer.numberOfLeadingZeros(math.max(m, 1)))
+        def run(): Unit = graft.similarity.SemDedup.nearDuplicatePairs(
+          e, "embedding", "vec_id", threshold = 0.4, numPlanes = planes)
+          .agg(count(lit(1))).collect()
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"semantic dedup"}%-22s " +
+        semTs.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${semTs.last / semTs.head}%5.1f")
+    }
     spark.stop()
   }
 }

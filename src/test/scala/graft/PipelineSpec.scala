@@ -488,6 +488,20 @@ class PipelineSpec extends SparkSpec {
     assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
   }
 
+  test("semantic dedup bucket cap bounds a degenerate cell deterministically") {
+    import graft.similarity.SemDedup
+    // 40 identical vectors: one cell, C(40,2)=780 pairs uncapped
+    val degen = (0L until 40L).map(i => (i, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val uncapped = SemDedup.nearDuplicatePairs(degen, "embedding", "vec_id", 0.9)
+    assert(uncapped.count() === 780L)
+    val capped = SemDedup.nearDuplicatePairs(degen, "embedding", "vec_id", 0.9,
+      maxBucketSize = 10)
+    val pairs = capped.collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    assert(pairs.size === 45) // C(10,2), id-smallest survivors
+    assert(pairs.flatMap(p => Set(p._1, p._2)) === (0L until 10L).toSet)
+  }
+
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
     val rnd = new scala.util.Random(19)
     val embs = Seq.tabulate(50)(i =>
