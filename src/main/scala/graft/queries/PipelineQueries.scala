@@ -1304,6 +1304,45 @@ object PipelineQueries {
       |  CAST(SUM(doc_id * copy_idx) AS BIGINT) AS checksum
       |FROM e GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Z-order layout census ([[graft.operators.ZOrder]]): orders
+    * Morton-interleaved on (customer, order-day) and rolled up by the
+    * top 4 z-bits — each of the 16 quadtree cells must confine BOTH
+    * dimensions to a ≤1024-wide band (the data-skipping property a
+    * single-column sort cannot give: it bounds one dimension and
+    * leaves the other full-range). Min/max per cell are exactly the
+    * file-statistics a pruned scan would consult.
+    */
+  def q79ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val day = datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+    graft.operators.ZOrder.layout(
+        o.withColumn("__day", day.cast("long")),
+        "o_custkey", "__day", bits = 12, nPartitions = 16)
+      .withColumn("zbucket", shiftright(col("zval"), 20))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_custkey")).as("min_cust"),
+        max(col("o_custkey")).as("max_cust"),
+        min(col("__day")).as("min_day"),
+        max(col("__day")).as("max_day"))
+      .orderBy(col("zbucket"))
+  }
+
+  val q79Sql: String = {
+    val terms = (0 until 12).flatMap(i => Seq(
+      s"(((ck >> $i) & 1) << ${2 * i + 1})",
+      s"(((dy >> $i) & 1) << ${2 * i})"))
+    s"""WITH d AS (SELECT o_custkey AS ck,
+       |  date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS dy
+       |  FROM orders),
+       |z AS (SELECT ck, dy, (${terms.mkString(" | ")}) AS zval FROM d)
+       |SELECT zval >> 20 AS zbucket, COUNT(*) AS n_orders,
+       |  MIN(ck) AS min_cust, MAX(ck) AS max_cust,
+       |  MIN(dy) AS min_day, MAX(dy) AS max_day
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1669,7 +1708,8 @@ object PipelineQueries {
     "q75_target_affinity" -> (q75TargetAffinity _),
     "q76_semdedup" -> (q76SemDedup _),
     "q77_quality_funnel" -> (q77QualityFunnel _),
-    "q78_upsample" -> (q78Upsample _))
+    "q78_upsample" -> (q78Upsample _),
+    "q79_zorder" -> (q79ZorderLayout _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1716,5 +1756,6 @@ object PipelineQueries {
     "q75_target_affinity" -> q75Sql,
     "q76_semdedup" -> q76Sql,
     "q77_quality_funnel" -> q77Sql,
-    "q78_upsample" -> q78Sql)
+    "q78_upsample" -> q78Sql,
+    "q79_zorder" -> q79Sql)
 }

@@ -502,6 +502,28 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.flatMap(p => Set(p._1, p._2)) === (0L until 10L).toSet)
   }
 
+  test("zValue interleaves bits; every z-bucket bounds BOTH dimensions") {
+    import graft.operators.ZOrder
+    // a=3 (011), b=5 (101), 3 bits: positions a→{1,3}, b→{0,4} = 27
+    val hand = Seq((3L, 5L)).toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b"), 3)).head().getLong(0)
+    assert(hand === 27L)
+    // uniform 64×64 grid, 6-bit z, top-4-bit buckets: every bucket
+    // confines both dims to a 16-wide band — the skipping property
+    val grid = spark.range(64L * 64L)
+      .select((col("id") / 64L).cast("long").as("a"),
+        (col("id") % 64L).as("b"))
+    val cells = grid
+      .select(col("a"), col("b"),
+        org.apache.spark.sql.functions.shiftright(
+          ZOrder.zValue(col("a"), col("b"), 6), 8).as("zb"))
+      .groupBy(col("zb"))
+      .agg(max(col("a")) - min(col("a")), max(col("b")) - min(col("b")))
+      .collect()
+    assert(cells.length === 16)
+    assert(cells.forall(r2 => r2.getLong(1) <= 15L && r2.getLong(2) <= 15L))
+  }
+
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
     val rnd = new scala.util.Random(19)
     val embs = Seq.tabulate(50)(i =>
