@@ -1343,6 +1343,48 @@ object PipelineQueries {
        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q80
+  /** Count-Min frequency estimates ([[graft.operators.CountMin]]) for
+    * the exact top-10 tokens, side by side with their true counts —
+    * the constant-state twin of q35's full census (the sketch shuffle
+    * carries ≤ depth×width rows per partition regardless of the
+    * distinct-key space; the estimate is the broadcast-join min).
+    * md5-portable hashing makes even the ESTIMATES hash-checkable.
+    */
+  def q80CountMin(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+      .limit(10)
+    val sk = graft.operators.CountMin.sketch(toks, "token")
+    graft.operators.CountMin.estimate(sk, exact.select(col("token")), "token")
+      .join(exact, Seq("token"))
+      .select(col("token"), col("exact_cnt"), col("est_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  val q80Sql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |cnt AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token),
+      |top AS (SELECT token, exact_cnt FROM cnt
+      |  ORDER BY exact_cnt DESC, token LIMIT 10),
+      |rb AS (SELECT range AS r FROM range(4)),
+      |sk AS (SELECT r,
+      |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15))
+      |    AS BIGINT) % 1024 AS bucket, COUNT(*) AS cnt
+      |  FROM tok, rb GROUP BY 1, 2),
+      |est AS (SELECT top.token, top.exact_cnt, MIN(sk.cnt) AS est_cnt
+      |  FROM top CROSS JOIN rb
+      |  JOIN sk ON sk.r = rb.r AND sk.bucket =
+      |    CAST(('0x' || substr(md5(CAST(rb.r AS VARCHAR) || '|' || top.token), 1, 15))
+      |      AS BIGINT) % 1024
+      |  GROUP BY 1, 2)
+      |SELECT token, exact_cnt, est_cnt FROM est
+      |ORDER BY exact_cnt DESC, token""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1709,7 +1751,8 @@ object PipelineQueries {
     "q76_semdedup" -> (q76SemDedup _),
     "q77_quality_funnel" -> (q77QualityFunnel _),
     "q78_upsample" -> (q78Upsample _),
-    "q79_zorder" -> (q79ZorderLayout _))
+    "q79_zorder" -> (q79ZorderLayout _),
+    "q80_countmin" -> (q80CountMin _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1757,5 +1800,6 @@ object PipelineQueries {
     "q76_semdedup" -> q76Sql,
     "q77_quality_funnel" -> q77Sql,
     "q78_upsample" -> q78Sql,
-    "q79_zorder" -> q79Sql)
+    "q79_zorder" -> q79Sql,
+    "q80_countmin" -> q80Sql)
 }

@@ -524,6 +524,30 @@ class PipelineSpec extends SparkSpec {
     assert(cells.forall(r2 => r2.getLong(1) <= 15L && r2.getLong(2) <= 15L))
   }
 
+  test("count-min: estimates dominate exact counts; sketches merge bucket-wise") {
+    import graft.operators.CountMin
+    def tk(d: DataFrame) =
+      d.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val toks = tk(docs)
+    // width 16 forces collisions — domination must hold regardless
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    val est = CountMin.estimate(
+      CountMin.sketch(toks, "token", depth = 4, width = 16),
+      exact.select(col("token")), "token", depth = 4, width = 16)
+    val j = est.join(exact, "token").collect()
+    assert(j.nonEmpty)
+    assert(j.forall(r2 => r2.getLong(1) >= r2.getLong(2)))
+    // merge rule: sketch(A ⊎ B) == bucket-wise sum of the halves
+    def rows(d: DataFrame) = d.collect()
+      .map(r2 => (r2.getInt(0), r2.getLong(1), r2.getLong(2))).toSet
+    val merged = CountMin.sketch(tk(docs.filter(col("doc_id") < 3)),
+        "token", 4, 16)
+      .unionByName(CountMin.sketch(tk(docs.filter(col("doc_id") >= 3)),
+        "token", 4, 16))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    assert(rows(merged) === rows(CountMin.sketch(toks, "token", 4, 16)))
+  }
+
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
     val rnd = new scala.util.Random(19)
     val embs = Seq.tabulate(50)(i =>
