@@ -1440,6 +1440,44 @@ object PipelineQueries {
       |      / CAST((n_a + n_b) * ta * tb AS DOUBLE) END AS chi2_term
       |FROM j, tot ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Batch kNN join ([[Ann.knnJoin]]): exact cosine top-3 for each of
+    * 5 probe vectors in ONE pass — the similarity-graph/retrieval-eval
+    * workload. Probes broadcast against the corpus scan; per-probe
+    * top-k resolves through the salted two-phase window (no probe's
+    * candidates ever sort on one reducer), which keeps a superset of
+    * the true top-k and is therefore exact — the full (probe, rank,
+    * neighbor, cosine) table hash-checks against a flat windowed
+    * oracle.
+    */
+  def q82KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    Ann.knnJoin(e, "embedding", "vec_id", probes, "probe_id", "embedding",
+        k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val q82Sql: String = {
+    def dotExpr(a: String, b: String): String =
+      s"""list_aggregate(list_transform(range(1, len($a) + 1),
+         |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pemb
+       |  FROM embeddings WHERE vec_id < 5),
+       |sc AS (SELECT p.probe_id, e.vec_id,
+       |  ${dotExpr("e.embedding", "p.pemb")} /
+       |  (sqrt(${dotExpr("e.embedding", "e.embedding")}) *
+       |   sqrt(${dotExpr("p.pemb", "p.pemb")})) AS cosine
+       |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+       |r AS (SELECT probe_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, vec_id ASC) AS rank FROM sc)
+       |SELECT probe_id, rank, vec_id, cosine FROM r WHERE rank <= 3
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1808,7 +1846,8 @@ object PipelineQueries {
     "q78_upsample" -> (q78Upsample _),
     "q79_zorder" -> (q79ZorderLayout _),
     "q80_countmin" -> (q80CountMin _),
-    "q81_drift" -> (q81DriftCensus _))
+    "q81_drift" -> (q81DriftCensus _),
+    "q82_knn_join" -> (q82KnnJoin _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1858,5 +1897,6 @@ object PipelineQueries {
     "q78_upsample" -> q78Sql,
     "q79_zorder" -> q79Sql,
     "q80_countmin" -> q80Sql,
-    "q81_drift" -> q81Sql)
+    "q81_drift" -> q81Sql,
+    "q82_knn_join" -> q82Sql)
 }

@@ -349,6 +349,43 @@ object Ann {
       embCol, idCol, probe, k, excludeId)
   }
 
+  /** Batch kNN JOIN: exact top-k neighbors for EVERY probe at once —
+    * the similarity-graph / retrieval-eval workload, where
+    * [[bruteForceTopK]]'s one-probe TakeOrdered doesn't apply.
+    *
+    * Shape: the probe set (small by definition — it's the side you
+    * broadcast) fans out against the corpus scan, then top-k per probe
+    * resolves in TWO phases: a first window over (probe, salt) keeps
+    * each salt-slice's k best — 64 bounded-size groups per probe, so
+    * no probe's n candidate rows ever sort on one reducer — and the
+    * final window ranks the ≤ 64k survivors per probe. Phase 1 keeps a
+    * superset of the true top-k (every global top-k row wins its own
+    * slice), so the result is EXACT — the [[graft.operators.Skew]]
+    * scatter/merge argument applied to TakeOrdered. Ties break on the
+    * neighbor id, making the full (rank, id, cosine) tuple
+    * deterministic and oracle-checkable.
+    */
+  def knnJoin(df: DataFrame, embCol: String, idCol: String,
+      probes: DataFrame, probeIdCol: String, probeEmbCol: String, k: Int,
+      nSalts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.crossJoin(broadcast(probes
+        .select(col(probeIdCol).as("__pid"), col(probeEmbCol).as("__pemb"))))
+      .filter(col(idCol) =!= col("__pid"))
+      .select(col("__pid"), col(idCol),
+        cosine(col(embCol), col("__pemb")).as("cosine"),
+        pmod(xxhash64(col(idCol)), lit(nSalts.toLong)).as("__salt"))
+    val byScore = Seq(col("cosine").desc, col(idCol).asc)
+    val local = Window.partitionBy(col("__pid"), col("__salt"))
+      .orderBy(byScore: _*)
+    val global = Window.partitionBy(col("__pid")).orderBy(byScore: _*)
+    scored
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col("__pid").as(probeIdCol), col("rank"), col(idCol),
+        col("cosine"))
+  }
+
   /** All-pairs near neighbors above a cosine threshold, LSH-bucketed:
     * the embedding analog of MinHash near-dup detection. Join is
     * per-bucket; at 100 TB this is the only tractable shape.

@@ -559,6 +559,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum > 0 && rows.map(_.getLong(2)).sum > 0)
   }
 
+  test("knn join: salted two-phase equals the flat per-probe top-k exactly") {
+    val rnd = new scala.util.Random(11)
+    val embs = Seq.tabulate(80)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val probes = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val twoPhase = Ann.knnJoin(embs, "embedding", "vec_id", probes,
+        "probe_id", "embedding", k = 5, nSalts = 16)
+      .collect().map(r2 =>
+        (r2.getLong(0), r2.getInt(1), r2.getLong(2), r2.getDouble(3))).toSet
+    // flat reference: single window, no salting
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val flat = embs.crossJoin(broadcast(probes
+        .select(col("probe_id"), col("embedding").as("pemb"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Ann.cosine(col("embedding"), col("pemb")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r2 =>
+        (r2.getLong(0), r2.getInt(3), r2.getLong(1), r2.getDouble(2))).toSet
+    assert(twoPhase === flat)
+    assert(twoPhase.size === 4 * 5)
+  }
+
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
     val rnd = new scala.util.Random(19)
     val embs = Seq.tabulate(50)(i =>
