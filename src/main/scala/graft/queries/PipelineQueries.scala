@@ -1478,6 +1478,125 @@ object PipelineQueries {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q83
+  /** Duplicated-span census ([[graft.text.SpanDedup]]): the
+    * exact-substring deduplication shape of Lee et al. 2022 at token
+    * granularity — every token covered by an 8-token window occurring
+    * ≥2 times corpus-wide lies in a duplicated span; spans merge on
+    * overlap/adjacency and the rebuilt span-free text is fingerprinted.
+    * Full per-doc mapping (span count, covered tokens, clean-text md5)
+    * hash-checked against a windowed gaps-and-islands oracle.
+    */
+  def q83SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.SpanDedup.spanCensus(
+        t(s, dir, "documents"), "text", "doc_id", n = 8, minCount = 2)
+      .orderBy(col("doc_id"))
+
+  val q83Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |gp AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos
+      |  FROM d WHERE len(tk) >= 8),
+      |g AS (SELECT doc_id, pos,
+      |  array_to_string(list_slice(tk, pos, pos + 7), ' ') AS gram FROM gp),
+      |hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      |m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM hot)),
+      |b AS (SELECT doc_id, pos,
+      |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+      |    THEN 1 ELSE 0 END AS brk FROM m),
+      |isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+      |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM b),
+      |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+      |  FROM isl GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id,
+      |  unnest(generate_series(span_start, span_end)) AS pos FROM sp),
+      |tok AS (SELECT doc_id, unnest(tk) AS tok,
+      |  unnest(generate_series(1, len(tk))) AS pos FROM d),
+      |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+      |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  WHERE c.pos IS NULL),
+      |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+      |  FROM kept GROUP BY doc_id),
+      |spc AS (SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(span_end - span_start + 1) AS BIGINT) AS covered_tokens
+      |  FROM sp GROUP BY doc_id)
+      |SELECT d.doc_id, len(d.tk) AS n_tokens,
+      |  COALESCE(spc.n_spans, 0) AS n_spans,
+      |  COALESCE(spc.covered_tokens, 0) AS covered_tokens,
+      |  md5(COALESCE(clean.ct, '')) AS clean_md5
+      |FROM d LEFT JOIN spc USING (doc_id) LEFT JOIN clean USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Sliding-window chunking census ([[graft.text.Chunking]]): every
+    * document split into 32-token windows advancing by 24 (8-token
+    * overlap) — the RAG-indexing / long-doc training shape. Pure
+    * integer scan-local arithmetic (the explode happens inside the
+    * scan; no shuffle anywhere); the full per-chunk mapping, including
+    * an md5 fingerprint of each chunk's text, hash-checks.
+    */
+  def q84Chunking(s: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.chunk(
+        t(s, dir, "documents"), "text", "doc_id", chunkSize = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_end"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q84Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, tk, len(tk) AS n,
+      |  unnest(generate_series(0, CASE WHEN len(tk) <= 32 THEN 0
+      |    ELSE (len(tk) - 32 + 23) // 24 END)) AS chunk_idx FROM d),
+      |s AS (SELECT doc_id, chunk_idx, chunk_idx * 24 + 1 AS chunk_start,
+      |  least(chunk_idx * 24 + 32, n) AS chunk_end, tk FROM c)
+      |SELECT doc_id, chunk_idx, chunk_start, chunk_end,
+      |  chunk_end - chunk_start + 1 AS n_chunk_tokens,
+      |  md5(array_to_string(list_slice(tk, chunk_start, chunk_end), ' ')) AS chunk_md5
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Inverted-index build ([[graft.text.Search.invertedIndex]]): the
+    * full postings mapping (term, doc, tf) — one scan-local explode plus
+    * one map-side-combined count on the (term, doc) key; at scale this
+    * is the frame you persist bucketed by `term` so a serving query
+    * reads only its terms' buckets. Entire postings list hash-checked.
+    */
+  def q85InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.text.Search.invertedIndex(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("term"), col("doc_id"))
+
+  val q85Sql: String =
+    """SELECT tok AS term, doc_id, COUNT(*) AS tf
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents WHERE text IS NOT NULL)
+      |GROUP BY tok, doc_id
+      |ORDER BY term, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Conjunctive keyword retrieval
+    * ([[graft.text.Search.conjunctiveTopK]]): docs containing ALL of
+    * {hash, join, scan}, ranked by summed term frequency, top 20 with a
+    * doc-id tiebreak. The term filter is a literal IN that pipelines
+    * inside the scan and the top-k is a TakeOrdered — one shuffle, no
+    * global sort, no prebuilt index needed.
+    */
+  def q86SearchTopK(s: SparkSession, dir: String): DataFrame =
+    graft.text.Search.conjunctiveTopK(t(s, dir, "documents"), "text",
+      "doc_id", terms = Seq("hash", "join", "scan"), k = 20)
+
+  val q86Sql: String =
+    """SELECT doc_id, COUNT(*) AS score
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents WHERE text IS NOT NULL)
+      |WHERE tok IN ('hash', 'join', 'scan')
+      |GROUP BY doc_id
+      |HAVING COUNT(DISTINCT tok) = 3
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1847,7 +1966,11 @@ object PipelineQueries {
     "q79_zorder" -> (q79ZorderLayout _),
     "q80_countmin" -> (q80CountMin _),
     "q81_drift" -> (q81DriftCensus _),
-    "q82_knn_join" -> (q82KnnJoin _))
+    "q82_knn_join" -> (q82KnnJoin _),
+    "q83_span_dedup" -> (q83SpanDedup _),
+    "q84_chunking" -> (q84Chunking _),
+    "q85_inverted_index" -> (q85InvertedIndex _),
+    "q86_search_topk" -> (q86SearchTopK _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -1898,5 +2021,9 @@ object PipelineQueries {
     "q79_zorder" -> q79Sql,
     "q80_countmin" -> q80Sql,
     "q81_drift" -> q81Sql,
-    "q82_knn_join" -> q82Sql)
+    "q82_knn_join" -> q82Sql,
+    "q83_span_dedup" -> q83Sql,
+    "q84_chunking" -> q84Sql,
+    "q85_inverted_index" -> q85Sql,
+    "q86_search_topk" -> q86Sql)
 }

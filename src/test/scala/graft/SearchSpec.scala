@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.text.Search
+
+/** Keyword-retrieval specs: hand-computed postings, conjunctive
+  * semantics (ALL terms required), tf-sum ranking with doc-id
+  * tiebreaks, and agreement between the index-free top-k and a brute
+  * force over the inverted index.
+  */
+class SearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus: DataFrame = Seq(
+    (1L, "spark join hash join scan"),
+    (2L, "hash scan hash scan join"),
+    (3L, "join join join"),
+    (4L, "scan hash"),
+    (5L, null.asInstanceOf[String])
+  ).toDF("id", "text")
+
+  test("inverted index holds exact per-doc term frequencies") {
+    val idx = Search.invertedIndex(corpus, "text", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(idx(("join", 1L)) === 2L)
+    assert(idx(("hash", 2L)) === 2L)
+    assert(idx(("join", 3L)) === 3L)
+    assert(idx.get(("spark", 2L)).isEmpty)
+    // null doc contributes nothing; postings count = distinct (term, doc)
+    assert(!idx.keys.exists(_._2 == 5L))
+    assert(idx.size === 4 + 3 + 1 + 2)
+  }
+
+  test("conjunctive top-k requires every term and ranks by summed tf") {
+    val r = Search.conjunctiveTopK(corpus, "text", "id",
+        Seq("hash", "scan"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // doc 3 lacks both; doc 1 has 1+1, doc 2 has 2+2, doc 4 has 1+1;
+    // tie between 1 and 4 breaks on ascending id
+    assert(r === Seq((2L, 4L), (1L, 2L), (4L, 2L)))
+    // k truncates after the deterministic order
+    assert(Search.conjunctiveTopK(corpus, "text", "id", Seq("hash", "scan"), 1)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("index-free top-k agrees with brute force over the index") {
+    val terms = Seq("join", "scan")
+    val viaIndex = Search.invertedIndex(corpus, "text", "id")
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .filter { case (_, ps) => terms.forall(t => ps.exists(_._2 == t)) }
+      .map { case (id, ps) =>
+        (id, ps.filter(p => terms.contains(p._2)).map(_._3).sum) }
+      .sortBy { case (id, s) => (-s, id) }
+    val direct = Search.conjunctiveTopK(corpus, "text", "id", terms, 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(direct === viaIndex)
+  }
+
+  test("degenerate inputs rejected") {
+    intercept[IllegalArgumentException] {
+      Search.conjunctiveTopK(corpus, "text", "id", Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Search.conjunctiveTopK(corpus, "text", "id", Seq("a", "a"), 5)
+    }
+  }
+}
