@@ -158,6 +158,73 @@ object Multimodal {
       .toDF("media_id", "width", "height", "sum_red", "sum_green", "sum_blue")
   }
 
+  /** REAL image resize: decode (per-partition reader lifecycle as in
+    * [[decodeImageStats]]), nearest-neighbor resample to `outW`×`outH`
+    * with the floor mapping srcX = x·srcW/outW — explicit integer
+    * arithmetic rather than Graphics2D interpolation so every output
+    * pixel is exactly reproducible by an oracle — then re-encode PNG.
+    * Output: (media_id, src_w, src_h, out_w, out_h, content,
+    * sum_red, sum_green, sum_blue) where the sums are integer-exact
+    * channel totals of the RESIZED pixels (the oracle surface; the
+    * re-encoded bytes are for downstream, PNG encoder output is not
+    * canonical across implementations).
+    */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "target dims must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        var reader: javax.imageio.ImageReader = null
+        val buf = new java.io.ByteArrayOutputStream()
+        new Iterator[(Long, Int, Int, Int, Int, Array[Byte], Long, Long, Long)] {
+          override def hasNext: Boolean = {
+            val more = it.hasNext
+            if (!more && reader != null) { reader.dispose(); reader = null }
+            more
+          }
+          override def next(): (Long, Int, Int, Int, Int, Array[Byte], Long, Long, Long) = {
+            val (id, bytes) = it.next()
+            if (reader == null)
+              reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("png").next()
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              reader.setInput(iis)
+              val src = reader.read(0)
+              val sw = src.getWidth
+              val sh = src.getHeight
+              val out = new java.awt.image.BufferedImage(outW, outH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < outH) {
+                val sy = (y.toLong * sh / outH).toInt
+                var x = 0
+                while (x < outW) {
+                  val sx = (x.toLong * sw / outW).toInt
+                  val p = src.getRGB(sx, sy)
+                  out.setRGB(x, y, p)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              buf.reset()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              (id, sw, sh, outW, outH, buf.toByteArray, sr, sg, sb)
+            } finally iis.close()
+          }
+        }
+      }
+      .toDF("media_id", "src_w", "src_h", "out_w", "out_h", "content",
+        "sum_red", "sum_green", "sum_blue")
+  }
+
   /** Frame sampling plumbing: split a payload into fixed-size "frames"
     * (the video analog) and emit one row per sampled frame — the
     * row-explosion shape of real frame extraction, with the decode

@@ -515,6 +515,36 @@ object PipelineQueries {
       |  CAST(SUM((doc_id * 11 + x + y) % 256) AS BIGINT) AS sum_blue
       |FROM px""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** REAL image resize census ([[Multimodal.resizeImages]]): 8×8
+    * synthetic PNGs decoded with the JDK codec, nearest-neighbor
+    * resampled to 5×3 (non-divisible ratios exercise the floor
+    * mapping), re-encoded, and the RESIZED pixels' integer channel
+    * sums reported per image. PNG is lossless and the resample mapping
+    * is integer arithmetic, so the full per-image mapping hash-checks
+    * against a formula replay — the decode→transform→encode path is
+    * what this gates.
+    */
+  def q89ImageResize(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val media = Multimodal.synthesizePngs(ids, "doc_id", w = 8, h = 8)
+    Multimodal.resizeImages(media, outW = 5, outH = 3)
+      .select(col("media_id").as("doc_id"), col("src_w"), col("src_h"),
+        col("out_w"), col("out_h"), col("sum_red"), col("sum_green"),
+        col("sum_blue"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q89Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, (xs.x * 8) // 5 AS sx, (ys.y * 8) // 3 AS sy
+      |  FROM documents, range(0, 5) xs(x), range(0, 3) ys(y))
+      |SELECT doc_id, 8 AS src_w, 8 AS src_h, 5 AS out_w, 3 AS out_h,
+      |  CAST(SUM((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_red,
+      |  CAST(SUM((doc_id * 17 + sx * 3 + sy * 5) % 256) AS BIGINT) AS sum_green,
+      |  CAST(SUM((doc_id * 11 + sx + sy) % 256) AS BIGINT) AS sum_blue
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q45
   /** Multimodal metadata census over the binary media table. */
   def q45MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
@@ -1597,6 +1627,53 @@ object PipelineQueries {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Positional postings ([[graft.text.Search.positionalIndex]]): the
+    * index shape phrase/proximity queries consult — per (term, doc) the
+    * sorted 1-based token positions, riding the same single shuffle as
+    * the tf index (collect_list + sort). Positions serialized to a
+    * comma-joined string so the full mapping hash-checks portably.
+    */
+  def q87PositionalIndex(s: SparkSession, dir: String): DataFrame =
+    graft.text.Search.positionalIndex(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("term"), col("doc_id"),
+        array_join(transform(col("positions"), _.cast("string")), ",")
+          .as("positions"))
+      .orderBy(col("term"), col("doc_id"))
+
+  val q87Sql: String =
+    """SELECT tok AS term, doc_id,
+      |  array_to_string(list_sort(list(pos)), ',') AS positions
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |        unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      |      FROM documents WHERE text IS NOT NULL)
+      |GROUP BY tok, doc_id
+      |ORDER BY term, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Exact-phrase retrieval ([[graft.text.Search.phraseTopK]]): docs
+    * containing the consecutive-token phrase "table table", with
+    * occurrence counts, top 15. The phrase reduces to a positioned
+    * 2-gram equality — a literal filter that pipelines inside the scan;
+    * one map-side-combined count shuffle; TakeOrdered top-k.
+    */
+  def q88PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.text.Search.phraseTopK(t(s, dir, "documents"), "text", "doc_id",
+      phrase = Seq("table", "table"), k = 15)
+
+  val q88Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id,
+      |    array_to_string(list_slice(tk, pos, pos + 1), ' ') AS gram
+      |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS pos
+      |        FROM d WHERE len(tk) >= 2))
+      |SELECT doc_id, COUNT(*) AS occurrences
+      |FROM g WHERE gram = 'table table'
+      |GROUP BY doc_id
+      |ORDER BY occurrences DESC, doc_id
+      |LIMIT 15""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Heavy-hitter user profile via SALTED two-phase aggregation
     * ([[graft.operators.Skew]]): per-user event counts and distinct
@@ -1970,7 +2047,10 @@ object PipelineQueries {
     "q83_span_dedup" -> (q83SpanDedup _),
     "q84_chunking" -> (q84Chunking _),
     "q85_inverted_index" -> (q85InvertedIndex _),
-    "q86_search_topk" -> (q86SearchTopK _))
+    "q86_search_topk" -> (q86SearchTopK _),
+    "q87_positional_index" -> (q87PositionalIndex _),
+    "q88_phrase_search" -> (q88PhraseSearch _),
+    "q89_image_resize" -> (q89ImageResize _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2025,5 +2105,8 @@ object PipelineQueries {
     "q83_span_dedup" -> q83Sql,
     "q84_chunking" -> q84Sql,
     "q85_inverted_index" -> q85Sql,
-    "q86_search_topk" -> q86Sql)
+    "q86_search_topk" -> q86Sql,
+    "q87_positional_index" -> q87Sql,
+    "q88_phrase_search" -> q88Sql,
+    "q89_image_resize" -> q89Sql)
 }

@@ -26,6 +26,49 @@ object Search {
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
 
+  /** Positional postings: (term, idCol, positions) with 1-based token
+    * positions sorted ascending — the index shape phrase and proximity
+    * queries consult. Same build cost as [[invertedIndex]] (the
+    * positions ride the same one shuffle as a collect_list), and the
+    * same bucketed-persist serving story.
+    */
+  def positionalIndex(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p0", "term")))
+      .groupBy(col("term"), col(idCol))
+      .agg(sort_array(collect_list(col("__p0") + 1L)).as("positions"))
+
+  /** Documents containing the exact `phrase` (consecutive tokens),
+    * with per-doc occurrence counts, ranked descending (doc id breaks
+    * ties), top `k`.
+    *
+    * Index-free one-shuffle shape: a phrase of m tokens occurs at
+    * position p iff the positioned m-gram starting at p equals it, so
+    * the scan emits each document's m-grams (scan-local explode), a
+    * literal equality filter pipelines inside the scan, the per-doc
+    * count map-side combines, and the top-k is a TakeOrdered. The
+    * served equivalent intersects [[positionalIndex]] postings with
+    * position arithmetic — same answer, reads only the phrase's terms.
+    */
+  def phraseTopK(df: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val m = phrase.size
+    val tk = TextAnalysis.tokens(col(textCol))
+    val grams = when(size(tk) >= m,
+      transform(sequence(lit(1), size(tk) - (m - 1)),
+        i => concat_ws(" ", (0 until m).map(j => element_at(tk, i + j)): _*))
+    ).otherwise(array().cast("array<string>"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(grams).as("__g"))
+      .filter(col("__g") === phrase.mkString(" "))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Documents containing ALL query terms, ranked by summed term
     * frequency (descending, doc id ascending on ties), top `k`.
     * `terms` must be distinct.

@@ -85,7 +85,21 @@ object ScaleSmoke {
         .agg(count(lit(1))).collect()),
       "training order" -> (d => graft.operators.Shard.trainingOrder(
         d, "doc_id", seed = 7L, nShards = 8)
-        .groupBy(col("shard")).count().collect()))
+        .groupBy(col("shard")).count().collect()),
+      "span dedup census" -> (d => graft.text.SpanDedup.spanCensus(
+        d, "text", "doc_id", n = 8, minCount = 2)
+        .agg(sum(col("covered_tokens")), sum(col("n_spans"))).collect()),
+      "inverted index" -> (d => graft.text.Search.invertedIndex(
+        d, "text", "doc_id")
+        .agg(count(lit(1)), sum(col("tf"))).collect()),
+      // replica-salted tokens make cross-replica phrases impossible, so
+      // probe the un-salted replica-0 phrase form of a common bigram
+      "phrase search" -> (d => graft.text.Search.phraseTopK(
+        d, "text", "doc_id", Seq("tabler0", "tabler0"), k = 15)
+        .collect()),
+      "chunking" -> (d => graft.text.Chunking.chunk(
+        d, "text", "doc_id", chunkSize = 32, stride = 24)
+        .agg(count(lit(1)), sum(col("n_chunk_tokens"))).collect()))
 
     // SMOKE_ONLY=substr,substr filters legs (dev iteration on one leg)
     val legFilter = sys.env.get("SMOKE_ONLY").map(_.split(",").toSet)

@@ -722,6 +722,41 @@ class PipelineSpec extends SparkSpec {
     assert(inits.value === 4L)
   }
 
+  test("image resize: nearest-neighbor mapping exact; output re-decodes") {
+    val ids = (0L until 12L).toDF("doc_id").repartition(3)
+    val media = Multimodal.synthesizePngs(ids, "doc_id", w = 8, h = 8)
+    val out = Multimodal.resizeImages(media, outW = 5, outH = 3).collect()
+    assert(out.length === 12)
+    def px(id: Long, x: Long, y: Long): (Long, Long, Long) =
+      ((id * 31 + x * 7 + y * 13) % 256,
+        (id * 17 + x * 3 + y * 5) % 256,
+        (id * 11 + x + y) % 256)
+    // resized channel sums equal the floor-mapping formula replay
+    val row = out.find(_.getLong(0) == 7L).get
+    val expected = for (x <- 0 until 5; y <- 0 until 3)
+      yield px(7L, x * 8 / 5, y * 8 / 3)
+    assert((row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)) ===
+      ((8, 8, 5, 3)))
+    assert(row.getLong(6) === expected.map(_._1).sum)
+    assert(row.getLong(7) === expected.map(_._2).sum)
+    assert(row.getLong(8) === expected.map(_._3).sum)
+    // the re-encoded PNG decodes back to exactly the resized pixels
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](5)))
+    assert(img.getWidth === 5 && img.getHeight === 3)
+    for (x <- 0 until 5; y <- 0 until 3) {
+      val (r, g, b) = px(7L, x * 8 / 5, y * 8 / 3)
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) === ((r, g, b)))
+    }
+    // upscale duplicates source pixels (2×2 → 4×4: each src pixel 4×)
+    val small = Multimodal.synthesizePngs(ids.limit(1), "doc_id", w = 2, h = 2)
+    val up = Multimodal.resizeImages(small, 4, 4).collect().head
+    val srcSum = (for (x <- 0L until 2L; y <- 0L until 2L) yield px(0L, x, y))
+    assert(up.getLong(6) === srcSum.map(_._1).sum * 4)
+    assert(up.getLong(8) === srcSum.map(_._3).sum * 4)
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped

@@ -58,6 +58,58 @@ class SearchSpec extends SparkSpec {
     assert(direct === viaIndex)
   }
 
+  test("positional index holds sorted 1-based positions per (term, doc)") {
+    val pos = Search.positionalIndex(corpus, "text", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](2))
+      .toMap
+    assert(pos(("join", 1L)) === Seq(2L, 4L))
+    assert(pos(("hash", 2L)) === Seq(1L, 3L))
+    assert(pos(("spark", 1L)) === Seq(1L))
+    // positions reconstruct tfs exactly
+    val tf = Search.invertedIndex(corpus, "text", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pos.view.mapValues(_.size.toLong).toMap === tf)
+  }
+
+  test("phrase search counts consecutive occurrences, incl. overlaps") {
+    val d = docs(
+      (1L, "a a a b"),        // "a a" occurs at 1 and 2 (overlapping)
+      (2L, "a b a b"),        // never consecutive
+      (3L, "a a"),
+      (4L, "a"))              // shorter than the phrase
+    val r = Search.phraseTopK(d, "text", "id", Seq("a", "a"), 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((1L, 2L), (3L, 1L)))
+    // single-token phrase degenerates to tf ranking of that term
+    val single = Search.phraseTopK(d, "text", "id", Seq("a"), 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(single === Seq((1L, 3L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("scan-side phrase count agrees with positional-index intersection") {
+    val phrase = Seq("hash", "scan")
+    // serve the phrase from the index: positions of term i, shifted by
+    // -i, intersected across terms = phrase start positions
+    val idx = Search.positionalIndex(corpus, "text", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](2))
+      .toMap
+    val docsWithAll = idx.keys.filter(k => phrase.contains(k._1))
+      .map(_._2).toSeq.distinct
+      .filter(id => phrase.forall(t => idx.contains((t, id))))
+    val served = docsWithAll.map { id =>
+      val starts = phrase.zipWithIndex
+        .map { case (t, i) => idx((t, id)).map(_ - i).toSet }
+        .reduce(_ intersect _)
+      id -> starts.size.toLong
+    }.filter(_._2 > 0).toMap
+    val direct = Search.phraseTopK(corpus, "text", "id", phrase, 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(direct === served)
+  }
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("id", "text")
+
   test("degenerate inputs rejected") {
     intercept[IllegalArgumentException] {
       Search.conjunctiveTopK(corpus, "text", "id", Seq.empty, 5)
