@@ -412,6 +412,75 @@ object Relational {
       |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |GROUP BY a.p_brand ORDER BY brand""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Hierarchical ROLLUP with grouping_id: the subtotal/grand-total
+    * lattice over (returnflag, linestatus) in ONE pass — partial
+    * aggregation handles all levels map-side, so the shuffle carries
+    * at most (groups × levels) rows regardless of input size.
+    */
+  def q90Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_price"), col("n_items"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q90Sql: String =
+    """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** PIVOT: per-region order revenue spread across the five order
+    * priorities as columns. Explicit pivot values keep the plan a
+    * single pass (no distinct-values pre-query); the wide result is
+    * one partial-agg shuffle of (regions × 1) rows.
+    */
+  def q91Pivot(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    val wide = joined.groupBy(col("r_name"))
+      .pivot("o_orderpriority", pris)
+      .agg(sum(dec2(col("o_totalprice"))).cast("double"))
+    pris.zipWithIndex.foldLeft(wide) { case (df, (p, i)) =>
+        df.withColumnRenamed(p, s"rev_p${i + 1}")
+      }
+      .select(col("r_name") +: pris.indices.map(i =>
+        coalesce(col(s"rev_p${i + 1}"), lit(0.0)).as(s"rev_p${i + 1}")): _*)
+      .orderBy(col("r_name"))
+  }
+
+  val q91Sql: String = {
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val cols = pris.zipWithIndex.map { case (p, i) =>
+      s"  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) " +
+        s"FILTER (WHERE o_orderpriority = '$p') AS DOUBLE), 0.0) AS rev_p${i + 1}"
+    }.mkString(",\n")
+    s"""SELECT r_name,
+       |$cols
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+  }
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -430,7 +499,9 @@ object Relational {
     "q14_group_having" -> (q14GroupHaving _),
     "q15_month_buckets" -> (q15MonthBuckets _),
     "q16_composite_id" -> (q16CompositeId _),
-    "q17_token_diff" -> (q17TokenDiff _))
+    "q17_token_diff" -> (q17TokenDiff _),
+    "q90_rollup" -> (q90Rollup _),
+    "q91_pivot" -> (q91Pivot _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -449,5 +520,7 @@ object Relational {
     "q14_group_having" -> q14Sql,
     "q15_month_buckets" -> q15Sql,
     "q16_composite_id" -> q16Sql,
-    "q17_token_diff" -> q17Sql)
+    "q17_token_diff" -> q17Sql,
+    "q90_rollup" -> q90Sql,
+    "q91_pivot" -> q91Sql)
 }

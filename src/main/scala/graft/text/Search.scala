@@ -60,7 +60,14 @@ object Search {
       transform(sequence(lit(1), size(tk) - (m - 1)),
         i => concat_ws(" ", (0 until m).map(j => element_at(tk, i + j)): _*))
     ).otherwise(array().cast("array<string>"))
-    df.filter(col(textCol).isNotNull)
+    // exactly-conservative prefilter: tokens are split(text, " "), and
+    // split-then-join on a single space is the identity (empty tokens
+    // preserve runs of spaces), so a matching m-gram appears VERBATIM
+    // in the raw text. The contains pushes into the scan and the gram
+    // explode only runs on candidate documents — for a selective
+    // phrase the corpus-wide explode cost disappears.
+    df.filter(col(textCol).isNotNull
+        && col(textCol).contains(phrase.mkString(" ")))
       .select(col(idCol), explode(grams).as("__g"))
       .filter(col("__g") === phrase.mkString(" "))
       .groupBy(col(idCol))
