@@ -442,9 +442,10 @@ object Relational {
 
   // ---------------------------------------------------------------- q91
   /** PIVOT: per-region order revenue spread across the five order
-    * priorities as columns. Explicit pivot values keep the plan a
-    * single pass (no distinct-values pre-query); the wide result is
-    * one partial-agg shuffle of (regions × 1) rows.
+    * priorities as columns. Explicit pivot values avoid the
+    * distinct-values pre-query (an extra job + collect); Spark then
+    * aggregates in two bounded passes — (region, priority) partials,
+    * then the pivot — whose shuffles carry only group-sized rows.
     */
   def q91Pivot(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")

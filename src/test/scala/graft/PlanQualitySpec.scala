@@ -304,4 +304,40 @@ class PlanQualitySpec extends SparkSpec {
     // aggregate/transform lambdas — the fused plan carries none
     assert(!p.contains("aggregate("), p)
   }
+
+  test("q88: phrase prefilter sits below the gram explode; top-k is TakeOrdered") {
+    val p = plan(PipelineQueries.q88PhraseSearch(spark, dir))
+    // the conservative substring filter must gate the Generate (explode),
+    // not run after it — candidate docs only pay the gram expansion
+    assert(p.contains("Contains"), p)
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    val gen = tree.indexWhere(_.contains("Generate"))
+    // parents print first, so the scan-side filter is the LAST Filter
+    // and must sit deeper than the explode
+    val filt = tree.lastIndexWhere(_.contains("Filter"))
+    assert(gen >= 0 && filt > gen, p)
+    assert(p.contains("StringContains"), p) // pushed to the parquet scan
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
+
+  test("q90: rollup is Expand + partial aggregation around one exchange") {
+    val p = plan(Relational.q90Rollup(spark, dir))
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    assert(tree.exists(_.contains("Expand")), p)
+    assert(tree.count(_.contains("HashAggregate")) >= 2, p)
+    assert(tree.count(_.contains("Exchange")) <= 2, p) // agg + final sort
+  }
+
+  test("q91: pivot aggregates in two bounded passes — dims broadcast") {
+    val p = plan(Relational.q91Pivot(spark, dir))
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    // Spark pivots as groupBy(key, pivotCol) then pivot — two agg
+    // exchanges whose rows are group-sized, plus the output sort; with
+    // explicit values there is NO distinct-values pre-job (which would
+    // add a fourth exchange and a separate collect)
+    assert(tree.count(l => l.contains("Exchange") && !l.contains("Broadcast")) <= 3,
+      p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
