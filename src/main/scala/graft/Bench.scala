@@ -12,13 +12,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // scratch on tmpfs: streaming checkpoints fsync per micro-batch and
+    // spills share the device — route them off the (contended) root disk
+    // so timings measure the engine, not the host's IO queue
+    val scratch = graft.tools.Scratch.route("graft-bench-")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch.foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: schema read + one small shuffle + codegen paths

@@ -10,12 +10,17 @@ object Verify {
     // the driver always passes exactly sfDir + outDir)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // same tmpfs scratch routing as Bench: the streaming queries'
+    // temp checkpoints otherwise fsync against the root disk
+    val scratch = graft.tools.Scratch.route("graft-verify-")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch.foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -17,18 +17,40 @@ object Tables {
   /** S1: columnar scan with pushdown — projections/filters applied by the
     * caller reach the parquet reader via Catalyst (PushedFilters).
     *
-    * events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default; nanosAsLong surfaces it as LongType and
-    * [[load]] rebuilds a proper TimestampType `ts` (micros precision —
-    * all our event-time bucketing is ≥ second granularity).
+    * events.parquet has shipped with `ts` as TIMESTAMP(NANOS) in some
+    * fixture generations and TIMESTAMP(MICROS, non-UTC-adjusted) in
+    * others; [[normalizeTs]] accepts either and yields one canonical
+    * TimestampType `ts` (micros precision under the UTC session — all
+    * our event-time bucketing is ≥ second granularity).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      // parquet schema conversion reads this conf through SQLConf.get,
+      // which resolves via the THREAD-LOCAL active session — on a thread
+      // that never ran an action (e.g. a fresh pool thread driving this
+      // session) it falls back to defaults and a NANOS ts fails the read.
+      // Pin the active session so the conf.set is visible to this read.
+      SparkSession.setActiveSession(spark)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Canonicalize the `ts` column to TimestampType regardless of how the
+    * parquet stored it: NANOS arrive as LongType (under nanosAsLong) and
+    * are truncated to micros; non-UTC-adjusted MICROS arrive as
+    * TIMESTAMP_NTZ and cast value-preserving under the UTC session zone;
+    * UTC-adjusted MICROS are already TimestampType.
+    */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
+    raw.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn(tsCol,
+          expr(s"$tsCol").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
     }
 
   /** [[load]] + fan-out for tables feeding per-row-HEAVY operators

@@ -12,27 +12,25 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Raw events schema as stored (ts is TIMESTAMP(NANOS) in the parquet;
-    * read as long + rebuilt, same shim as graft.sources.Tables).
-    */
-  val rawEventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-stream source over the events parquet (file sources stream a
-    * directory; the glob filter narrows it to the events table).
+    * directory; the glob filter narrows it to the events table). The
+    * stream schema is probed from the file itself — fixture generations
+    * have stored `ts` as TIMESTAMP(NANOS) or TIMESTAMP(MICROS) — and
+    * [[graft.sources.Tables.normalizeTs]] canonicalizes either to
+    * TimestampType.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // same thread-local pitfall as Tables.load: pin the active session
+    // so the nanosAsLong conf governs this thread's schema resolution
+    SparkSession.setActiveSession(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    graft.sources.Tables.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling event-time window aggregation with a watermark: per-window

@@ -15,6 +15,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // set from birth, not at first events read: suites run in parallel
+    // threads, and a thread without an active session resolves parquet
+    // schemas against DEFAULT conf values (ts → TIMESTAMP_NTZ flake)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // managed tables (BucketingSpec) must never land in the repo tree
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
