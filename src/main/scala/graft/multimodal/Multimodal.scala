@@ -225,6 +225,94 @@ object Multimodal {
         "sum_red", "sum_green", "sum_blue")
   }
 
+  /** Deterministic synthetic WAV (RIFF/PCM16LE mono) per row — WAV is a
+    * codec-less container, so the AUDIO modality can be fully real in
+    * the JDK: samples are pure integer arithmetic in (id, i), the
+    * canonical 44-byte header is written by hand (byte-deterministic),
+    * and [[decodeAudioStats]] parses it back through the actual
+    * `javax.sound.sampled` API. Sample count varies per id
+    * (1000 + (id mod 7)·100) so the last analysis window is partial —
+    * the edge a fixed-size fixture would never exercise.
+    */
+  def synthesizeWavs(ids: DataFrame, idCol: String = "doc_id",
+      sampleRate: Int = 16000): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val n = (1000 + (id % 7) * 100).toInt
+      val bytes = new Array[Byte](44 + 2 * n)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var i = 0
+      while (i < n) {
+        bb.putShort((((id * 31 + i.toLong * 7) % 2003) - 1001).toShort)
+        i += 1
+      }
+      (id, bytes)
+    }.toDF("media_id", "content")
+  }
+
+  /** REAL audio decode + windowed energy analysis: each payload goes
+    * through `javax.sound.sampled.AudioSystem` (actual RIFF header
+    * parse — sample rate, channels and sample width come from the
+    * decoded `AudioFormat`, not from assumptions), PCM samples are
+    * windowed into `windowSamples`-sample frames, and each frame gets
+    * integer-exact energy features: sum of |sample|, max |sample|, and
+    * rising zero crossings (the classic voice-activity-detection
+    * trio — all integer arithmetic, so a SQL oracle can replay them
+    * from the generation formula). Output: one row per (media_id,
+    * window_index).
+    */
+  def decodeAudioStats(media: DataFrame, windowSamples: Int = 256): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+              s"expected PCM16LE, got $fmt")
+            val pcm = ais.readAllBytes()
+            val nSamples = pcm.length / (2 * fmt.getChannels)
+            val sb = java.nio.ByteBuffer.wrap(pcm)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+            val nWindows = (nSamples + windowSamples - 1) / windowSamples
+            (0 until nWindows).map { w =>
+              val start = w * windowSamples
+              val end = math.min(nSamples, start + windowSamples)
+              var sumAbs = 0L; var maxAbs = 0L; var rising = 0L
+              var i = start
+              while (i < end) {
+                val v = sb.get(i * fmt.getChannels).toLong
+                val a = math.abs(v)
+                sumAbs += a
+                if (a > maxAbs) maxAbs = a
+                if (i > start && sb.get((i - 1) * fmt.getChannels) < 0 && v >= 0)
+                  rising += 1
+                i += 1
+              }
+              (id, w, end - start, fmt.getSampleRate.toInt,
+                fmt.getChannels, sumAbs, maxAbs, rising)
+            }
+          } finally ais.close()
+        }
+      }
+      .toDF("media_id", "window_index", "n_samples", "sample_rate",
+        "channels", "sum_abs", "max_abs", "n_rising")
+  }
+
   /** Frame sampling plumbing: split a payload into fixed-size "frames"
     * (the video analog) and emit one row per sampled frame — the
     * row-explosion shape of real frame extraction, with the decode

@@ -1994,6 +1994,112 @@ object PipelineQueries {
       |  (SELECT COUNT(*) FROM documents WHERE source = 'src19') AS n_benchmark,
       |  (SELECT COUNT(*) FROM cont) AS n_contaminated""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** REAL audio decode + windowed energy census
+    * ([[Multimodal.synthesizeWavs]]/[[Multimodal.decodeAudioStats]]):
+    * one deterministic PCM16 WAV per document (sample values are
+    * integer arithmetic in (doc_id, i); lengths vary so the last
+    * 256-sample window is partial), decoded through the actual
+    * `javax.sound.sampled` API — sample rate and channel count in the
+    * output come from the parsed RIFF header, not from assumptions —
+    * then the VAD-style per-window trio (sum|v|, max|v|, rising zero
+    * crossings) rolled up per document. All integer-exact, so the full
+    * per-doc mapping hash-checks against a formula replay.
+    */
+  def q92AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val media = Multimodal.synthesizeWavs(ids, "doc_id")
+    Multimodal.decodeAudioStats(media, windowSamples = 256)
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("sum_abs") >= 128000L, 1L).otherwise(0L)).as("n_active"),
+        sum(col("sum_abs")).as("sum_abs"),
+        max(col("max_abs")).as("max_abs"),
+        sum(col("n_rising")).as("n_rising"),
+        min(col("sample_rate")).as("sample_rate"),
+        min(col("channels")).as("channels"))
+      .select(col("media_id").as("doc_id"), col("n_windows"),
+        col("n_active"), col("sum_abs"), col("max_abs"), col("n_rising"),
+        col("sample_rate"), col("channels"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q92Sql: String =
+    """WITH d AS (SELECT doc_id, 1000 + (doc_id % 7) * 100 AS n FROM documents),
+      |s AS (SELECT doc_id, i.i AS i,
+      |    (doc_id * 31 + i.i * 7) % 2003 - 1001 AS v
+      |  FROM d, range(0, 1600) i(i) WHERE i.i < n),
+      |w AS (SELECT doc_id, i // 256 AS w,
+      |    SUM(ABS(v)) AS sum_abs, MAX(ABS(v)) AS max_abs,
+      |    SUM(CASE WHEN i % 256 > 0
+      |          AND ((doc_id * 31 + (i - 1) * 7) % 2003 - 1001) < 0
+      |          AND v >= 0 THEN 1 ELSE 0 END) AS n_rising
+      |  FROM s GROUP BY doc_id, (i // 256))
+      |SELECT doc_id, COUNT(*) AS n_windows,
+      |  CAST(SUM(CASE WHEN sum_abs >= 128000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+      |  CAST(SUM(sum_abs) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(max_abs) AS BIGINT) AS max_abs,
+      |  CAST(SUM(n_rising) AS BIGINT) AS n_rising,
+      |  16000 AS sample_rate, 1 AS channels
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+  /** Incremental corpus MERGE ([[graft.operators.Upsert]]): a recrawl
+    * batch — revised texts for every 7th doc (null texts stay null,
+    * matching SQL `||` propagation), brand-new ids for every 13th —
+    * upserted into the corpus SCD1-style, plus the audit change census
+    * (inserted / updated / unchanged / untouched). One hash join each;
+    * AQE broadcasts the small batch side, so the corpus never shuffles.
+    * The content-hash sum pins the exact merged (doc_id, text) multiset.
+    */
+  def q93Upsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val revised = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("text", concat(col("text"), lit(" rev2")))
+    val fresh = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val updates = revised.unionByName(fresh)
+    val merged = graft.operators.Upsert.upsert(docs, updates, Seq("doc_id"))
+    val census = graft.operators.Upsert.changeCensus(
+      docs, updates, Seq("doc_id"), Seq("text", "lang", "source"))
+    merged.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("doc_id") >= 1000000000L, 1L).otherwise(0L))
+          .as("n_new_ids"),
+        sum(pmod(Dedup.portableHash60(
+            concat(col("doc_id").cast("string"), lit("|"),
+              coalesce(col("text"), lit("<null>")))),
+          lit(1000003L))).as("content_hash_sum"))
+      .crossJoin(census)
+  }
+
+  val q93Sql: String =
+    """WITH docs AS (SELECT doc_id, text, lang, source FROM documents),
+      |upd AS (
+      |  SELECT doc_id, text || ' rev2' AS text, lang, source
+      |  FROM docs WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text, lang, source
+      |  FROM docs WHERE doc_id % 13 = 0),
+      |merged AS (
+      |  SELECT * FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      |  UNION ALL SELECT * FROM upd)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN doc_id >= 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new_ids,
+      |  CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+      |    COALESCE(text, '<null>')), 1, 15)) AS BIGINT) % 1000003) AS BIGINT)
+      |    AS content_hash_sum,
+      |  (SELECT COUNT(*) FROM upd WHERE doc_id >= 1000000000) AS n_inserted,
+      |  (SELECT COUNT(*) FROM docs WHERE doc_id % 7 = 0 AND text IS NOT NULL)
+      |    AS n_updated,
+      |  (SELECT COUNT(*) FROM docs WHERE doc_id % 7 = 0 AND text IS NULL)
+      |    AS n_unchanged,
+      |  (SELECT COUNT(*) FROM docs WHERE doc_id % 7 <> 0) AS n_untouched
+      |FROM merged""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2050,7 +2156,9 @@ object PipelineQueries {
     "q86_search_topk" -> (q86SearchTopK _),
     "q87_positional_index" -> (q87PositionalIndex _),
     "q88_phrase_search" -> (q88PhraseSearch _),
-    "q89_image_resize" -> (q89ImageResize _))
+    "q89_image_resize" -> (q89ImageResize _),
+    "q92_audio_decode" -> (q92AudioDecode _),
+    "q93_upsert" -> (q93Upsert _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2108,5 +2216,7 @@ object PipelineQueries {
     "q86_search_topk" -> q86Sql,
     "q87_positional_index" -> q87Sql,
     "q88_phrase_search" -> q88Sql,
-    "q89_image_resize" -> q89Sql)
+    "q89_image_resize" -> q89Sql,
+    "q92_audio_decode" -> q92Sql,
+    "q93_upsert" -> q93Sql)
 }

@@ -482,6 +482,33 @@ object Relational {
        |GROUP BY r_name ORDER BY r_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q94
+  /** CUBE over (priority, status): all four grouping-set combinations —
+    * per-cell, per-priority, per-status, grand total — in ONE pass,
+    * completing the grouping-set family next to q90's ROLLUP. Same
+    * scale shape: the Expand multiplies rows map-side but partial
+    * aggregation collapses them before the shuffle, which carries at
+    * most (cells × 4) rows.
+    */
+  def q94Cube(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(col("gid"), col("o_orderpriority"), col("o_orderstatus"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  val q94Sql: String =
+    """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -502,7 +529,8 @@ object Relational {
     "q16_composite_id" -> (q16CompositeId _),
     "q17_token_diff" -> (q17TokenDiff _),
     "q90_rollup" -> (q90Rollup _),
-    "q91_pivot" -> (q91Pivot _))
+    "q91_pivot" -> (q91Pivot _),
+    "q94_cube" -> (q94Cube _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -523,5 +551,6 @@ object Relational {
     "q16_composite_id" -> q16Sql,
     "q17_token_diff" -> q17Sql,
     "q90_rollup" -> q90Sql,
-    "q91_pivot" -> q91Sql)
+    "q91_pivot" -> q91Sql,
+    "q94_cube" -> q94Sql)
 }

@@ -757,6 +757,54 @@ class PipelineSpec extends SparkSpec {
     assert(up.getLong(8) === srcSum.map(_._3).sum * 4)
   }
 
+  test("audio decode: real WAV round trip, windowed stats match the formula") {
+    val ids = (0L until 21L).toDF("doc_id").repartition(3)
+    val media = Multimodal.synthesizeWavs(ids, "doc_id")
+    val stats = Multimodal.decodeAudioStats(media, windowSamples = 256).collect()
+    def sample(id: Long, i: Long): Long = (id * 31 + i * 7) % 2003 - 1001
+    def n(id: Long): Int = (1000 + (id % 7) * 100).toInt
+    // window counts: ceil(n/256), with a PARTIAL last window (n is never
+    // a multiple of 256 here)
+    val byDoc = stats.groupBy(_.getLong(0))
+    assert(byDoc.keySet === (0L until 21L).toSet)
+    for (id <- Seq(0L, 3L, 6L)) {
+      val ws = byDoc(id).sortBy(_.getInt(1))
+      assert(ws.length === (n(id) + 255) / 256)
+      assert(ws.last.getInt(2) === n(id) - 256 * (ws.length - 1))
+      // header fields come from the REAL javax.sound parse
+      assert(ws.head.getInt(3) === 16000 && ws.head.getInt(4) === 1)
+      // window 1 stats replayed from the generation formula
+      val w1 = ws(1)
+      val range = 256 until math.min(512, n(id))
+      assert(w1.getLong(5) === range.map(i => math.abs(sample(id, i))).sum)
+      assert(w1.getLong(6) === range.map(i => math.abs(sample(id, i))).max)
+      assert(w1.getLong(7) === range.drop(1).count(i =>
+        sample(id, i - 1) < 0 && sample(id, i) >= 0))
+    }
+  }
+
+  test("upsert: updates win, inserts land, census classifies key fates") {
+    import graft.operators.Upsert
+    val current = Seq(
+      (1L, "alpha", "en"), (2L, "beta", "en"),
+      (3L, null.asInstanceOf[String], "en"), (4L, "delta", "fr")
+    ).toDF("id", "text", "lang")
+    val updates = Seq(
+      (2L, "beta v2", "en"),                     // changed text
+      (3L, null.asInstanceOf[String], "en"),     // identical incl. null text
+      (9L, "new doc", "de")                      // brand-new key
+    ).toDF("id", "text", "lang")
+    val merged = Upsert.upsert(current, updates, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(merged === Set(
+      (1L, "alpha", "en"), (2L, "beta v2", "en"),
+      (3L, null, "en"), (4L, "delta", "fr"), (9L, "new doc", "de")))
+    val c = Upsert.changeCensus(current, updates, Seq("id"),
+      Seq("text", "lang")).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ===
+      ((1L, 1L, 1L, 2L))) // inserted=9; updated=2; unchanged=3 (null-safe); untouched=1,4
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped
