@@ -2100,6 +2100,48 @@ object PipelineQueries {
       |  (SELECT COUNT(*) FROM docs WHERE doc_id % 7 <> 0) AS n_untouched
       |FROM merged""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Pure range join ([[graft.operators.RangeJoin]]): purchase events
+    * open attention windows [ts, ts + (1 + id mod 30) minutes] and every
+    * click that falls inside ANY window pairs with it — deliberately no
+    * user key, the shape Spark can only plan as a nested-loop scan.
+    * Bucketized to 30-minute cells it becomes a hash join on the cell
+    * (plan-pinned: no BroadcastNestedLoopJoin), with the exact range
+    * re-checked after. Census at microsecond precision against a DuckDB
+    * interval-join replay.
+    */
+  def q95RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val windows = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("lo"))
+      .withColumn("hi",
+        col("lo") + (pmod(col("p_id"), lit(30)) + 1) * lit(60000000L))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), unix_micros(col("ts")).as("t"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, "t", windows, "lo", "hi", bucketWidth = 1800000000L)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_windows_hit"),
+        countDistinct(col("c_id")).as("n_clicks_hit"),
+        sum(expr("(t - lo) div 1000000")).as("sum_lag_sec"))
+  }
+
+  val q95Sql: String =
+    """WITH p AS (SELECT event_id AS p_id, epoch_ns(ts) // 1000 AS lo,
+      |    epoch_ns(ts) // 1000 + ((event_id % 30) + 1) * 60000000 AS hi
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, epoch_ns(ts) // 1000 AS t
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p_id, c_id, (t - lo) // 1000000 AS lag_sec
+      |  FROM c JOIN p ON t >= lo AND t <= hi)
+      |SELECT COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT p_id) AS n_windows_hit,
+      |  COUNT(DISTINCT c_id) AS n_clicks_hit,
+      |  CAST(SUM(lag_sec) AS BIGINT) AS sum_lag_sec
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2158,7 +2200,8 @@ object PipelineQueries {
     "q88_phrase_search" -> (q88PhraseSearch _),
     "q89_image_resize" -> (q89ImageResize _),
     "q92_audio_decode" -> (q92AudioDecode _),
-    "q93_upsert" -> (q93Upsert _))
+    "q93_upsert" -> (q93Upsert _),
+    "q95_range_join" -> (q95RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2218,5 +2261,6 @@ object PipelineQueries {
     "q88_phrase_search" -> q88Sql,
     "q89_image_resize" -> q89Sql,
     "q92_audio_decode" -> q92Sql,
-    "q93_upsert" -> q93Sql)
+    "q93_upsert" -> q93Sql,
+    "q95_range_join" -> q95Sql)
 }

@@ -805,6 +805,32 @@ class PipelineSpec extends SparkSpec {
       ((1L, 1L, 1L, 2L))) // inserted=9; updated=2; unchanged=3 (null-safe); untouched=1,4
   }
 
+  test("range join: bucketized equals the naive theta join; bounds inclusive") {
+    import graft.operators.RangeJoin
+    val intervals = Seq(
+      (1L, 100L, 200L),   // within one cell
+      (2L, 150L, 150L),   // degenerate point interval
+      (3L, 1000L, 2600L)  // spans 8 cells at width 256
+    ).toDF("iv_id", "lo", "hi")
+    val points = Seq(99L, 100L, 150L, 200L, 201L, 1799L, 2600L)
+      .zipWithIndex.map { case (t, i) => (10L + i, t) }.toDF("pt_id", "t")
+    val got = RangeJoin.pointInInterval(points, "t", intervals,
+        "lo", "hi", bucketWidth = 256L)
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+        col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    // inclusive at both ends, exclusive just outside
+    assert(got.contains((11L, 1L)) && got.contains((13L, 1L)))
+    assert(!got.exists(_._1 == 10L) && !got.exists(_._1 == 14L))
+    assert(got.contains((12L, 2L)))
+    // the multi-cell interval matches points in interior AND last cell
+    assert(got.contains((15L, 3L)) && got.contains((16L, 3L)))
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped

@@ -201,6 +201,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q95: pure range join plans as a hash join on the cell, not a nested loop") {
+    val p = plan(PipelineQueries.q95RangeJoin(spark, dir))
+    // without the manufactured cell key this join has no equi condition
+    // and the ONLY available plan is a nested-loop scan — the bucketize
+    // must surface as a real equi join
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q53: the mix-sample hash gate evaluates inside the scan stage") {
     val p = plan(PipelineQueries.q53MixSample(spark, dir))
     // one Filter over the scan, no Exchange before it: the gate is
