@@ -2142,6 +2142,52 @@ object PipelineQueries {
       |  CAST(SUM(lag_sec) AS BIGINT) AS sum_lag_sec
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** BPE vocabulary training ([[graft.text.Bpe]]): 12 merges learned
+    * over the SF-invariant nation∪region name corpus — each round is one
+    * map-side-combined pair count (shuffle ≤ |vocab|² rows), a one-row
+    * argmax collect, and a scan-local merge fold. Deterministic ties
+    * (count desc, pair asc) make the merge table golden-freezable: the
+    * oracle is a frozen VALUES literal regenerated only via GoldenGen,
+    * which asserts cross-SF identity first.
+    */
+  def q96BpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = t(s, dir, "nation").select(col("n_name").as("name"))
+      .unionByName(t(s, dir, "region").select(col("r_name").as("name")))
+    val words = names
+      .select(explode(split(col("name"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(graft.text.Bpe.charSyms(col("w")).as("sym"), col("freq"))
+    graft.text.Bpe.learnMerges(words, numMerges = 12)
+      .map(m => (m.rank, m.left, m.right, m.merged, m.cnt))
+      .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Frozen golden merge table for q96 — regenerate via GoldenGen
+    * (generated 2026-08-13; identical across sf0.001/0.01/0.1).
+    */
+  val q96Golden: Seq[(Int, String, String, String, Long)] = Seq(
+    (0, "A", "T", "AT", 25L),
+    (1, "AT", "I", "ATI", 25L),
+    (2, "ATI", "O", "ATIO", 25L),
+    (3, "ATIO", "N", "ATION", 25L),
+    (4, "ATION", "_", "ATION_", 25L),
+    (5, "N", "ATION_", "NATION_", 25L),
+    (6, "NATION_", "1", "NATION_1", 11L),
+    (7, "NATION_", "2", "NATION_2", 6L),
+    (8, "A", "S", "AS", 2L),
+    (9, "C", "A", "CA", 2L),
+    (10, "I", "CA", "ICA", 2L),
+    (11, "R", "ICA", "RICA", 2L))
+
+  val q96Sql: String =
+    q96Golden.map { case (r, a, b, m, c) =>
+      s"(CAST($r AS INTEGER), '$a', '$b', '$m', CAST($c AS BIGINT))"
+    }.mkString("SELECT * FROM (VALUES ", ", ",
+      ") t(merge_rank, lhs, rhs, merged, cnt) ORDER BY merge_rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2201,7 +2247,8 @@ object PipelineQueries {
     "q89_image_resize" -> (q89ImageResize _),
     "q92_audio_decode" -> (q92AudioDecode _),
     "q93_upsert" -> (q93Upsert _),
-    "q95_range_join" -> (q95RangeJoin _))
+    "q95_range_join" -> (q95RangeJoin _),
+    "q96_bpe_vocab" -> (q96BpeVocab _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2262,5 +2309,6 @@ object PipelineQueries {
     "q89_image_resize" -> q89Sql,
     "q92_audio_decode" -> q92Sql,
     "q93_upsert" -> q93Sql,
-    "q95_range_join" -> q95Sql)
+    "q95_range_join" -> q95Sql,
+    "q96_bpe_vocab" -> q96Sql)
 }

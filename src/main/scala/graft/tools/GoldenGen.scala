@@ -39,6 +39,16 @@ object GoldenGen {
     all.tail.foreach { case (d, got) =>
       require(got == ref, s"SF-invariance violated at $d:\n$got\nvs\n$ref")
     }
+    // q96 BPE merge table (also nation∪region, so SF-invariant)
+    def bpeOf(dir: String): Seq[(Int, String, String, String, Long)] =
+      graft.queries.PipelineQueries.q96BpeVocab(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val bpeAll = dirs.map(d => d -> bpeOf(d))
+    bpeAll.tail.foreach { case (d, got) =>
+      require(got == bpeAll.head._2,
+        s"BPE SF-invariance violated at $d:\n$got\nvs\n${bpeAll.head._2}")
+    }
     println("// identical across " + dirs.mkString(", "))
     def lit(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
     println("  val saliency: Seq[(String, Double)] = Seq(")
@@ -51,6 +61,9 @@ object GoldenGen {
     println("  val baselines: Seq[(String, String, Double)] = Seq(")
     println(ref._4.map { case (m, a, v) =>
       s"    (${lit(m)}, ${lit(a)}, $v)" }.mkString(",\n") + ")")
+    println("  val q96Golden: Seq[(Int, String, String, String, Long)] = Seq(")
+    println(bpeAll.head._2.map { case (r, a, b, m, c) =>
+      s"    ($r, ${lit(a)}, ${lit(b)}, ${lit(m)}, ${c}L)" }.mkString(",\n") + ")")
     spark.stop()
   }
 }

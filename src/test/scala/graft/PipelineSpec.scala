@@ -831,6 +831,32 @@ class PipelineSpec extends SparkSpec {
     assert(got.contains((15L, 3L)) && got.contains((16L, 3L)))
   }
 
+  test("bpe: hand corpus learns expected merges; apply is greedy and lossless") {
+    import graft.text.Bpe
+    val words = Seq(("abab", 3L), ("ab", 2L)).toDF("w", "freq")
+      .select(Bpe.charSyms(col("w")).as("sym"), col("freq"))
+    // r0: (a,b) count 2·3+2 = 8 beats (b,a) 3; r1: (ab,ab) count 3;
+    // then no adjacent pairs remain → early stop despite numMerges=5
+    val merges = Bpe.learnMerges(words, numMerges = 5)
+    assert(merges === Seq(
+      Bpe.Merge(0, "a", "b", "ab", 8L),
+      Bpe.Merge(1, "ab", "ab", "abab", 3L)))
+    // inference side: greedy left-to-right, non-overlapping, lossless
+    val toks = Seq("ababab").toDF("w")
+      .select(Bpe.applyMerges(Bpe.charSyms(col("w")), merges).as("sym"))
+      .collect().head.getSeq[String](0)
+    assert(toks === Seq("abab", "ab"))
+    assert(toks.mkString === "ababab")
+  }
+
+  test("bpe: live q96 training reproduces the frozen golden merge table") {
+    val got = graft.queries.PipelineQueries
+      .q96BpeVocab(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === graft.queries.PipelineQueries.q96Golden)
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped
