@@ -2188,6 +2188,52 @@ object PipelineQueries {
     }.mkString("SELECT * FROM (VALUES ", ", ",
       ") t(merge_rank, lhs, rhs, merged, cnt) ORDER BY merge_rank")
 
+  // ---------------------------------------------------------------- q97
+  /** Curriculum difficulty binning: octile buckets over per-doc token
+    * count — WITHOUT the global-sort NTILE shape (an unpartitioned
+    * window puts the whole corpus in one task). Instead: one aggregate
+    * computes the 7 exact percentile boundaries (the `approx_percentile`
+    * mergeable sketch is the stated 100 TB swap, as in q67), and bin
+    * assignment is a scan-local comparison fold — no sort, no window,
+    * no shuffle beyond the two bounded aggregations. Census per bin with
+    * an id-sum pinning exact membership.
+    */
+  def q97Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("tok"))
+    val qs = (1 to 7).map(_ / 8.0)
+    val bounds = d.agg(expr(
+        s"percentile(tok, array(${qs.mkString("D, ")}D))").as("bs"))
+      .collect().head.getSeq[Double](0)
+    val bin = bounds.map(b => when(col("tok") > lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    d.withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("tok")).as("min_tok"), max(col("tok")).as("max_tok"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("bin"))
+  }
+
+  val q97Sql: String = {
+    val qs = (1 to 7).map(_ / 8.0)
+    val bcols = qs.zipWithIndex.map { case (q, i) =>
+      s"PERCENTILE_CONT($q) WITHIN GROUP (ORDER BY tok) AS b${i + 1}"
+    }.mkString(", ")
+    val binExpr = (1 to 7)
+      .map(i => s"CASE WHEN tok > b$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT $bcols FROM d),
+       |a AS (SELECT doc_id, tok, ($binExpr) AS bin FROM d, b)
+       |SELECT bin, COUNT(*) AS n_docs, MIN(tok) AS min_tok,
+       |  MAX(tok) AS max_tok, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM a GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2248,7 +2294,8 @@ object PipelineQueries {
     "q92_audio_decode" -> (q92AudioDecode _),
     "q93_upsert" -> (q93Upsert _),
     "q95_range_join" -> (q95RangeJoin _),
-    "q96_bpe_vocab" -> (q96BpeVocab _))
+    "q96_bpe_vocab" -> (q96BpeVocab _),
+    "q97_curriculum" -> (q97Curriculum _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2310,5 +2357,6 @@ object PipelineQueries {
     "q92_audio_decode" -> q92Sql,
     "q93_upsert" -> q93Sql,
     "q95_range_join" -> q95Sql,
-    "q96_bpe_vocab" -> q96Sql)
+    "q96_bpe_vocab" -> q96Sql,
+    "q97_curriculum" -> q97Sql)
 }

@@ -212,6 +212,13 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q97: curriculum binning assigns bins scan-local — no window operator") {
+    val p = plan(PipelineQueries.q97Curriculum(spark, dir))
+    // the NTILE formulation would put the whole corpus through ONE
+    // unpartitioned window task; the boundary-comparison fold must not
+    assert(!p.contains("Window"), p)
+  }
+
   test("q53: the mix-sample hash gate evaluates inside the scan stage") {
     val p = plan(PipelineQueries.q53MixSample(spark, dir))
     // one Filter over the scan, no Exchange before it: the gate is
