@@ -235,6 +235,103 @@ object ScaleSmoke {
         f"   ${imgTs.last / imgTs.head}%5.1f")
     }
 
+    // ---- audio decode leg: real WAV synth + javax.sound parse + window
+    // stats, pure per-row work — must be linear like the image decode.
+    if (on("audio decode")) {
+  val audTs = mults.map { m =>
+        val ids = spark.range(20000L * m).select(col("id").as("doc_id"))
+          .repartition(32).cache()
+        ids.count()
+        def run(): Unit = graft.multimodal.Multimodal.decodeAudioStats(
+          graft.multimodal.Multimodal.synthesizeWavs(ids, "doc_id"))
+          .agg(sum(col("sum_abs"))).collect()
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"audio decode"}%-22s " +
+        audTs.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${audTs.last / audTs.head}%5.1f")
+    }
+
+    // ---- range join leg: purchase windows × clicks, NO key. Replicas
+    // are shifted onto disjoint 40-day ranges so the true pair count
+    // grows linearly; the bucketized join's time must track pairs, not
+    // the |windows|·|clicks| a nested loop would pay.
+    if (on("range join")) {
+  val rjTs = mults.map { m =>
+        val ev0 = graft.sources.Tables.load(spark, sfDir, "events")
+        val ev = ev0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+          .select((col("event_id") * m + col("__rep")).as("eid"),
+            (unix_micros(col("ts")) + col("__rep") * lit(3456000000000L))
+              .as("t_us"),
+            col("event_type"))
+          .repartition(32).cache()
+        ev.count()
+        val windows = ev.filter(col("event_type") === "purchase")
+          .select(col("eid").as("p_id"), col("t_us").as("lo"))
+          .withColumn("hi",
+            col("lo") + (pmod(col("p_id"), lit(30)) + 1) * lit(60000000L))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("eid").as("c_id"), col("t_us").as("t"))
+        def run(): Unit = graft.operators.RangeJoin.pointInInterval(
+          clicks, "t", windows, "lo", "hi", bucketWidth = 1800000000L)
+          .agg(count(lit(1))).collect()
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"range join"}%-22s " +
+        rjTs.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${rjTs.last / rjTs.head}%5.1f")
+    }
+
+    // ---- upsert leg: m× corpus merged with a 10% recrawl batch — one
+    // anti join (batch side broadcast by AQE) + union, so linear.
+    if (on("upsert merge")) {
+  val upTs = mults.map { m =>
+        val d = corpus(m)
+        d.count()
+        val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("text", concat(col("text"), lit(" rev2")))
+        def run(): Unit = graft.operators.Upsert.upsert(d, batch, Seq("doc_id"))
+          .agg(count(lit(1))).collect()
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"upsert merge"}%-22s " +
+        upTs.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${upTs.last / upTs.head}%5.1f")
+    }
+
+    // ---- bpe training leg: 2 merge rounds over the m× corpus's word
+    // table — each round is one map-side-combined pair count, so time
+    // tracks the corpus scan.
+    if (on("bpe train")) {
+  val bpeTs = mults.map { m =>
+        val d = corpus(m)
+        d.count()
+        def run(): Unit = {
+          val words = d.filter(col("text").isNotNull)
+            .select(explode(split(col("text"), " ")).as("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+            .select(graft.text.Bpe.charSyms(col("w")).as("sym"), col("freq"))
+          graft.text.Bpe.learnMerges(words, numMerges = 2)
+        }
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"bpe train (2 rounds)"}%-22s " +
+        bpeTs.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${bpeTs.last / bpeTs.head}%5.1f")
+    }
+
     // ---- connected-components leg: near-dup pairs closed into clusters.
     // Edge count grows linearly (replicas share no shingles) and round
     // count logarithmically, so total time should track the near-dup
