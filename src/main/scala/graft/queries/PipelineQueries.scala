@@ -2234,6 +2234,63 @@ object PipelineQueries {
        |FROM a GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Partition-scoped incremental maintenance
+    * ([[graft.operators.Upsert.upsertPartitioned]]): the corpus is laid
+    * out Hive-partitioned by source, a recrawl batch patches every 3rd
+    * doc of src0/src3 and adds new src0 docs, and the merge rewrites
+    * ONLY those two partitions — reads pruned at directory level,
+    * write via dynamic partition overwrite (untouched partitions' files
+    * are never opened; spec'd byte-identical). Census over the
+    * maintained table replays in SQL.
+    */
+  def q98PartitionedUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val tmp = java.nio.file.Files.createTempDirectory("q98").toString + "/corpus"
+    docs.write.mode("overwrite").partitionBy("source").parquet(tmp)
+    val patched = docs
+      .filter(col("source").isin("src0", "src3") &&
+        pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("text", concat(col("text"), lit(" patched")))
+    val fresh = docs
+      .filter(col("source") === "src0" && pmod(col("doc_id"), lit(11)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+    val touched = graft.operators.Upsert.upsertPartitioned(
+      s, tmp, patched.unionByName(fresh), Seq("doc_id"), "source")
+    s.read.parquet(tmp).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").endsWith(" patched"), 1L).otherwise(0L))
+        .as("n_patched"),
+      sum(when(col("doc_id") >= 2000000000L, 1L).otherwise(0L)).as("n_new"),
+      sum(pmod(Dedup.portableHash60(
+          concat(col("doc_id").cast("string"), lit("|"),
+            coalesce(col("text"), lit("<null>")), lit("|"), col("source"))),
+        lit(1000003L))).as("content_hash_sum"),
+      lit(touched.size).as("n_touched_partitions"))
+  }
+
+  val q98Sql: String =
+    """WITH docs AS (SELECT doc_id, text, lang, source FROM documents),
+      |patched AS (SELECT doc_id, text || ' patched' AS text, lang, source
+      |  FROM docs WHERE source IN ('src0', 'src3') AND doc_id % 3 = 0),
+      |fresh AS (SELECT doc_id + 2000000000 AS doc_id, text, lang, source
+      |  FROM docs WHERE source = 'src0' AND doc_id % 11 = 0),
+      |merged AS (
+      |  SELECT * FROM docs
+      |  WHERE NOT (source IN ('src0', 'src3') AND doc_id % 3 = 0)
+      |  UNION ALL SELECT * FROM patched UNION ALL SELECT * FROM fresh)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN text LIKE '% patched' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_patched,
+      |  CAST(SUM(CASE WHEN doc_id >= 2000000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+      |    COALESCE(text, '<null>') || '|' || source), 1, 15)) AS BIGINT)
+      |    % 1000003) AS BIGINT) AS content_hash_sum,
+      |  2 AS n_touched_partitions
+      |FROM merged""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2295,7 +2352,8 @@ object PipelineQueries {
     "q93_upsert" -> (q93Upsert _),
     "q95_range_join" -> (q95RangeJoin _),
     "q96_bpe_vocab" -> (q96BpeVocab _),
-    "q97_curriculum" -> (q97Curriculum _))
+    "q97_curriculum" -> (q97Curriculum _),
+    "q98_partitioned_upsert" -> (q98PartitionedUpsert _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2358,5 +2416,6 @@ object PipelineQueries {
     "q93_upsert" -> q93Sql,
     "q95_range_join" -> q95Sql,
     "q96_bpe_vocab" -> q96Sql,
-    "q97_curriculum" -> q97Sql)
+    "q97_curriculum" -> q97Sql,
+    "q98_partitioned_upsert" -> q98Sql)
 }

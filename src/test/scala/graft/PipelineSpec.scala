@@ -857,6 +857,31 @@ class PipelineSpec extends SparkSpec {
     assert(got === graft.queries.PipelineQueries.q96Golden)
   }
 
+  test("partitioned upsert rewrites touched partitions only, byte-identical rest") {
+    import graft.operators.Upsert
+    val base = java.nio.file.Files.createTempDirectory("pupsert").toString + "/t"
+    Seq((1L, "a", "p0"), (2L, "b", "p0"), (3L, "c", "p1"), (4L, "d", "p2"))
+      .toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(base)
+    def files(p: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$base/part=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    val p1Before = files("p1")
+    val p2Before = files("p2")
+    val batch = Seq((2L, "b2", "p0"), (9L, "new", "p0")).toDF("id", "v", "part")
+    val touched = Upsert.upsertPartitioned(spark, base, batch, Seq("id"), "part")
+    assert(touched === Seq("p0"))
+    // untouched partitions: the exact same files, never rewritten
+    assert(files("p1") === p1Before)
+    assert(files("p2") === p2Before)
+    val back = spark.read.parquet(base).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back === Set((1L, "a", "p0"), (2L, "b2", "p0"), (9L, "new", "p0"),
+      (3L, "c", "p1"), (4L, "d", "p2")))
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped
