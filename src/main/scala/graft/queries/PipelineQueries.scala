@@ -2291,6 +2291,75 @@ object PipelineQueries {
       |  2 AS n_touched_partitions
       |FROM merged""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Streaming CDC apply ([[StreamingOps.upsertStream]]): three
+    * micro-batches of versioned upserts — batch k revises every doc
+    * with doc_id≡k (mod 3), and the "hot" docs (doc_id≡0 mod 7) are
+    * re-updated in EVERY batch, colliding in-batch with their v-row so
+    * the within-batch version resolution is exercised — maintained
+    * in-place against a source-partitioned parquet table. Final state
+    * replays in SQL: hot docs end at their last u-revision, everything
+    * else at its one v-revision.
+    */
+  def q99StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val tmp = java.nio.file.Files.createTempDirectory("q99").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (0 until 3).foreach { k =>
+      val v = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+        .withColumn("text", concat(col("text"), lit(s" v$k")))
+        .withColumn("version", lit(k * 10))
+      val u = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("text", concat(col("text"), lit(s" u$k")))
+        .withColumn("version", lit(k * 10 + 1))
+      val stage = s"$tmp/stage$k"
+      v.unionByName(u).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$in/chunk-$k.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      // file source orders by (mtime, path): make the replay order
+      // explicit rather than trusting write timing
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
+    val schema = s.read.parquet(s"$in/chunk-0.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val table = s"$tmp/table"
+    val q = StreamingOps.upsertStream(
+      stream, table, Seq("doc_id"), "source", "version")
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(table).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L))
+        .as("n_hot"),
+      sum(col("version").cast("long")).as("sum_version"),
+      sum(pmod(Dedup.portableHash60(
+          concat(col("doc_id").cast("string"), lit("|"),
+            coalesce(col("text"), lit("<null>")))),
+        lit(1000003L))).as("content_hash_sum"),
+      lit(3).as("n_batches"))
+  }
+
+  val q99Sql: String =
+    """WITH fin AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN text || ' u2'
+      |       ELSE text || ' v' || CAST(doc_id % 3 AS VARCHAR) END AS text,
+      |  CASE WHEN doc_id % 7 = 0 THEN 21 ELSE (doc_id % 3) * 10 END AS version
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hot,
+      |  CAST(SUM(version) AS BIGINT) AS sum_version,
+      |  CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+      |    COALESCE(text, '<null>')), 1, 15)) AS BIGINT) % 1000003) AS BIGINT)
+      |    AS content_hash_sum,
+      |  3 AS n_batches
+      |FROM fin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2353,7 +2422,8 @@ object PipelineQueries {
     "q95_range_join" -> (q95RangeJoin _),
     "q96_bpe_vocab" -> (q96BpeVocab _),
     "q97_curriculum" -> (q97Curriculum _),
-    "q98_partitioned_upsert" -> (q98PartitionedUpsert _))
+    "q98_partitioned_upsert" -> (q98PartitionedUpsert _),
+    "q99_stream_upsert" -> (q99StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2417,5 +2487,6 @@ object PipelineQueries {
     "q95_range_join" -> q95Sql,
     "q96_bpe_vocab" -> q96Sql,
     "q97_curriculum" -> q97Sql,
-    "q98_partitioned_upsert" -> q98Sql)
+    "q98_partitioned_upsert" -> q98Sql,
+    "q99_stream_upsert" -> q99Sql)
 }

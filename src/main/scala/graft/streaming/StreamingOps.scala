@@ -112,6 +112,40 @@ object StreamingOps {
     }.start()
   }
 
+  /** CDC apply: maintain a Hive-partitioned parquet table from a stream
+    * of upserts. Each micro-batch is first resolved to its LATEST row
+    * per key (highest `versionCol` — multi-version CDC batches are
+    * normal), then merged in place via
+    * [[graft.operators.Upsert.upsertPartitioned]] — only the partitions
+    * the batch touches are read (directory-pruned) or rewritten
+    * (dynamic partition overwrite). The first batch bootstraps the
+    * table. State is the TABLE itself: nothing accumulates in the
+    * stream, so corpus-lifetime maintenance needs no watermark and no
+    * state store.
+    */
+  def upsertStream(updates: DataFrame, tableDir: String, keys: Seq[String],
+      partCol: String, versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val exists = {
+          val p = new org.apache.hadoop.fs.Path(tableDir)
+          p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+            .exists(p)
+        }
+        if (!exists)
+          latest.write.partitionBy(partCol).parquet(tableDir)
+        else {
+          graft.operators.Upsert.upsertPartitioned(
+            batch.sparkSession, tableDir, latest, keys, partCol)
+          ()
+        }
+      }
+    }.start()
+
   /** Streaming exact dedup: watermark-bounded dropDuplicates on the key
     * — state expires with the watermark, so memory stays bounded.
     */

@@ -16,6 +16,32 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("upsert stream maintains a partitioned table across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val base = java.nio.file.Files.createTempDirectory("ustream").toString + "/t"
+    val q = StreamingOps.upsertStream(
+      input.toDS().toDF("id", "v", "part", "version"),
+      base, Seq("id"), "part", "version")
+    try {
+      // batch 1 bootstraps the table; key 2 arrives twice in one batch —
+      // the higher version must win
+      input.addData((1L, "a", "p0", 1L), (2L, "b", "p0", 1L),
+        (2L, "b2", "p0", 2L), (3L, "c", "p1", 1L))
+      q.processAllAvailable()
+      def state(): Set[(Long, String, String)] =
+        spark.read.parquet(base).collect()
+          .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+            r.getAs[String]("part"))).toSet
+      assert(state() === Set((1L, "a", "p0"), (2L, "b2", "p0"), (3L, "c", "p1")))
+      // batch 2: update key 1, insert key 9 — p1 must carry over untouched
+      input.addData((1L, "a2", "p0", 3L), (9L, "n", "p0", 3L))
+      q.processAllAvailable()
+      assert(state() === Set((1L, "a2", "p0"), (2L, "b2", "p0"),
+        (3L, "c", "p1"), (9L, "n", "p0")))
+    } finally q.stop()
+  }
+
   test("windowed + watermarked aggregation over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
