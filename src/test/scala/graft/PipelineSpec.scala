@@ -882,6 +882,24 @@ class PipelineSpec extends SparkSpec {
       (3L, "c", "p1"), (4L, "d", "p2")))
   }
 
+  test("approx_percentile tracks exact percentile within its rank-error bound") {
+    // q67/q97 state approx_percentile as the 100 TB swap for the exact
+    // percentile — hold that claim to its contract: with accuracy A the
+    // result's RANK error is ≤ n/A, so on 10k distinct values the value
+    // error at accuracy 1000 is ≤ ~10 ranks
+    val n = 10000
+    val df = spark.range(n).select((col("id") + 1).cast("double").as("v"))
+    val row = df.agg(
+      expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("exact"),
+      expr("approx_percentile(v, array(0.25D, 0.5D, 0.75D), 1000)").as("approx"))
+      .collect().head
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= n / 1000.0 + 1.0, s"exact=$e approx=$a")
+    }
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped
