@@ -308,6 +308,43 @@ object ScaleSmoke {
         f"   ${upTs.last / upTs.head}%5.1f")
     }
 
+    // ---- partitioned-maintenance leg: a batch touching 2 of 20 source
+    // partitions applied via upsertPartitioned (pruned read + dynamic
+    // overwrite of the touched partitions) vs the naive full-table
+    // merge-and-rewrite. Both grow linearly (touched partitions grow
+    // with the corpus), but the partitioned path's constant should sit
+    // ~10× below the rewrite — that constant IS the operator's value.
+    if (on("partitioned maintenance")) {
+  val pmTs = mults.map { m =>
+        val d = corpus(m)
+        d.count()
+        val base = java.nio.file.Files.createTempDirectory("smoke-pm").toString
+        d.write.partitionBy("source").parquet(s"$base/t1")
+        d.write.partitionBy("source").parquet(s"$base/t2")
+        val batch = d.filter(col("source").isin("src0", "src3") &&
+            pmod(col("doc_id"), lit(3)) === 0)
+          .withColumn("text", concat(col("text"), lit(" rev")))
+        val tPart = time {
+          graft.operators.Upsert.upsertPartitioned(
+            spark, s"$base/t1", batch, Seq("doc_id"), "source")
+        }
+        val tFull = time {
+          val cur = spark.read.parquet(s"$base/t2")
+          graft.operators.Upsert.upsert(cur, batch, Seq("doc_id"))
+            .write.mode("overwrite").partitionBy("source")
+            .parquet(s"$base/t2_new")
+        }
+        spark.catalog.clearCache()
+        (tPart, tFull)
+      }
+      println(f"${"maintain (partitioned)"}%-22s " +
+        pmTs.map(t => f"${t._1}%7.2fs").mkString(" ") +
+        f"   ${pmTs.last._1 / pmTs.head._1}%5.1f")
+      println(f"${"maintain (full rewrite)"}%-22s " +
+        pmTs.map(t => f"${t._2}%7.2fs").mkString(" ") +
+        f"   ${pmTs.last._2 / pmTs.head._2}%5.1f")
+    }
+
     // ---- bpe training leg: 2 merge rounds over the m× corpus's word
     // table — each round is one map-side-combined pair count, so time
     // tracks the corpus scan.

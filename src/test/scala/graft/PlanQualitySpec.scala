@@ -212,6 +212,18 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q93: upsert merges with equi joins only — anti for replace, outer for census") {
+    val p = plan(PipelineQueries.q93Upsert(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus-side joins are equi: anti-join replacement + full-outer
+    // census; the single nested-loop is the 1-row × 1-row concat of the
+    // two aggregate legs, never a data join
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("FullOuter"), p)
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
+
   test("q97: curriculum binning assigns bins scan-local — no window operator") {
     val p = plan(PipelineQueries.q97Curriculum(spark, dir))
     // the NTILE formulation would put the whole corpus through ONE
