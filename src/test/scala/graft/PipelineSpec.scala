@@ -900,6 +900,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("range join: bucketized ≡ naive for randomized intervals, points, widths") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val ivs = (0 until 1 + rnd.nextInt(20)).map { i =>
+        val lo = rnd.nextInt(10000).toLong
+        (i.toLong, lo, lo + rnd.nextInt(1500).toLong)
+      }
+      val pts = (0 until 1 + rnd.nextInt(40))
+        .map(j => (100L + j, rnd.nextInt(12000).toLong))
+      val width = Seq(64L, 256L, 1024L)(rnd.nextInt(3))
+      val got = RangeJoin.pointInInterval(
+          pts.toDF("pt_id", "t"), "t",
+          ivs.toDF("iv_id", "lo", "hi"), "lo", "hi", width)
+        .select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (iid, lo, hi) <- ivs
+        (pid, t) <- pts if t >= lo && t <= hi
+      } yield (pid, iid)).toSet
+      assert(got === expected, s"round=$round width=$width")
+    }
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped
