@@ -313,6 +313,122 @@ object Multimodal {
         "channels", "sum_abs", "max_abs", "n_rising")
   }
 
+  /** Deterministic synthetic multi-frame "video" per row: a minimal
+    * length-prefixed container (magic `GVID`, LE frame count, then
+    * per-frame LE length + a REAL PNG) holding 4..8 frames whose pixels
+    * are integer arithmetic in (id, frame, x, y). Container parsing and
+    * per-frame codec decode are both real; PNG losslessness keeps every
+    * sampled pixel oracle-replayable.
+    */
+  def synthesizeVideos(ids: DataFrame, idCol: String = "doc_id",
+      w: Int = 8, h: Int = 8): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val frameBuf = new java.io.ByteArrayOutputStream()
+      it.map { id =>
+        val nFrames = (4 + id % 5).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(out)
+        dos.write("GVID".getBytes("US-ASCII"))
+        dos.writeInt(Integer.reverseBytes(nFrames))
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id * 31 + f * 19 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + f * 23 + x * 3 + y * 5) % 256).toInt
+              val b = ((id * 11 + f * 29 + x + y) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          frameBuf.reset()
+          javax.imageio.ImageIO.write(img, "png", frameBuf)
+          val png = frameBuf.toByteArray
+          dos.writeInt(Integer.reverseBytes(png.length))
+          dos.write(png)
+          f += 1
+        }
+        (id, out.toByteArray)
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** REAL video frame sampling: parse the container, decode every
+    * `everyNth`-th frame with the per-partition `ImageReader` lifecycle
+    * (the decodeImageStats contract), and emit one row per SAMPLED
+    * frame with integer-exact channel sums — the keyframe-extraction
+    * shape of real video feature pipelines. Output: (media_id,
+    * frame_index, n_frames, sum_red, sum_green, sum_blue).
+    */
+  def sampleVideoFrames(media: DataFrame, everyNth: Int = 2): DataFrame = {
+    require(everyNth > 0, "everyNth must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        var reader: javax.imageio.ImageReader = null
+        val flat = it.flatMap { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4)
+          bb.get(magic)
+          require(new String(magic, "US-ASCII") == "GVID",
+            s"bad container magic for media $id")
+          val nFrames = bb.getInt
+          (0 until nFrames).flatMap { f =>
+            val len = bb.getInt
+            val png = new Array[Byte](len)
+            bb.get(png)
+            if (f % everyNth != 0) None
+            else {
+              if (reader == null)
+                reader = javax.imageio.ImageIO
+                  .getImageReadersByFormatName("png").next()
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(png))
+              try {
+                reader.setInput(iis)
+                val img = reader.read(0)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val p = img.getRGB(x, y)
+                    sr += (p >> 16) & 0xff
+                    sg += (p >> 8) & 0xff
+                    sb += p & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some((id, f, nFrames, sr, sg, sb))
+              } finally iis.close()
+            }
+          }
+        }
+        // dispose the shared reader when the partition drains
+        new Iterator[(Long, Int, Int, Long, Long, Long)] {
+          override def hasNext: Boolean = {
+            val more = flat.hasNext
+            if (!more && reader != null) { reader.dispose(); reader = null }
+            more
+          }
+          override def next(): (Long, Int, Int, Long, Long, Long) = flat.next()
+        }
+      }
+      .toDF("media_id", "frame_index", "n_frames",
+        "sum_red", "sum_green", "sum_blue")
+  }
+
   /** Frame sampling plumbing: split a payload into fixed-size "frames"
     * (the video analog) and emit one row per sampled frame — the
     * row-explosion shape of real frame extraction, with the decode

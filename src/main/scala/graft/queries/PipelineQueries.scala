@@ -2360,6 +2360,48 @@ object PipelineQueries {
       |  3 AS n_batches
       |FROM fin""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** REAL video keyframe extraction ([[Multimodal.synthesizeVideos]] /
+    * [[Multimodal.sampleVideoFrames]]): per document a 4-8 frame
+    * container of real PNGs (length-prefixed custom container — the
+    * opaque-binary shape), every 2nd frame decoded through the
+    * per-partition codec lifecycle, per-doc rollup of sampled-frame
+    * pixel sums. Upgrades the last stubbed modality: container parse +
+    * frame decode are both real JDK work, and PNG losslessness makes
+    * the full mapping formula-replayable.
+    */
+  def q100VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val media = Multimodal.synthesizeVideos(ids, "doc_id")
+    Multimodal.sampleVideoFrames(media, everyNth = 2)
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        min(col("n_frames")).cast("long").as("n_frames"),
+        sum(col("sum_red")).as("sum_red"),
+        sum(col("sum_green")).as("sum_green"),
+        sum(col("sum_blue")).as("sum_blue"))
+      .select(col("media_id").as("doc_id"), col("n_sampled"),
+        col("n_frames"), col("sum_red"), col("sum_green"), col("sum_blue"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q100Sql: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+      |s AS (SELECT doc_id, nf, f.f AS f
+      |  FROM d, range(0, 8) f(f) WHERE f.f < nf AND f.f % 2 = 0),
+      |px AS (SELECT doc_id, nf, f, x.x AS x, y.y AS y
+      |  FROM s, range(0, 8) x(x), range(0, 8) y(y))
+      |SELECT doc_id, COUNT(DISTINCT f) AS n_sampled,
+      |  CAST(MIN(nf) AS BIGINT) AS n_frames,
+      |  CAST(SUM((doc_id * 31 + f * 19 + x * 7 + y * 13) % 256) AS BIGINT)
+      |    AS sum_red,
+      |  CAST(SUM((doc_id * 17 + f * 23 + x * 3 + y * 5) % 256) AS BIGINT)
+      |    AS sum_green,
+      |  CAST(SUM((doc_id * 11 + f * 29 + x + y) % 256) AS BIGINT)
+      |    AS sum_blue
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2423,7 +2465,8 @@ object PipelineQueries {
     "q96_bpe_vocab" -> (q96BpeVocab _),
     "q97_curriculum" -> (q97Curriculum _),
     "q98_partitioned_upsert" -> (q98PartitionedUpsert _),
-    "q99_stream_upsert" -> (q99StreamUpsert _))
+    "q99_stream_upsert" -> (q99StreamUpsert _),
+    "q100_video_frames" -> (q100VideoFrames _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2488,5 +2531,6 @@ object PipelineQueries {
     "q96_bpe_vocab" -> q96Sql,
     "q97_curriculum" -> q97Sql,
     "q98_partitioned_upsert" -> q98Sql,
-    "q99_stream_upsert" -> q99Sql)
+    "q99_stream_upsert" -> q99Sql,
+    "q100_video_frames" -> q100Sql)
 }

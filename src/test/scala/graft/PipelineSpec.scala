@@ -924,6 +924,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("video frames: container round trip, sampling pattern, formula-exact pixels") {
+    val ids = (0L until 10L).toDF("doc_id").repartition(2)
+    val media = Multimodal.synthesizeVideos(ids, "doc_id")
+    val rows = Multimodal.sampleVideoFrames(media, everyNth = 2).collect()
+    // doc 3: 4 + 3%5 = 7 frames → sampled 0,2,4,6
+    val d3 = rows.filter(_.getLong(0) == 3L).sortBy(_.getInt(1))
+    assert(d3.map(_.getInt(1)).toSeq === Seq(0, 2, 4, 6))
+    assert(d3.forall(_.getInt(2) === 7))
+    // frame 4 channel sums replay from the generation formula
+    val f4 = d3.find(_.getInt(1) == 4).get
+    def ch(fm: (Long, Long, Long, Long) => Long): Long =
+      (for (x <- 0L until 8L; y <- 0L until 8L) yield fm(3L, 4L, x, y)).sum
+    assert(f4.getLong(3) === ch((id, f, x, y) => (id * 31 + f * 19 + x * 7 + y * 13) % 256))
+    assert(f4.getLong(4) === ch((id, f, x, y) => (id * 17 + f * 23 + x * 3 + y * 5) % 256))
+    assert(f4.getLong(5) === ch((id, f, x, y) => (id * 11 + f * 29 + x + y) % 256))
+    // every doc samples ceil(nFrames/2) frames
+    val counts = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    (0L until 10L).foreach { id =>
+      assert(counts(id) === ((4 + id % 5) + 1) / 2, s"doc $id")
+    }
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped
