@@ -2245,7 +2245,11 @@ object PipelineQueries {
     * maintained table replays in SQL.
     */
   def q98PartitionedUpsert(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // plain load, not the fanned one: the snapshot write is partitioned
+    // by source, and 32 fan-out partitions × 20 sources would spray
+    // ~640 tiny files where 20 serve — this query is IO-shaped, not
+    // per-row-compute-shaped
+    val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val tmp = java.nio.file.Files.createTempDirectory("q98").toString + "/corpus"
     docs.write.mode("overwrite").partitionBy("source").parquet(tmp)
@@ -2302,7 +2306,9 @@ object PipelineQueries {
     * else at its one v-revision.
     */
   def q99StreamUpsert(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // plain load (see q98): batch staging + per-batch merges are
+    // IO-shaped; the fanned scan only multiplies file counts here
+    val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val tmp = java.nio.file.Files.createTempDirectory("q99").toString
     val in = s"$tmp/in"

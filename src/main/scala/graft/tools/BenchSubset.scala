@@ -13,20 +13,29 @@ object BenchSubset {
       sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // same scratch + min-of-3 semantics as Bench, so subset timings are
+    // directly comparable to the recorded catalog numbers
+    val scratch = Scratch.route("graft-benchsub-")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scratch.foreach(d => builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq("q32_near_dups", "q33_langid")
     for (n <- names) {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"[bench-subset] $n%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val ts = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[bench-subset] $n%-26s ${ts.min}%8.2f s  (runs: " +
+        ts.map(t => f"$t%.2f").mkString(" ") + ")")
     }
     spark.stop()
   }
