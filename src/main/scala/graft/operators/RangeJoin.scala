@@ -20,6 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Inner join of `a` rows to every `b` row whose [bLo, bHi] interval
+    * OVERLAPS [aLo, aHi] (inclusive ends; `lo ≤ hi` on both sides,
+    * non-negative longs). Same cell manufacture as
+    * [[pointInInterval]], with the overlap twist: an overlapping pair
+    * shares every cell both intervals cover, so the join keeps only the
+    * match in the FIRST shared cell — `cell == max(aLo, bLo) div W` —
+    * making each pair emit exactly once without a distinct.
+    */
+  def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlapCols = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"column names must be disjoint, both sides have: $overlapCols")
+    val ae = a.withColumn("__cell_a", explode(sequence(
+      expr(s"$aLo div ${bucketWidth}L"),
+      expr(s"$aHi div ${bucketWidth}L"))))
+    val be = b.withColumn("__cell_b", explode(sequence(
+      expr(s"$bLo div ${bucketWidth}L"),
+      expr(s"$bHi div ${bucketWidth}L"))))
+    ae.join(be,
+        col("__cell_a") === col("__cell_b") &&
+          col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+          col("__cell_a") === greatest(
+            expr(s"$aLo div ${bucketWidth}L"),
+            expr(s"$bLo div ${bucketWidth}L")))
+      .drop("__cell_a", "__cell_b")
+  }
+
   /** Inner join of `points` rows to every `intervals` row whose
     * [loCol, hiCol] (inclusive both ends) contains the point. Output
     * carries all columns of both frames — names must be disjoint.

@@ -2408,6 +2408,50 @@ object PipelineQueries {
       |    AS sum_blue
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Interval-overlap join ([[graft.operators.RangeJoin.intervalOverlap]]):
+    * purchase attention windows × click dwell windows, overlap with NO
+    * key — the concurrency-detection shape (conflicting reservations,
+    * co-occurring incidents). Each overlapping pair emits exactly once
+    * via the first-shared-cell rule, no distinct needed; census vs a
+    * DuckDB overlap-theta replay at microsecond bounds.
+    */
+  def q101IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("p_lo"))
+      .withColumn("p_hi",
+        col("p_lo") + (pmod(col("p_id"), lit(30)) + 1) * lit(60000000L))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), unix_micros(col("ts")).as("c_lo"))
+      .withColumn("c_hi",
+        col("c_lo") + (pmod(col("c_id"), lit(20)) + 1) * lit(60000000L))
+    graft.operators.RangeJoin.intervalOverlap(
+        p, "p_lo", "p_hi", c, "c_lo", "c_hi", bucketWidth = 1800000000L)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(col("c_id")).as("n_clicks"),
+        sum(expr("(least(p_hi, c_hi) - greatest(p_lo, c_lo)) div 1000000"))
+          .as("sum_overlap_sec"))
+  }
+
+  val q101Sql: String =
+    """WITH p AS (SELECT event_id AS p_id, epoch_ns(ts) // 1000 AS p_lo,
+      |    epoch_ns(ts) // 1000 + ((event_id % 30) + 1) * 60000000 AS p_hi
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, epoch_ns(ts) // 1000 AS c_lo,
+      |    epoch_ns(ts) // 1000 + ((event_id % 20) + 1) * 60000000 AS c_hi
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p_id, c_id,
+      |    (LEAST(p_hi, c_hi) - GREATEST(p_lo, c_lo)) // 1000000 AS ov_sec
+      |  FROM p JOIN c ON p_lo <= c_hi AND c_lo <= p_hi)
+      |SELECT COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT p_id) AS n_purchases,
+      |  COUNT(DISTINCT c_id) AS n_clicks,
+      |  CAST(SUM(ov_sec) AS BIGINT) AS sum_overlap_sec
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2472,7 +2516,8 @@ object PipelineQueries {
     "q97_curriculum" -> (q97Curriculum _),
     "q98_partitioned_upsert" -> (q98PartitionedUpsert _),
     "q99_stream_upsert" -> (q99StreamUpsert _),
-    "q100_video_frames" -> (q100VideoFrames _))
+    "q100_video_frames" -> (q100VideoFrames _),
+    "q101_interval_overlap" -> (q101IntervalOverlap _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2538,5 +2583,6 @@ object PipelineQueries {
     "q97_curriculum" -> q97Sql,
     "q98_partitioned_upsert" -> q98Sql,
     "q99_stream_upsert" -> q99Sql,
-    "q100_video_frames" -> q100Sql)
+    "q100_video_frames" -> q100Sql,
+    "q101_interval_overlap" -> q101Sql)
 }

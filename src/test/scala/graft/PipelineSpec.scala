@@ -946,6 +946,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap: ≡ naive theta, exactly once per pair, randomized") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val as = (0 until 1 + rnd.nextInt(15)).map { i =>
+        val lo = rnd.nextInt(8000).toLong
+        (i.toLong, lo, lo + rnd.nextInt(2000).toLong)
+      }
+      val bs = (0 until 1 + rnd.nextInt(15)).map { j =>
+        val lo = rnd.nextInt(8000).toLong
+        (100L + j, lo, lo + rnd.nextInt(2000).toLong)
+      }
+      val width = Seq(128L, 512L, 2048L)(rnd.nextInt(3))
+      val got = RangeJoin.intervalOverlap(
+          as.toDF("a_id", "a_lo", "a_hi"), "a_lo", "a_hi",
+          bs.toDF("b_id", "b_lo", "b_hi"), "b_lo", "b_hi", width)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // exactly once: no duplicate pairs even though overlapping
+      // intervals share many cells
+      assert(got.length === got.toSet.size, s"round=$round width=$width")
+      val expected = (for {
+        (aid, alo, ahi) <- as
+        (bid, blo, bhi) <- bs if alo <= bhi && blo <= ahi
+      } yield (aid, bid)).toSet
+      assert(got.toSet === expected, s"round=$round width=$width")
+    }
+  }
+
   test("cf metrics: validity/proximity/diversity on a toy CF set") {
     val cf = Seq(
       ("x", "b", 0.2), // 1 of 2 attrs changed, flipped

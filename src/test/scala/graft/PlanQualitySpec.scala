@@ -224,6 +224,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(tree.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
 
+  test("q101: interval overlap plans as a hash join on the cell, not a nested loop") {
+    val p = plan(PipelineQueries.q101IntervalOverlap(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q97: curriculum binning assigns bins scan-local — no window operator") {
     val p = plan(PipelineQueries.q97Curriculum(spark, dir))
     // the NTILE formulation would put the whole corpus through ONE
