@@ -2452,6 +2452,49 @@ object PipelineQueries {
       |  CAST(SUM(ov_sec) AS BIGINT) AS sum_overlap_sec
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Ordered funnel census: per user, first-touch timestamps of
+    * view → click → purchase folded in ONE conditional-min aggregation
+    * (no joins, no windows — the shuffle carries one row per user),
+    * then a one-row rollup counting users that progress through each
+    * stage in strict time order at microsecond precision. The standard
+    * product-analytics funnel as a two-aggregation plan.
+    */
+  def q102Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, unix_micros(col("ts")))).as(s"first_$t")
+    val perUser = e.groupBy(col("user_id"))
+      .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("first_view").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+      sum(when(col("first_view") < col("first_click"), 1L).otherwise(0L))
+        .as("n_view_then_click"),
+      sum(when(col("first_view") < col("first_click") &&
+        col("first_click") < col("first_purchase"), 1L).otherwise(0L))
+        .as("n_full_funnel"))
+  }
+
+  val q102Sql: String =
+    """WITH u AS (SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END)
+      |      AS first_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END)
+      |      AS first_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END)
+      |      AS first_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_viewed,
+      |  CAST(SUM(CASE WHEN first_view < first_click THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_view_then_click,
+      |  CAST(SUM(CASE WHEN first_view < first_click
+      |    AND first_click < first_purchase THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_full_funnel
+      |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2517,7 +2560,8 @@ object PipelineQueries {
     "q98_partitioned_upsert" -> (q98PartitionedUpsert _),
     "q99_stream_upsert" -> (q99StreamUpsert _),
     "q100_video_frames" -> (q100VideoFrames _),
-    "q101_interval_overlap" -> (q101IntervalOverlap _))
+    "q101_interval_overlap" -> (q101IntervalOverlap _),
+    "q102_funnel" -> (q102Funnel _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2584,5 +2628,6 @@ object PipelineQueries {
     "q98_partitioned_upsert" -> q98Sql,
     "q99_stream_upsert" -> q99Sql,
     "q100_video_frames" -> q100Sql,
-    "q101_interval_overlap" -> q101Sql)
+    "q101_interval_overlap" -> q101Sql,
+    "q102_funnel" -> q102Sql)
 }
