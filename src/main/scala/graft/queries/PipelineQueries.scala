@@ -2495,6 +2495,75 @@ object PipelineQueries {
       |    AS n_full_funnel
       |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** Hybrid retrieval with reciprocal-rank fusion (the RAG-serving
+    * shape): the keyword leg (q86's conjunctive tf top-20) and the
+    * vector leg (q40's exact cosine top-20) fuse via
+    * RRF = Σ 1/(60 + rank) over a full-outer rank join, top-10 out.
+    * Both legs are TakeOrdered scans; the fusion touches ≤40 rows.
+    * Doubles are safe to order on cross-engine here: 1/(60+int) is the
+    * same IEEE-754 value in both engines, and ties break on id.
+    */
+  def q103HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val textLeg = graft.text.Search.conjunctiveTopK(
+        t(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("hash", "join", "scan"), k = 20)
+      .withColumn("text_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("text_rank"))
+    val e = t(s, dir, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val vecLeg = Ann.bruteForceTopK(
+        e, "embedding", "vec_id", probe, k = 20, excludeId = Some(0L))
+      .withColumn("vec_rank", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("id"), col("vec_rank"))
+    textLeg.join(vecLeg, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("text_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+      .withColumn("fused_rank", row_number()
+        .over(Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+      .filter(col("fused_rank") <= 10)
+      .select(col("fused_rank"), col("id"),
+        coalesce(col("text_rank"), lit(0L)).as("text_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .orderBy(col("fused_rank"))
+  }
+
+  val q103Sql: String =
+    """WITH tl0 AS (SELECT doc_id, COUNT(*) AS score
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE text IS NOT NULL)
+      |  WHERE tok IN ('hash', 'join', 'scan')
+      |  GROUP BY doc_id HAVING COUNT(DISTINCT tok) = 3
+      |  ORDER BY score DESC, doc_id LIMIT 20),
+      |tl AS (SELECT doc_id AS id,
+      |  row_number() OVER (ORDER BY score DESC, doc_id) AS text_rank FROM tl0),
+      |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+      |vl0 AS (SELECT vec_id,
+      |  list_aggregate(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum') /
+      |  (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) *
+      |   sqrt(list_aggregate(list_transform(range(1, len(pe) + 1),
+      |    i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum'))) AS cosine
+      |  FROM embeddings, p WHERE vec_id <> 0
+      |  ORDER BY cosine DESC, vec_id LIMIT 20),
+      |vl AS (SELECT vec_id AS id,
+      |  row_number() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank FROM vl0),
+      |f AS (SELECT COALESCE(tl.id, vl.id) AS id,
+      |  COALESCE(1.0 / (60 + text_rank), 0) + COALESCE(1.0 / (60 + vec_rank), 0)
+      |    AS rrf,
+      |  COALESCE(text_rank, 0) AS text_rank,
+      |  COALESCE(vec_rank, 0) AS vec_rank
+      |  FROM tl FULL OUTER JOIN vl ON tl.id = vl.id)
+      |SELECT row_number() OVER (ORDER BY rrf DESC, id) AS fused_rank,
+      |  id, text_rank, vec_rank
+      |FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2561,7 +2630,8 @@ object PipelineQueries {
     "q99_stream_upsert" -> (q99StreamUpsert _),
     "q100_video_frames" -> (q100VideoFrames _),
     "q101_interval_overlap" -> (q101IntervalOverlap _),
-    "q102_funnel" -> (q102Funnel _))
+    "q102_funnel" -> (q102Funnel _),
+    "q103_hybrid_retrieval" -> (q103HybridRetrieval _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2629,5 +2699,6 @@ object PipelineQueries {
     "q99_stream_upsert" -> q99Sql,
     "q100_video_frames" -> q100Sql,
     "q101_interval_overlap" -> q101Sql,
-    "q102_funnel" -> q102Sql)
+    "q102_funnel" -> q102Sql,
+    "q103_hybrid_retrieval" -> q103Sql)
 }
