@@ -11,8 +11,9 @@ import graft.triangles.Triangles
   * self-ER problem (FIXTURES.md §B), brand as the blocking key, type
   * equality as ground-truth label. q20-q23 are DuckDB-checkable
   * re-expressions of the CERTA dataflow stages (J3-blocking, J4, A7,
-  * A1); q25-q27 run the real explainer end-to-end (not SQL-expressible
-  * → rows-only checks).
+  * A1); q25-q28 run the real explainer end-to-end — not SQL-expressible,
+  * so their oracles are per-SF frozen VALUES literals ([[GoldenLive]])
+  * hash-checked at the driver's verify SF.
   */
 object ErQueries {
 
@@ -250,7 +251,8 @@ object ErQueries {
     })
 
   /** Full CERTA saliency explanation (reference explain.py:34-158) of a
-    * self-match on part 0 — live explainer, rows-only check.
+    * self-match on part 0 — live explainer, hash-checked against the
+    * per-SF frozen golden ([[GoldenLive]]).
     */
   def q25CertaSaliency(s: SparkSession, dir: String): DataFrame =
     explained(s, dir).saliency.orderBy(col("attribute"))
@@ -258,8 +260,8 @@ object ErQueries {
   /** Baseline saliency comparison on the same pair (the reference
     * eval.py side-by-side): Mojito (LIME-style masking), full per-token
     * Landmark rolled up per attribute, and exact-Shapley SHAP — all
-    * seeded/exact, so rows are deterministic; rows-only check (weights
-    * are model-driven, not SQL-expressible).
+    * seeded/exact, so the weights freeze to per-SF constants —
+    * hash-checked against [[GoldenLive]].
     */
   def q28BaselineSaliency(s: SparkSession, dir: String): DataFrame = {
     val src = erSource(s, dir)
@@ -382,6 +384,10 @@ object ErQueries {
     "q22_er_jaccard" -> q22Sql,
     "q23_er_sensitivity" -> q23Sql,
     "q24_er_f1" -> q24Sql,
+    "q25_certa_saliency" -> GoldenLive.saliencySql(GoldenLive.verifySf),
+    "q26_certa_pss" -> GoldenLive.pssSql(GoldenLive.verifySf),
+    "q27_certa_triangles" -> GoldenLive.trianglesSql(GoldenLive.verifySf),
+    "q28_baseline_saliency" -> GoldenLive.baselinesSql(GoldenLive.verifySf),
     "q60_certa_saliency_golden" -> GoldenExplainer.saliencySql,
     "q61_certa_pss_golden" -> GoldenExplainer.pssSql,
     "q62_certa_triangles_golden" -> GoldenExplainer.trianglesSql,

@@ -61,7 +61,10 @@ object GoldenExplainer {
     ("shap", "ltable_name", 0.2723290993692602),
     ("shap", "ltable_region", 0.2723290993692602))
 
-  private def d(v: Double): String = s"CAST($v AS DOUBLE)"
+  // string-literal cast: DuckDB parses a bare numeric literal through
+  // DECIMAL, which can land one ULP off the Scala double; a quoted
+  // string goes through strtod and round-trips exactly
+  private def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val saliencySql: String =

@@ -1001,7 +1001,7 @@ object PipelineQueries {
       |  CASE WHEN sz > 0 THEN (cum - 1) // 512 ELSE (cum - sz) // 512 END AS ce
       |  FROM c)
       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(sz) AS BIGINT) AS n_tokens,
-      |  MAX(ce) + 1 AS n_chunks,
+      |  CAST(MAX(ce) + 1 AS BIGINT) AS n_chunks,
       |  CAST(SUM(CASE WHEN ce > cs THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
       |FROM a GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -49,6 +49,14 @@ object Bpe {
     require(numMerges >= 0, "numMerges must be non-negative")
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var words = words0.select(col("sym"), col("freq"))
+    // Each eager localCheckpoint pins one RDD in the block manager;
+    // round r+1 depends only on round r's materialized data and the
+    // merge table is the only output, so the previous round's
+    // checkpoint (and, on return, the last one) is released here —
+    // the loop holds at most one round of state however many merges
+    // are learned.
+    var pinned: Option[org.apache.spark.rdd.RDD[_]] = None
+    def release(): Unit = { pinned.foreach(_.unpersist(blocking = false)); pinned = None }
     var r = 0
     var exhausted = false
     while (r < numMerges && !exhausted) {
@@ -68,9 +76,16 @@ object Bpe {
         out += Merge(r, a, b, a + b, cnt)
         words = words.withColumn("sym", mergeSyms(col("sym"), a, b))
           .localCheckpoint()
+        val prev = pinned
+        pinned = words.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+          case _ => None
+        }
+        prev.foreach(_.unpersist(blocking = false))
         r += 1
       }
     }
+    release()
     out.toSeq
   }
 

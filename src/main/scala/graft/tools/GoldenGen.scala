@@ -64,6 +64,35 @@ object GoldenGen {
     println("  val q96Golden: Seq[(Int, String, String, String, Long)] = Seq(")
     println(bpeAll.head._2.map { case (r, a, b, m, c) =>
       s"    ($r, ${lit(a)}, ${lit(b)}, ${lit(m)}, ${c}L)" }.mkString(",\n") + ")")
+
+    // Per-SF frozen constants for the bench-scale live explainer
+    // (q25-q28 on `part`). These are NOT SF-invariant — the support /
+    // candidate structure grows with `part` — so each SF gets its own
+    // frozen block and [[graft.queries.GoldenLive]] keys the oracle off
+    // the verify SF (sf0.01). Regenerate whenever testdata changes.
+    dirs.foreach { dir =>
+      val sfTag = dir.split("/").last
+      val sal = ErQueries.q25CertaSaliency(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val pss = ErQueries.q26CertaPss(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val tri = ErQueries.q27CertaTriangles(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      val base = ErQueries.q28BaselineSaliency(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+      println(s"  // --- $sfTag ---")
+      println(s"""  "$sfTag" -> LiveGolden(""")
+      println("    saliency = Seq(")
+      println(sal.map { case (a, v) => s"      (${lit(a)}, $v)" }.mkString(",\n") + "),")
+      println("    pss = Seq(")
+      println(pss.map { case (a, v) => s"      (${lit(a)}, $v)" }.mkString(",\n") + "),")
+      println("    triangles = Seq(")
+      println(tri.map { case (u, v, w) =>
+        s"      (${lit(u)}, ${lit(v)}, ${lit(w)})" }.mkString(",\n") + "),")
+      println("    baselines = Seq(")
+      println(base.map { case (m, a, v) =>
+        s"      (${lit(m)}, ${lit(a)}, $v)" }.mkString(",\n") + ")),")
+    }
     spark.stop()
   }
 }
