@@ -616,8 +616,20 @@ object PipelineQueries {
     */
   def q48StreamWindow(s: SparkSession, dir: String): DataFrame = {
     val stream = StreamingOps.eventsStream(s, dir)
-    StreamingOps.runToCompletion(
-        StreamingOps.windowedTypeStats(stream), s"stream_win_${dir.hashCode.abs}")
+    // state-store sizing (the q59 rule): a streaming agg commits one
+    // state store per shuffle partition per micro-batch; 32 partitions
+    // = 32 commits+fsyncs per batch for a few thousand window-key rows.
+    // 8 partitions matches this stream's state volume — the number the
+    // job would be deployed with on a cluster — and removes the
+    // fsync-bound variance the bench tail showed at 32.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val result =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        StreamingOps.runToCompletion(
+          StreamingOps.windowedTypeStats(stream), s"stream_win_${dir.hashCode.abs}")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    result
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n"), col("sum_value").cast("double").as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))

@@ -31,9 +31,40 @@ import graft.dedup.{Components, Dedup}
   */
 object SemDedup {
 
+  /** Plane count sentinel: derive from corpus density (see
+    * [[autoPlanes]]) — the default, and the 100 TB-safe choice.
+    */
+  val AutoPlanes: Int = 0
+
+  /** Cells sized to corpus density: enough hyperplanes that the MEAN
+    * cell holds ~`targetCell` vectors — `ceil(log2(n / targetCell))`
+    * planes, clamped to [4, 28]. Per-cell verify work then stays
+    * roughly constant as the corpus grows (the hand-scaling rule the
+    * ScaleSmoke semantic-dedup leg applies, promoted to the default:
+    * a fixed plane count re-measured 92× cost under 64× growth —
+    * dense cells do quadratically more cosine work — while the
+    * density-scaled count stays ~linear). Mean, not max: genuinely
+    * clustered regions can still exceed the target — that residual
+    * skew is what `maxBucketSize` guards.
+    */
+  def autoPlanes(n: Long, targetCell: Int = 128): Int = {
+    val cells = math.max(1.0, n.toDouble / targetCell)
+    math.min(28, math.max(4, math.ceil(math.log(cells) / math.log(2)).toInt))
+  }
+
+  private def resolvePlanes(df: DataFrame, numPlanes: Int): Int =
+    if (numPlanes != AutoPlanes) numPlanes
+    // one count probe (metadata-only on parquet sources) buys the
+    // density-correct cell count
+    else autoPlanes(df.count())
+
   /** Verified same-cell cosine pairs (id_a < id_b, cosine ≥ threshold).
     * Pure — nothing cached, safe to call in long-lived sessions.
     *
+    * @param numPlanes [[AutoPlanes]] (default) sizes cells to corpus
+    *   density via [[autoPlanes]]; pass an explicit count only when a
+    *   replayable oracle needs a pinned cell structure (q76) or the
+    *   corpus density is known out-of-band.
     * @param maxBucketSize optional skew guard (the
     *   [[Dedup.lshCandidatePairs]] contract): a degenerate corpus — or
     *   too few planes for the corpus density — collapses many vectors
@@ -41,15 +72,16 @@ object SemDedup {
     *   verify. Capping keeps the `maxBucketSize` id-smallest vectors
     *   per cell (deterministic; a per-cell sort, O(b log b), replaces
     *   the O(b²) blow-up) at a recall cost — opt-in because the
-    *   uncapped result is the oracle-exact one. The non-degenerate fix
-    *   is more planes: cells should be sized to corpus density.
+    *   uncapped result is the oracle-exact one. With [[AutoPlanes]]
+    *   this guards only residual cluster skew, not global density.
     */
   def nearDuplicatePairs(df: DataFrame, embCol: String, idCol: String,
-      threshold: Double, numPlanes: Int = 4,
+      threshold: Double, numPlanes: Int = AutoPlanes,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val planes = resolvePlanes(df, numPlanes)
     val dim = df.select(size(col(embCol))).head().getInt(0)
     val b0 = df.select(col(idCol), col(embCol),
-      Ann.lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
+      Ann.lshBucketPortable(col(embCol), dim, planes).as("__bucket"))
     val b =
       if (maxBucketSize == Int.MaxValue) b0
       else {
@@ -75,7 +107,7 @@ object SemDedup {
     * [[Dedup.dropNearDuplicates]] / `Ann.IvfIndex`.
     */
   def dropEmbeddingNearDuplicates(df: DataFrame, embCol: String,
-      idCol: String, threshold: Double, numPlanes: Int = 4,
+      idCol: String, threshold: Double, numPlanes: Int = AutoPlanes,
       maxBucketSize: Int = Int.MaxValue): Dedup.NearDupResult = {
     val edges = nearDuplicatePairs(df, embCol, idCol, threshold, numPlanes,
         maxBucketSize)

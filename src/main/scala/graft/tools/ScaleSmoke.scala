@@ -453,9 +453,11 @@ object ScaleSmoke {
     // decorrelated, so the m× corpus is m× distinct near-dup structure;
     // a constant shift would be WRONG here: it pushes every high-shift
     // replica to the same sign pattern and collapses them into one
-    // cell) with CELL COUNT GROWN WITH THE CORPUS (numPlanes += log2 m
-    // — the deployment rule: cells sized to corpus density, keeping
-    // per-cell pair work roughly constant). Verified-pair census.
+    // cell) with CELL COUNT GROWN WITH THE CORPUS — now the LIBRARY
+    // DEFAULT (SemDedup.AutoPlanes sizes cells to corpus density from
+    // a count probe; this leg exercises exactly that default, so it is
+    // the regression test for the auto-sizing rule). Verified-pair
+    // census.
     if (on("semantic dedup")) {
       val semTs = mults.map { m =>
         val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -468,9 +470,8 @@ object ScaleSmoke {
               .as("embedding"))
           .repartition(32).cache()
         e.count()
-        val planes = 4 + (31 - Integer.numberOfLeadingZeros(math.max(m, 1)))
         def run(): Unit = graft.similarity.SemDedup.nearDuplicatePairs(
-          e, "embedding", "vec_id", threshold = 0.4, numPlanes = planes)
+          e, "embedding", "vec_id", threshold = 0.4)
           .agg(count(lit(1))).collect()
         run() // warm
         val t = time(run())

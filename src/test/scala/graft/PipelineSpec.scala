@@ -502,6 +502,26 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.flatMap(p => Set(p._1, p._2)) === (0L until 10L).toSet)
   }
 
+  test("semantic dedup auto-sizes cells to corpus density by default") {
+    import graft.similarity.SemDedup
+    // the density rule: mean cell ~128 vectors, clamped to [4, 28]
+    assert(SemDedup.autoPlanes(0L) === 4)
+    assert(SemDedup.autoPlanes(1000L) === 4)       // small corpus → floor
+    assert(SemDedup.autoPlanes(128L * 1024) === 10)
+    // 64× growth adds exactly log2(64) = 6 planes — per-cell pair work
+    // stays constant (the ScaleSmoke semantic-dedup leg measures this)
+    assert(SemDedup.autoPlanes(128L * 1024 * 64) ===
+      SemDedup.autoPlanes(128L * 1024) + 6)
+    assert(SemDedup.autoPlanes(Long.MaxValue) === 28) // ceiling
+    // the default resolves planes from the corpus, and stays
+    // pair-complete on identical vectors whatever the plane count
+    val embs = (0L until 6L).map(i => (i, Seq(1.0f, 0.5f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val n = SemDedup.nearDuplicatePairs(embs, "embedding", "vec_id", 0.99)
+      .count()
+    assert(n === 15L) // C(6,2): identical vectors share a cell always
+  }
+
   test("zValue interleaves bits; every z-bucket bounds BOTH dimensions") {
     import graft.operators.ZOrder
     // a=3 (011), b=5 (101), 3 bits: positions a→{1,3}, b→{0,4} = 27
