@@ -49,6 +49,55 @@ trait CandidateGenerator extends Serializable {
   }
 }
 
+/** Sentinel for cost-based generator selection: resolved by
+  * [[CandidateGenerator.auto]] (EvalDriver does this when handed
+  * AutoSelect) into the prekeyed blocked path or the cross scan from
+  * (batch size, scorer cost) BEFORE any explanation runs — its own
+  * `pairs` is never called.
+  */
+case object AutoSelect extends CandidateGenerator {
+  override def pairs(probe: DataFrame, source: DataFrame,
+      probeIsLeft: Boolean, schema: PairSchema): DataFrame =
+    throw new IllegalStateException(
+      "AutoSelect must be resolved via CandidateGenerator.auto before use")
+}
+
+object CandidateGenerator {
+
+  /** Resolved selection: the generator to use plus ownership of any
+    * prekeyed caches it rides on. `close()` releases them (no-op for
+    * the cross path) — same contract as [[PrekeyedBlocking]].
+    */
+  final class Selection private[graft] (
+      val generator: CandidateGenerator,
+      prekeyed: Option[PrekeyedBlocking]) extends AutoCloseable {
+    def isPrekeyed: Boolean = prekeyed.isDefined
+    override def close(): Unit = prekeyed.foreach(_.close())
+  }
+
+  /** Cost-based generator choice, encoding the ScaleSmoke-measured
+    * trade ([[LshBlockingGenerator]]'s scaladoc): the blocked search
+    * pays one sketch pass over each source, which LOSES to the cross
+    * scan for a single explanation with a cheap column-program scorer
+    * (measured 25.4× vs 5.0× at 256× source growth) but WINS once
+    * either (a) the pass amortizes over ≥2 explanations on the same
+    * sources (measured 18.7× per explanation once prekeyed) or (b) the
+    * scorer itself is the expensive side (external/MLlib inference —
+    * pruning model calls dominates the sketch cost even one-off).
+    *
+    * @param batchSize    number of explanations that will share the
+    *                     selection
+    * @param costlyScorer [[graft.matcher.ERModel.costlyScorer]] of the
+    *                     model the search will score with
+    */
+  def auto(sources: Seq[DataFrame], batchSize: Int,
+      costlyScorer: Boolean): Selection =
+    if (batchSize >= 2 || costlyScorer) {
+      val handle = LshBlockingGenerator.forBatch(sources)
+      new Selection(handle.generator, Some(handle))
+    } else new Selection(CrossJoinGenerator, None)
+}
+
 /** Reference-exact J3: the probe replicates against every source record
   * — literally Spark's BroadcastNestedLoopJoin (one pass over the
   * source with the 1-row probe broadcast). Exhaustive recall; cost is a

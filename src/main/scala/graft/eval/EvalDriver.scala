@@ -77,6 +77,22 @@ object EvalDriver {
     (result, n)
   }
 
+  /** Resolve [[graft.candidates.AutoSelect]] into a concrete generator
+    * from (batch size, scorer cost) — the cost-based choice
+    * [[graft.candidates.CandidateGenerator.auto]] encodes. Pass-through
+    * (with a no-op close) for explicitly-chosen generators.
+    */
+  private def resolveGen(
+      gen: graft.candidates.CandidateGenerator,
+      lsource: DataFrame, rsource: DataFrame,
+      batchSize: Int, model: ERModel): graft.candidates.CandidateGenerator.Selection =
+    gen match {
+      case graft.candidates.AutoSelect =>
+        graft.candidates.CandidateGenerator.auto(
+          Seq(lsource, rsource), batchSize, model.costlyScorer)
+      case g => new graft.candidates.CandidateGenerator.Selection(g, None)
+    }
+
   final case class CfRow(
       ltableId: Long, rtableId: Long, label: Int,
       latencySec: Double, nCf: Long,
@@ -102,10 +118,12 @@ object EvalDriver {
     val spark = lsource.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(outDir))
+    val items = testPairs.limit(maxRows).collect().toSeq
+    val selection = resolveGen(candidateGen, lsource, rsource, items.size, model)
     val explainer = new CertaExplainer(lsource, rsource, schema,
-      candidateGen = candidateGen)
+      candidateGen = selection.generator)
 
-    val rows = parMap(testPairs.limit(maxRows).collect().toSeq, parallelism,
+    val rows = try parMap(items, parallelism,
         spark) { tp =>
       val lid = tp.getAs[Number]("ltable_id").longValue()
       val rid = tp.getAs[Number]("rtable_id").longValue()
@@ -150,6 +168,7 @@ object EvalDriver {
         landmark.map { case (a, s) => (lid, rid, "landmark", a, s, landmarkLat) } ++
         shap.map { case (a, s) => (lid, rid, "shap", a, s, shapLat) }
     }.flatten
+    finally selection.close()
     val df = rows.toDF("ltable_id", "rtable_id", "method", "attribute",
       "score", "latency_sec")
     val path = s"$outDir/saliency"
@@ -182,9 +201,11 @@ object EvalDriver {
     import spark.implicits._
     Files.createDirectories(Paths.get(outDir))
 
+    val items = testPairs.limit(maxRows).collect().toSeq
+    val selection = resolveGen(candidateGen, lsource, rsource, items.size, model)
     val explainer = new CertaExplainer(lsource, rsource, schema,
-      candidateGen = candidateGen)
-    val rows = parMap(testPairs.limit(maxRows).collect().toSeq, parallelism,
+      candidateGen = selection.generator)
+    val rows = try parMap(items, parallelism,
         spark) { tp =>
       val lid = tp.getAs[Number]("ltable_id").longValue()
       val rid = tp.getAs[Number]("rtable_id").longValue()
@@ -253,7 +274,7 @@ object EvalDriver {
         cf.unpersist()
         m
       }
-    }
+    } finally selection.close()
     rows.toDF()
   }
 }

@@ -19,6 +19,16 @@ trait ERModel extends Serializable {
     * pair frame (reference dm.py:77, bert.py:224-225).
     */
   def predict(pairs: DataFrame): DataFrame
+
+  /** Whether a prediction costs materially more than a scan-local
+    * column program — true for mapPartitions batch scorers (external
+    * neural models) and trained-pipeline transforms. Drives cost-based
+    * candidate-generator selection ([[graft.candidates.AutoSelect]]):
+    * pruning candidates is worth a blocking pass exactly when the
+    * scorer it prunes is the expensive side (the ScaleSmoke-measured
+    * trade in [[graft.candidates.LshBlockingGenerator]]'s scaladoc).
+    */
+  def costlyScorer: Boolean = false
 }
 
 /** Deterministic rule-based matcher: match score = token-bag cosine of

@@ -23,6 +23,9 @@ final class ExternalBatchScorer(
     batchSize: Int = 8,
     schema: PairSchema = PairSchema.default) extends ERModel {
 
+  // external model inference dominates any candidate-pruning pass
+  override def costlyScorer: Boolean = true
+
   override def predict(pairs: DataFrame): DataFrame = {
     val lCols = pairs.columns.filter(c => c.startsWith(schema.lprefix) && c != schema.lid)
     val rCols = pairs.columns.filter(c => c.startsWith(schema.rprefix) && c != schema.rid)

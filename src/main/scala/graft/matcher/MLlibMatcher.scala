@@ -26,6 +26,10 @@ final class MLlibMatcher private (
     val model: PipelineModel,
     schema: PairSchema) extends ERModel {
 
+  // pipeline transform (feature assembly + model) outweighs a
+  // candidate-pruning sketch pass
+  override def costlyScorer: Boolean = true
+
   override def predict(pairs: DataFrame): DataFrame = {
     val feat = MLlibMatcher.withFeatures(pairs, schema)
     val scored = model.transform(feat)

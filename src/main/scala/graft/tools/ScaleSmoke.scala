@@ -99,7 +99,93 @@ object ScaleSmoke {
         .collect()),
       "chunking" -> (d => graft.text.Chunking.chunk(
         d, "text", "doc_id", chunkSize = 32, stride = 24)
-        .agg(count(lit(1)), sum(col("n_chunk_tokens"))).collect()))
+        .agg(count(lit(1)), sum(col("n_chunk_tokens"))).collect()),
+
+      // the two STATED 100 TB swaps, executed next to their exact forms
+      // with error-bound assertions (q67/q97's approx_percentile claim,
+      // q81's float-ratio claim) — each leg times both variants itself
+      // and prints the delta; the harness time covers the pair.
+      "percentile swap" -> (d => {
+        val base = d.select(col("lang"),
+          size(split(col("text"), " ")).cast("double").as("tok"))
+        def tm(f: => Any): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val exactT = tm(base.groupBy(col("lang")).agg(expr(
+          "percentile(tok, array(0.25D, 0.5D, 0.75D))")).collect())
+        val approxT = tm(base.groupBy(col("lang")).agg(expr(
+          "approx_percentile(tok, array(0.25D, 0.5D, 0.75D), 1000)")).collect())
+        // contract: rank error ~ n/accuracy ⇒ the approx value must lie
+        // between the exact quantiles 5/1000 either side of the target
+        // (5x margin over the nominal 1/1000: the GK-sketch bound is
+        // approximate after compression and tied integer values
+        // quantize ranks into steps)
+        val rows = base.groupBy(col("lang")).agg(expr(
+            "percentile(tok, array(0.245D, 0.255D, 0.495D, 0.505D, 0.745D, 0.755D))")
+            .as("bounds"),
+          expr("approx_percentile(tok, array(0.25D, 0.5D, 0.75D), 1000)")
+            .as("approx")).collect()
+        rows.foreach { r =>
+          val b = r.getSeq[Double](1); val a = r.getSeq[Double](2)
+          (0 until 3).foreach { i =>
+            // approx returns an actual (integer token-count) data value;
+            // exact CONT interpolates between adjacent integers — widen
+            // the rank band to whole-value granularity
+            val (lo, hi) = (math.floor(b(2 * i)), math.ceil(b(2 * i + 1)))
+            require(a(i) >= lo - 1e-9 && a(i) <= hi + 1e-9,
+              s"approx p${i} ${a(i)} outside exact rank band " +
+                s"[$lo, $hi] for lang ${r.getString(0)}")
+          }
+        }
+        println(f"    [swap] percentile exact $exactT%.2fs vs " +
+          f"approx $approxT%.2fs (${exactT / approxT}%.2fx)")
+      }),
+      "drift float swap" -> (d => {
+        // q81's chi2 term: long integer cross-products (exact to ~3e9
+        // tokens/side) vs the overflow-proof double form — same plan
+        // shape, cast moved before the multiply
+        val toks = d.filter(col("text").isNotNull &&
+            col("source").isin("src0", "src1"))
+          .select(col("source"),
+            explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+          .select(col("source"),
+            pmod(Dedup.portableHash60(col("token")), lit(256L)).as("bucket"))
+        def census(src: String, nm: String) = toks
+          .filter(col("source") === src).groupBy(col("bucket"))
+          .agg(count(lit(1)).as(nm))
+        val j = census("src0", "n_a")
+          .join(census("src1", "n_b"), Seq("bucket"), "full_outer")
+          .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"))
+        def tm(f: => Any): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val r0 = j.agg(sum(col("n_a")), sum(col("n_b"))).head()
+        val (ta, tb) = (r0.getLong(0), r0.getLong(1))
+        def longTerm = ((col("n_a") * tb - col("n_b") * ta)
+          * (col("n_a") * tb - col("n_b") * ta)).cast("double") /
+          ((col("n_a") + col("n_b")) * lit(ta) * lit(tb)).cast("double")
+        def diff = col("n_a").cast("double") * lit(tb.toDouble) -
+          col("n_b").cast("double") * lit(ta.toDouble)
+        def floatTerm = diff * diff /
+          ((col("n_a") + col("n_b")).cast("double")
+            * lit(ta.toDouble) * lit(tb.toDouble))
+        val zero = col("n_a") + col("n_b") === 0L
+        val longT = tm(j.select(
+          when(zero, 0.0).otherwise(longTerm).as("t")).agg(sum(col("t"))).head())
+        val floatT = tm(j.select(
+          when(zero, 0.0).otherwise(floatTerm).as("t")).agg(sum(col("t"))).head())
+        val terms = j.select(col("bucket"),
+            when(zero, 0.0).otherwise(longTerm).as("lt"),
+            when(zero, 0.0).otherwise(floatTerm).as("ft")).collect()
+        terms.foreach { r =>
+          val (lt, ft) = (r.getDouble(1), r.getDouble(2))
+          require(math.abs(lt - ft) <= 1e-6 * math.max(1.0, math.abs(lt)),
+            s"chi2 float form diverged at bucket ${r.getLong(0)}: $lt vs $ft")
+        }
+        println(f"    [swap] drift chi2 long $longT%.2fs vs " +
+          f"float $floatT%.2fs (${longT / floatT}%.2fx)")
+      }))
 
     // SMOKE_ONLY=substr,substr filters legs (dev iteration on one leg)
     val legFilter = sys.env.get("SMOKE_ONLY").map(_.split(",").toSet)

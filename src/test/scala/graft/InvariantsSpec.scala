@@ -175,6 +175,49 @@ class InvariantsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet === before)
   }
 
+  test("AutoSelect picks cross for one cheap call, prekeyed for a batch") {
+    import graft.candidates.{AutoSelect, CandidateGenerator, CrossJoinGenerator}
+    // the selection logic itself (the ScaleSmoke-measured trade)
+    val single = CandidateGenerator.auto(Seq(lsource, rsource), 1,
+      costlyScorer = false)
+    assert(!single.isPrekeyed && (single.generator eq CrossJoinGenerator))
+    single.close() // no-op for the cross path
+    val batch = CandidateGenerator.auto(Seq(lsource, rsource), 2,
+      costlyScorer = false)
+    try assert(batch.isPrekeyed) finally batch.close()
+    val costly = CandidateGenerator.auto(Seq(lsource, rsource), 1,
+      costlyScorer = true)
+    try assert(costly.isPrekeyed) finally costly.close()
+    // costlyScorer is carried by the model type
+    assert(!TokenCosineModel().costlyScorer)
+    assert(new graft.matcher.ExternalBatchScorer(
+      () => batch2 => batch2.map(_ => 0.5)).costlyScorer)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+
+    // end-to-end: AutoSelect through the driver produces outputs
+    // identical to the manually-chosen generator for both regimes,
+    // and leaves nothing pinned
+    def run(gen: graft.candidates.CandidateGenerator,
+        pairs: DataFrame, n: Int): Seq[String] = {
+      val out = java.nio.file.Files.createTempDirectory("evalauto").toString
+      EvalDriver.evalCf(lsource, rsource, pairs, TokenCosineModel(), out,
+          numTriangles = 4, maxRows = n, candidateGen = gen)
+        .drop("latencySec").collect().map(_.toString).toSeq
+    }
+    val one = Seq((0L, 0L, 1)).toDF("ltable_id", "rtable_id", "label")
+    assert(run(AutoSelect, one, 1) === run(CrossJoinGenerator, one, 1))
+    val two = Seq((0L, 0L, 1), (1L, 2L, 0))
+      .toDF("ltable_id", "rtable_id", "label")
+    val manual = graft.candidates.LshBlockingGenerator.forBatch(
+      Seq(lsource, rsource))
+    // NOTE: manual prekeyed matches frames by reference identity, and
+    // lsource/rsource are defs — AutoSelect re-keys internally, so only
+    // output equality (not cache sharing) is asserted here
+    val expected = try run(manual.generator, two, 2) finally manual.close()
+    assert(run(AutoSelect, two, 2) === expected)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("eval driver compare leg writes shapc/limec/dice CF sinks") {
     val out = java.nio.file.Files.createTempDirectory("evalcmp").toString
     // two pairs so the DiCE domain frame offers alternative values
