@@ -95,6 +95,109 @@ object Multimodal {
     }.toDF("media_id", "content")
   }
 
+  /** Synthetic RGB images WITH NEAR-DUPLICATE STRUCTURE: pixel content
+    * is driven by the row's GROUP (`id % groups`) — same closed-form
+    * integer arithmetic as [[synthesizePngs]], column-blocked so the
+    * per-column-group sums differ across groups — plus a one-pixel
+    * per-row nudge (`id % 5` added to the red channel at (0,0)), so
+    * rows of one group decode to near-identical-but-not-equal images.
+    * The downstream embedding/near-dup pipeline then has real work to
+    * do, and a SQL oracle can still recompute every DECODED pixel
+    * (PNG is lossless).
+    */
+  def synthesizeGroupedPngs(ids: DataFrame, idCol: String = "doc_id",
+      groups: Int = 16, w: Int = 8, h: Int = 8): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val g = groups
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val buf = new java.io.ByteArrayOutputStream()
+      it.map { id =>
+        val gid = id % g
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var r = ((gid * 37 + (x / 2) * 53 + y * 29) % 256).toInt
+            val gr = ((gid * 91 + (x / 2) * 17 + y * 43) % 256).toInt
+            val b = ((gid * 53 + (x / 2) * 11 + y * 7) % 256).toInt
+            if (x == 0 && y == 0) r = ((r + id % 5) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (gr << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        buf.reset()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        (id, buf.toByteArray)
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** REAL decode → EMBEDDING: the bridge from binary media columns into
+    * the similarity stack ([[graft.similarity.SemDedup]] /
+    * [[graft.similarity.Ann]]). Per-partition reader lifecycle as in
+    * [[decodeImageStats]]; the embedding is the integer-exact
+    * per-channel column-group pixel sums — `3 * colGroups` dims laid
+    * out [r-groups..., g-groups..., b-groups...] — cast to float
+    * (sums ≤ 255·w·h are exact in float32, so downstream cosine math
+    * is bit-reproducible by a SQL oracle replaying the pixel formula).
+    */
+  def decodeImageEmbedding(media: DataFrame, colGroups: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val cg = colGroups
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        var reader: javax.imageio.ImageReader = null
+        def acquire(): javax.imageio.ImageReader = {
+          if (reader == null)
+            reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("png").next()
+          reader
+        }
+        new Iterator[(Long, Array[Float])] {
+          override def hasNext: Boolean = {
+            val more = it.hasNext
+            if (!more && reader != null) { reader.dispose(); reader = null }
+            more
+          }
+          override def next(): (Long, Array[Float]) = {
+            val (id, bytes) = it.next()
+            val r = acquire()
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              r.setInput(iis)
+              val img = r.read(0)
+              val w = img.getWidth
+              val h = img.getHeight
+              val gw = math.max(1, w / cg)
+              val sums = Array.ofDim[Long](3 * cg)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val grp = math.min(cg - 1, x / gw)
+                  val p = img.getRGB(x, y)
+                  sums(grp) += (p >> 16) & 0xff
+                  sums(cg + grp) += (p >> 8) & 0xff
+                  sums(2 * cg + grp) += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              (id, sums.map(_.toFloat))
+            } finally iis.close()
+          }
+        }
+      }
+      .toDF("media_id", "embedding")
+  }
+
   /** REAL image decode: per-partition `ImageReader` handle (acquired
     * once, reset per row via a fresh ImageInputStream, disposed when the
     * partition drains — the native-codec lifecycle), per-image pixel

@@ -2576,6 +2576,96 @@ object PipelineQueries {
       |  id, text_rank, vec_rank
       |FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Multimodal → similarity-stack bridge, end to end: synthesize PNGs
+    * with near-duplicate group structure
+    * ([[graft.multimodal.Multimodal.synthesizeGroupedPngs]] — pixels
+    * from closed-form integer arithmetic in (doc_id % 16, x, y), one
+    * red-channel pixel nudged per doc), REALLY decode them via
+    * `javax.imageio` into per-channel column-group sum embeddings
+    * ([[Multimodal.decodeImageEmbedding]], integer-exact in float32),
+    * then delete embedding near-duplicates with the q76 SemDeDup
+    * closure. Probed margins at the 0.999 threshold: same-group cosine
+    * ≥ 0.9999997, cross-group ≤ 0.99511 — no borderline comparisons.
+    * The oracle replays the DECODED pixels from the synthesis formula
+    * (PNG is lossless), the embedding sums, the portable LSH cells, the
+    * in-cell cosines, and the recursive closure — the decode step is
+    * exactly the identity the oracle assumes, which is what q44 pins.
+    */
+  def q104ImageSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+    val media = graft.multimodal.Multimodal.synthesizeGroupedPngs(ids, "doc_id")
+    val emb = graft.multimodal.Multimodal.decodeImageEmbedding(media)
+      .withColumnRenamed("media_id", "vec_id")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val result =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
+          emb, "embedding", "vec_id", threshold = 0.999, numPlanes = 4)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    result.survivors.agg(
+      count(lit(1)).as("n_survivors"),
+      sum(col("vec_id")).as("survivor_id_sum"))
+      .crossJoin(result.losers.agg(count(lit(1)).as("n_losers")))
+  }
+
+  val q104Sql: String = {
+    def proj(p: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    // replay the synthesized-then-decoded pixels in closed form, sum
+    // into the [r-groups, g-groups, b-groups] embedding layout
+    s"""WITH RECURSIVE px AS (
+       |  SELECT d.doc_id, x.x, y.y,
+       |    CASE WHEN x.x = 0 AND y.y = 0
+       |      THEN ((d.doc_id % 16) * 37 + (x.x // 2) * 53 + y.y * 29
+       |            + d.doc_id % 5) % 256
+       |      ELSE ((d.doc_id % 16) * 37 + (x.x // 2) * 53 + y.y * 29) % 256
+       |    END AS r,
+       |    ((d.doc_id % 16) * 91 + (x.x // 2) * 17 + y.y * 43) % 256 AS g,
+       |    ((d.doc_id % 16) * 53 + (x.x // 2) * 11 + y.y * 7) % 256 AS b
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+       |    (SELECT unnest(range(0, 8)) AS x) x,
+       |    (SELECT unnest(range(0, 8)) AS y) y),
+       |gsum AS (SELECT doc_id, x // 2 AS grp,
+       |    SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb
+       |  FROM px GROUP BY doc_id, x // 2),
+       |emb AS (SELECT doc_id AS vec_id,
+       |    list(CAST(sr AS DOUBLE) ORDER BY grp)
+       |      || list(CAST(sg AS DOUBLE) ORDER BY grp)
+       |      || list(CAST(sb AS DOUBLE) ORDER BY grp) AS embedding
+       |  FROM gsum GROUP BY doc_id),
+       |bk AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM emb),
+       |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> a.embedding[i] * b.embedding[i]), 'sum') /
+       |  (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> a.embedding[i] * a.embedding[i]), 'sum')) *
+       |   sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+       |    i -> b.embedding[i] * b.embedding[i]), 'sum'))) AS cosine
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |e AS (SELECT ia, ib FROM pr WHERE cosine >= 0.999),
+       |sym AS (SELECT ia AS a, ib AS b FROM e
+       |  UNION SELECT ib AS a, ia AS b FROM e),
+       |reach(a, b) AS (SELECT a, b FROM sym
+       |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+       |rep AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS rep
+       |  FROM reach GROUP BY a),
+       |losers AS (SELECT vec_id FROM rep WHERE vec_id <> rep)
+       |SELECT
+       |  (SELECT COUNT(*) FROM emb) - (SELECT COUNT(*) FROM losers) AS n_survivors,
+       |  CAST((SELECT SUM(vec_id) FROM emb)
+       |    - COALESCE((SELECT SUM(vec_id) FROM losers), 0) AS BIGINT) AS survivor_id_sum,
+       |  (SELECT COUNT(*) FROM losers) AS n_losers""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2643,7 +2733,8 @@ object PipelineQueries {
     "q100_video_frames" -> (q100VideoFrames _),
     "q101_interval_overlap" -> (q101IntervalOverlap _),
     "q102_funnel" -> (q102Funnel _),
-    "q103_hybrid_retrieval" -> (q103HybridRetrieval _))
+    "q103_hybrid_retrieval" -> (q103HybridRetrieval _),
+    "q104_image_semdedup" -> (q104ImageSemDedup _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2712,5 +2803,6 @@ object PipelineQueries {
     "q100_video_frames" -> q100Sql,
     "q101_interval_overlap" -> q101Sql,
     "q102_funnel" -> q102Sql,
-    "q103_hybrid_retrieval" -> q103Sql)
+    "q103_hybrid_retrieval" -> q103Sql,
+    "q104_image_semdedup" -> q104Sql)
 }

@@ -502,6 +502,40 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.flatMap(p => Set(p._1, p._2)) === (0L until 10L).toSet)
   }
 
+  test("image decode→embedding equals the closed-form pixel sums") {
+    import graft.multimodal.Multimodal
+    // the identity q104's oracle rests on: PNG-encode → real javax
+    // decode → column-group sums == direct arithmetic on the formula
+    val ids = Seq(0L, 3L, 16L, 19L, 37L).toDF("doc_id")
+    val emb = Multimodal.decodeImageEmbedding(
+        Multimodal.synthesizeGroupedPngs(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def expected(id: Long): Seq[Float] = {
+      val gid = id % 16
+      val sums = Array.ofDim[Long](12)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var r = (gid * 37 + (x / 2) * 53 + y * 29) % 256
+        if (x == 0 && y == 0) r = (r + id % 5) % 256
+        val g = (gid * 91 + (x / 2) * 17 + y * 43) % 256
+        val b = (gid * 53 + (x / 2) * 11 + y * 7) % 256
+        sums(x / 2) += r; sums(4 + x / 2) += g; sums(8 + x / 2) += b
+      }
+      sums.map(_.toFloat).toSeq
+    }
+    Seq(0L, 3L, 16L, 19L, 37L).foreach(id =>
+      assert(emb(id) === expected(id), s"id $id"))
+    // same group (0 and 16) must be near-identical, not equal
+    // (0 % 5 != 16 % 5 nudges one pixel); different groups far apart
+    assert(emb(0L) !== emb(16L))
+    val e0 = emb(0L).map(_.toDouble); val e16 = emb(16L).map(_.toDouble)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(e0, e16) > 0.999)
+    assert(cos(e0, emb(3L).map(_.toDouble)) < 0.999)
+  }
+
   test("semantic dedup auto-sizes cells to corpus density by default") {
     import graft.similarity.SemDedup
     // the density rule: mean cell ~128 vectors, clamped to [4, 28]
