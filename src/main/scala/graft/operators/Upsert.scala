@@ -43,6 +43,20 @@ object Upsert {
     * partition) and be unique per key; a key may not MOVE between
     * partitions (SCD1 in-place semantics). Returns the touched
     * partition values.
+    *
+    * Crash safety: the write overwrites the very partitions the merged
+    * plan reads, so the merged rows are MATERIALIZED (eager
+    * localCheckpoint) before the overwrite starts — the read completes
+    * before the first byte is staged, and the checkpoint is released
+    * after the write commits. The remaining window is the dynamic-
+    * overwrite commit itself (staged files swap in, touched-partition
+    * files delete, at job commit): a crash inside that protocol can
+    * still leave touched partitions partially swapped — the same
+    * window any format-less dynamic overwrite has; untouched
+    * partitions are never at risk. A transactional table format is the
+    * escape hatch when that window matters. The overwrite mode is a
+    * per-write option, not a session conf — concurrent writers on the
+    * same session are unaffected.
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, updates: DataFrame, keys: Seq[String],
@@ -51,15 +65,14 @@ object Upsert {
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     val current = spark.read.parquet(tableDir)
       .filter(col(partCol).isin(touched: _*))
-    val merged = upsert(current, updates, keys)
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try merged.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None => spark.conf.unset(modeKey)
+    val merged = upsert(current, updates, keys).localCheckpoint()
+    val pinned = merged.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
     }
+    try merged.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy(partCol).parquet(tableDir)
+    finally pinned.foreach(_.unpersist(blocking = false))
     touched
   }
 

@@ -2515,6 +2515,12 @@ object PipelineQueries {
     * Both legs are TakeOrdered scans; the fusion touches ≤40 rows.
     * Doubles are safe to order on cross-engine here: 1/(60+int) is the
     * same IEEE-754 value in both engines, and ties break on id.
+    * The vector leg ranks (and cuts its top-20) on the cosine QUANTIZED
+    * to integer nanounits — `floor(cosine·1e9)` — in both engines:
+    * raw-double ordering would let a sub-1e-9 cross-engine difference
+    * on near-tie cosines flip vec_rank or the top-20 membership in a
+    * regenerated embeddings fixture; after quantization such pairs tie
+    * exactly and break on vec_id.
     */
   def q103HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2527,10 +2533,14 @@ object PipelineQueries {
     val e = t(s, dir, "embeddings")
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
-    val vecLeg = Ann.bruteForceTopK(
-        e, "embedding", "vec_id", probe, k = 20, excludeId = Some(0L))
+    val qcos = floor(
+      Ann.cosine(col("embedding"), typedLit(probe)) * lit(1e9)).cast("long")
+    val vecLeg = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), qcos.as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(20)
       .withColumn("vec_rank", row_number()
-        .over(Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+        .over(Window.orderBy(col("qcos").desc, col("vec_id"))).cast("long"))
       .select(col("vec_id").as("id"), col("vec_rank"))
     textLeg.join(vecLeg, Seq("id"), "full_outer")
       .withColumn("rrf",
@@ -2556,16 +2566,17 @@ object PipelineQueries {
       |  row_number() OVER (ORDER BY score DESC, doc_id) AS text_rank FROM tl0),
       |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
       |vl0 AS (SELECT vec_id,
-      |  list_aggregate(list_transform(range(1, len(embedding) + 1),
+      |  CAST(FLOOR((list_aggregate(list_transform(range(1, len(embedding) + 1),
       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum') /
       |  (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) *
       |   sqrt(list_aggregate(list_transform(range(1, len(pe) + 1),
-      |    i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum'))) AS cosine
+      |    i -> CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)), 'sum')))) * 1e9)
+      |    AS BIGINT) AS qcos
       |  FROM embeddings, p WHERE vec_id <> 0
-      |  ORDER BY cosine DESC, vec_id LIMIT 20),
+      |  ORDER BY qcos DESC, vec_id LIMIT 20),
       |vl AS (SELECT vec_id AS id,
-      |  row_number() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank FROM vl0),
+      |  row_number() OVER (ORDER BY qcos DESC, vec_id) AS vec_rank FROM vl0),
       |f AS (SELECT COALESCE(tl.id, vl.id) AS id,
       |  COALESCE(1.0 / (60 + text_rank), 0) + COALESCE(1.0 / (60 + vec_rank), 0)
       |    AS rrf,

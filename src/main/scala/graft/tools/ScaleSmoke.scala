@@ -301,6 +301,46 @@ object ScaleSmoke {
         f"   ${candTs.last._3 / candTs.head._3}%5.1f")
     }
 
+    // ---- evaldriver batch leg: evalCf over 32 pairs at parallelism 1
+    // vs 8 on the m×-scaled sources, with AutoSelect (which resolves to
+    // the prekeyed blocked generator for this batch size). Explanations
+    // are independent — the concurrent job streams should interleave to
+    // a real speedup — and outputs must be IDENTICAL to the sequential
+    // loop's (asserted here, not just spec'd at toy size).
+    if (on("evaldriver batch")) {
+      import spark.implicits._
+      val evalTs = mults.map { m =>
+        val part = scaledPart(m)
+        part.count()
+        val ids = part.select(col("id")).orderBy(col("id")).limit(32)
+          .as[Long].collect().toSeq
+        val pairs = ids.map(i => (i, i, 1))
+          .toDF("ltable_id", "rtable_id", "label")
+        val model = graft.matcher.TokenCosineModel()
+        def run(par: Int): (Double, Seq[String]) = {
+          val out = java.nio.file.Files
+            .createTempDirectory(s"smokeeval_${m}_$par").toString
+          val t0 = System.nanoTime()
+          val df = graft.eval.EvalDriver.evalCf(part, part, pairs, model,
+            out, numTriangles = 10, maxRows = 32, parallelism = par,
+            candidateGen = graft.candidates.AutoSelect)
+          val rows = df.drop("latencySec").collect()
+            .map(_.toString).toSeq.sorted
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (t1, r1) = run(1)
+        val (t8, r8) = run(8)
+        require(r1 == r8, s"parallel eval outputs diverged at m=$m")
+        println(f"    [evaldriver] m=$m%3d  par1 $t1%7.1fs  par8 $t8%7.1fs" +
+          f"  speedup ${t1 / t8}%5.2fx  (32 pairs, auto→prekeyed)")
+        spark.catalog.clearCache()
+        t8
+      }
+      println(f"${"evaldriver batch(p8)"}%-22s " +
+        evalTs.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${evalTs.last / evalTs.head}%5.1f")
+    }
+
     // ---- image decode leg: real PNG encode→decode via javax.imageio,
     // pure per-row work — must be linear with corpus size.
     if (on("image decode")) {
