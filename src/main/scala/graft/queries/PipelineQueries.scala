@@ -2677,6 +2677,74 @@ object PipelineQueries {
        |  (SELECT COUNT(*) FROM losers) AS n_losers""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q105
+  /** F13 domain-knowledge injection ([[graft.text.Knowledge]], reference
+    * ditto/knowledge.py ProductDKInjector): Ditto-serialize `part`
+    * entities (name/type/brand/size/price), inject — numbers
+    * canonicalized ("900.0" → "900", "900.1" → "900.10"), digit-bearing
+    * identifiers ID-tagged ("Brand#17" → "ID Brand#17"), catalog-vocab
+    * ALL-CAPS tokens PRODUCT-marked (the documented heuristic stand-in
+    * for the reference's spaCy spans) — and pin the full rewritten
+    * corpus with a content-hash sum plus marker censuses. Scan-local
+    * transform fold; the oracle replays every token decision.
+    */
+  def q105Knowledge(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val ser = TextAnalysis.dittoSerialize(Seq(
+      "name" -> col("p_name"), "type" -> col("p_type"),
+      "brand" -> col("p_brand"), "size" -> col("p_size").cast("string"),
+      "price" -> col("p_retailprice").cast("string")))
+    val dk = graft.text.Knowledge.injectKnowledge(ser)
+    p.select(dk.as("dk")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(length(col("dk")).cast("long")).as("sum_chars"),
+      sum(size(filter(split(col("dk"), " "), x => x === "PRODUCT"))
+        .cast("long")).as("n_product_markers"),
+      sum(size(filter(split(col("dk"), " "), x => x === "ID"))
+        .cast("long")).as("n_id_markers"),
+      sum(pmod(Dedup.portableHash60(col("dk")), lit(1000003L)))
+        .as("content_hash_sum"))
+  }
+
+  val q105Sql: String = {
+    val tok = "t"
+    val v = s"CAST($tok AS DOUBLE)"
+    val n = s"CAST(FLOOR(ABS($v) * 100 + 0.5) AS BIGINT)"
+    s"""WITH s AS (SELECT concat_ws(' ',
+       |    'COL', 'name', 'VAL', COALESCE(p_name, ''),
+       |    'COL', 'type', 'VAL', COALESCE(p_type, ''),
+       |    'COL', 'brand', 'VAL', COALESCE(p_brand, ''),
+       |    'COL', 'size', 'VAL', COALESCE(CAST(p_size AS VARCHAR), ''),
+       |    'COL', 'price', 'VAL', COALESCE(CAST(p_retailprice AS VARCHAR), ''))
+       |    AS ser FROM part),
+       |inj AS (SELECT array_to_string(list_transform(string_split(ser, ' '),
+       |  $tok -> concat(
+       |    CASE WHEN regexp_matches($tok, '^[A-Z]{4,}$$') THEN 'PRODUCT '
+       |      ELSE '' END,
+       |    CASE
+       |      WHEN regexp_matches($tok, '^-?[0-9]{1,18}$$')
+       |        THEN CAST(CAST($v AS BIGINT) AS VARCHAR)
+       |      WHEN regexp_matches($tok, '^-?[0-9]*\\.[0-9]+$$') THEN
+       |        CASE WHEN $v = FLOOR($v)
+       |          THEN CAST(CAST($v AS BIGINT) AS VARCHAR)
+       |          ELSE concat(CASE WHEN $v < 0 THEN '-' ELSE '' END,
+       |            CAST($n // 100 AS VARCHAR), '.',
+       |            lpad(CAST($n % 100 AS VARCHAR), 2, '0'))
+       |        END
+       |      WHEN length($tok) >= 7 AND regexp_matches($tok, '[0-9]')
+       |        THEN concat('ID ', $tok)
+       |      ELSE $tok END)), ' ') AS dk FROM s)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(length(dk)) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(len(list_filter(string_split(dk, ' '), x -> x = 'PRODUCT')))
+       |    AS BIGINT) AS n_product_markers,
+       |  CAST(SUM(len(list_filter(string_split(dk, ' '), x -> x = 'ID')))
+       |    AS BIGINT) AS n_id_markers,
+       |  CAST(SUM(CAST(('0x' || substring(md5(dk), 1, 15)) AS BIGINT) % 1000003)
+       |    AS BIGINT) AS content_hash_sum
+       |FROM inj""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2745,7 +2813,8 @@ object PipelineQueries {
     "q101_interval_overlap" -> (q101IntervalOverlap _),
     "q102_funnel" -> (q102Funnel _),
     "q103_hybrid_retrieval" -> (q103HybridRetrieval _),
-    "q104_image_semdedup" -> (q104ImageSemDedup _))
+    "q104_image_semdedup" -> (q104ImageSemDedup _),
+    "q105_knowledge_injection" -> (q105Knowledge _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2815,5 +2884,6 @@ object PipelineQueries {
     "q101_interval_overlap" -> q101Sql,
     "q102_funnel" -> q102Sql,
     "q103_hybrid_retrieval" -> q103Sql,
-    "q104_image_semdedup" -> q104Sql)
+    "q104_image_semdedup" -> q104Sql,
+    "q105_knowledge_injection" -> q105Sql)
 }

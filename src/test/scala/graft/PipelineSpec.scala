@@ -502,6 +502,33 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.flatMap(p => Set(p._1, p._2)) === (0L until 10L).toSet)
   }
 
+  test("knowledge injection rewrites tokens by the reference's rules") {
+    import graft.text.Knowledge
+    val rows = Seq(
+      // reference knowledge.py:92-100 number normalization
+      "007" -> "7",
+      "11.0" -> "11",
+      "900.1" -> "900.10",
+      ".5" -> "0.50",
+      "-1.239" -> "-1.24",
+      // knowledge.py:101-103 identifier tagging (len>=7 with a digit)
+      "Brand#17" -> "ID Brand#17",
+      "ab1" -> "ab1", // too short for ID
+      // heuristic entity marker: ALL-CAPS >= 4 chars; COL/VAL unmarked
+      "ECONOMY" -> "PRODUCT ECONOMY",
+      "COL" -> "COL",
+      "VAL" -> "VAL",
+      "ring" -> "ring")
+    val got = rows.map(_._1).toDF("t")
+      .select(Knowledge.injectKnowledge(col("t")).as("dk"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === rows.map(_._2))
+    // whole-string pass keeps token positions aligned
+    val s = Seq("COL size VAL 11 COL price VAL 900.1").toDF("t")
+      .select(Knowledge.injectKnowledge(col("t"))).head().getString(0)
+    assert(s === "COL size VAL 11 COL price VAL 900.10")
+  }
+
   test("image decode→embedding equals the closed-form pixel sums") {
     import graft.multimodal.Multimodal
     // the identity q104's oracle rests on: PNG-encode → real javax
