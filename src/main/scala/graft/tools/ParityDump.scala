@@ -59,6 +59,8 @@ object ParityDump {
     dump(e.pss.select(col("attrSet"), col("pos")).orderBy(col("attrSet")), "pss")
     dump(e.triangles.select(col("u"), col("v"), col("w"))
       .orderBy(col("u"), col("v"), col("w")), "triangles")
+    dump(e.cfSummary.select(col("attrSet"), col("pos"))
+      .orderBy(col("attrSet")), "cf_summary")
     println(s"[parity] wrote saliency/pss/triangles at numTriangles=$nt to $out")
     spark.stop()
   }

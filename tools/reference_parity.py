@@ -234,6 +234,17 @@ def main():
         if a is None or b is None or a != b:
             failures.append(f'Layer B pss[{k}]: spark={a} ref={b}')
 
+    # --- cf_summary (the minimal max-probability antichain,
+    # triangles_method.py:254-263) derived from the same pss
+    from certa.triangles_method import cf_summary
+    ref_cfs = {k: float(v) for k, v in cf_summary(ref_pss_s).items()}
+    got_cfs = {r['attrSet']: r['pos']
+               for r in read_spark_dump(dump_dir, 'cf_summary')}
+    if ref_cfs != got_cfs:
+        failures.append(
+            f'Layer B cf_summary differs:\n  spark={sorted(got_cfs.items())}'
+            f'\n  ref  ={sorted(ref_cfs.items())}')
+
     # --- frozen golden triangles are a subset of the full set
     frozen = [
         ('0@0', '1@0', '0@13'), ('0@0', '1@0', '0@14'),
