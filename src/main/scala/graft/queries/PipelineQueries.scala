@@ -766,12 +766,19 @@ object PipelineQueries {
       .option("maxFilesPerTrigger", "1").parquet(in)
     var nBatches = 0L
     var nSurvivors = 0L
-    val q = StreamingOps.bloomDedupStream(stream, "text",
-        expectedItems = 100000L, fpp = 1e-9) { (unseen, _) =>
-      nBatches += 1
-      nSurvivors += unseen.count()
-    }
-    try q.processAllAvailable() finally q.stop()
+    // state-volume sizing (the q48/q59 rule): each micro-batch's
+    // within-batch dedup shuffle and partial-sketch build handle a few
+    // thousand rows — 8 partitions, not the 32 batch-analytics default
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = StreamingOps.bloomDedupStream(stream, "text",
+          expectedItems = 100000L, fpp = 1e-9) { (unseen, _) =>
+        nBatches += 1
+        nSurvivors += unseen.count()
+      }
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     import s.implicits._
     Seq((nSurvivors, nBatches)).toDF("n_unique_docs", "n_batches")
   }
@@ -2347,9 +2354,15 @@ object PipelineQueries {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val table = s"$tmp/table"
-    val q = StreamingOps.upsertStream(
-      stream, table, Seq("doc_id"), "source", "version")
-    try q.processAllAvailable() finally q.stop()
+    // state-volume sizing (the q48/q59 rule) for the per-batch merge
+    // join: the update batch is a few thousand rows — 8 partitions
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = StreamingOps.upsertStream(
+        stream, table, Seq("doc_id"), "source", "version")
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.read.parquet(table).agg(
       count(lit(1)).as("n_rows"),
       sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L))
