@@ -36,9 +36,21 @@ object Components {
     * any edge are absent (callers union isolated ids if needed);
     * self-loops are ignored. Returns (id, rep), one row per distinct
     * vertex, including (rep, rep) for the representative itself.
+    *
+    * Cost-based path choice: the canonical edge count falls out of the
+    * round-0 convergence checksum for free, and when it is at most
+    * `driverEdgeThreshold` (long-typed ids only) the closure runs as a
+    * single bounded collect + path-compressed union-find on the driver
+    * — near-dup edge sets are usually orders of magnitude below the
+    * corpus, and O(log n) alternating-star shuffle rounds cost more
+    * than reading ≤ threshold pairs once. Above the threshold (or for
+    * non-long ids) the distributed large-star/small-star loop runs
+    * unchanged — the 100 TB default. Both paths produce the identical
+    * mapping (spec-pinned).
     */
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 25,
+      driverEdgeThreshold: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
     val schema = edges
       .select(col(aCol).as("u"), col(bCol).as("v")).schema
@@ -59,6 +71,47 @@ object Components {
     var (curRdd, cur) = pin(canonical(
       edges.select(col(aCol).as("u"), col(bCol).as("v"))))
     var curSum = checksum(cur)
+    val longIds = schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && curSum._1 <= driverEdgeThreshold) {
+      // driver union-find over the pinned canonical edges (reads the
+      // persisted blocks — no recompute of the edge lineage)
+      val rows = cur.collect()
+      curRdd.unpersist(blocking = false)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      rows.foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+        val (ru, rv) = (find(u), find(v))
+        // union by MIN: the representative is the component minimum
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val it0 = parent.keySet().iterator()
+      while (it0.hasNext) {
+        val id = it0.next()
+        out.add(org.apache.spark.sql.Row(id, find(id)))
+      }
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rep",
+          org.apache.spark.sql.types.LongType)))
+      // LocalRelation: nothing pinned, caller's unpersist is a no-op
+      return spark.createDataFrame(out, outSchema)
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {

@@ -51,21 +51,30 @@ class ComponentsSpec extends SparkSpec {
 
   test("long path converges (logarithmic rounds, not diameter)") {
     // a 64-node path has diameter 63; maxIter 25 only suffices if the
-    // star rounds contract super-linearly, as the algorithm promises
+    // star rounds contract super-linearly, as the algorithm promises.
+    // driverEdgeThreshold = 0 forces the DISTRIBUTED path — the small
+    // fixture would otherwise take the driver shortcut
     val es = (0L until 63L).map(i => (i, i + 1))
-    val got = resultMap(Components.connectedComponents(edgesDf(es)))
+    val got = resultMap(Components.connectedComponents(edgesDf(es),
+      driverEdgeThreshold = 0L))
     assert(got === (0L to 63L).map(_ -> 0L).toMap)
   }
 
-  test("randomized graphs match driver union-find") {
+  test("randomized graphs: distributed and driver paths match union-find") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 5) {
       val n = 10 + trial * 8
       val es = Seq.fill(n) {
         (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
       }.filter { case (a, b) => a != b }
-      val got = resultMap(Components.connectedComponents(edgesDf(es)))
-      assert(got === unionFind(es), s"trial $trial edges $es")
+      val expected = unionFind(es)
+      // distributed alternating-star path (threshold 0 disables the
+      // driver shortcut) and the size-gated driver path must agree
+      val dist = resultMap(Components.connectedComponents(edgesDf(es),
+        driverEdgeThreshold = 0L))
+      val drv = resultMap(Components.connectedComponents(edgesDf(es)))
+      assert(dist === expected, s"distributed trial $trial edges $es")
+      assert(drv === expected, s"driver trial $trial edges $es")
     }
   }
 
@@ -87,12 +96,21 @@ class ComponentsSpec extends SparkSpec {
   test("only the returned mapping is cached; unpersist clears it") {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val mapping = Components.connectedComponents(
-      edgesDf(Seq((1L, 2L), (2L, 3L), (5L, 6L))))
+      edgesDf(Seq((1L, 2L), (2L, 3L), (5L, 6L))), driverEdgeThreshold = 0L)
     mapping.count()
     // iteration frames are released inside the loop — exactly one
     // persisted frame (the caller-owned mapping) remains
     assert(spark.sparkContext.getPersistentRDDs.size === 1)
     mapping.unpersist(blocking = true)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("driver path pins nothing; caller unpersist stays a safe no-op") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val mapping = Components.connectedComponents(
+      edgesDf(Seq((1L, 2L), (2L, 3L), (5L, 6L))))
+    mapping.count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    mapping.unpersist(blocking = true) // no-op on a LocalRelation
   }
 }
