@@ -113,4 +113,114 @@ object IncrementalDedup {
     newDf.withColumn("__h", md5(col(textCol)))
       .join(oldH, Seq("__h"), "left_anti").drop("__h")
   }
+
+  // ------------------------------------------------------------------
+  // NEAR-duplicate incremental dedup: the fuzzy twin of bloomNewDocs.
+  // History state is a disk-resident band-key table (id, band, key,
+  // sig) — NOT the texts: the new batch joins history on (band, key)
+  // (an equi-join against a table partitionable by key prefix — never
+  // a scan of historical text) and verifies candidates by MINHASH
+  // SIGNATURE AGREEMENT (the fraction of equal components estimates
+  // jaccard; Broder 1997). The estimate is the deliberate scalable
+  // choice: exact-jaccard verification would require the historical
+  // TEXTS, turning the state from a sketch table into the corpus
+  // itself. md5-derived minhash keeps every decision replayable by a
+  // SQL oracle.
+  // ------------------------------------------------------------------
+
+  /** Ownership handle for one batch's outputs: `survivors` (batch rows
+    * that are new vs history and within-batch representatives),
+    * `historyRows` (this batch's (id, band, key, sig) rows to append to
+    * the state table — survivors only). Both derive from one persisted
+    * signature frame; `close()` releases it after the caller has
+    * consumed/written the outputs.
+    */
+  final case class NearDupBatch(survivors: DataFrame, historyRows: DataFrame,
+      private val pinned: Seq[DataFrame]) extends AutoCloseable {
+    override def close(): Unit = pinned.foreach(_.unpersist(false))
+  }
+
+  /** Empty history frame with the state-table schema. */
+  def emptyHistory(spark: org.apache.spark.sql.SparkSession,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField(idCol, LongType),
+        StructField("band", IntegerType),
+        StructField("key", StringType),
+        StructField("sig", ArrayType(StringType)))))
+  }
+
+  /** Signature-agreement jaccard estimate of two equal-length minhash
+    * arrays: |{i : a(i) = b(i)}| / numHashes.
+    */
+  private[graft] def sigAgreement(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, numHashes: Int): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  /** Dedup `batch` against `history` (a band-key state table as built
+    * by previous calls' `historyRows`) AND within itself:
+    *  1. batch signatures + band keys (one sketch pass);
+    *  2. history candidates via the (band, key) equi-join, dropped when
+    *     signature agreement ≥ `threshold`;
+    *  3. remaining rows' within-batch candidate pairs (band-key
+    *     self-join), agreement-verified, closed into components
+    *     ([[Components.connectedComponents]] — driver path for small
+    *     edge sets), min-id representative kept;
+    *  4. survivors' state rows returned for append.
+    * NULL-text rows always survive and add no state (the bloomNewDocs
+    * semantic).
+    */
+  def nearDupNewDocs(history: DataFrame, batch: DataFrame, textCol: String,
+      idCol: String, threshold: Double = 0.7, numBands: Int = 2,
+      rowsPerBand: Int = 2, k: Int = 3): NearDupBatch = {
+    val nh = numBands * rowsPerBand
+    val sigged = batch.filter(col(textCol).isNotNull)
+      .withColumn("__sig",
+        graft.functions.MinHashSignature(col(textCol), nh, k))
+      .persist()
+    val keyExprs = (0 until numBands).map { b =>
+      concat_ws("#", (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1)): _*)
+    }
+    val batchKeys = sigged.select(col(idCol), col("__sig"),
+      posexplode(array(keyExprs: _*)).as(Seq("band", "key")))
+
+    // 2. drop batch rows near-matching history
+    val histMatches = batchKeys
+      .join(history.select(col("band"), col("key"), col("sig").as("__hsig")),
+        Seq("band", "key"))
+      .filter(sigAgreement(col("__sig"), col("__hsig"), nh) >= threshold)
+      .select(col(idCol)).distinct()
+    val fresh = sigged.join(histMatches, Seq(idCol), "left_anti")
+
+    // 3. within-batch near-dup closure over the remaining rows
+    val freshKeys = batchKeys.join(histMatches, Seq(idCol), "left_anti")
+    val a = freshKeys.select(col("band"), col("key"),
+      col(idCol).as("id_a"), col("__sig").as("__sa"))
+    val b = freshKeys.select(col("band").as("__b2"), col("key").as("__k2"),
+      col(idCol).as("id_b"), col("__sig").as("__sb"))
+    val edges = a.join(b, col("band") === col("__b2") &&
+        col("key") === col("__k2") && col("id_a") < col("id_b"))
+      .filter(sigAgreement(col("__sa"), col("__sb"), nh) >= threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+    // the closure's mapping is released here (the SemDedup pattern);
+    // losers joins ride the handle's pinned set until close()
+    val mapping = Components.connectedComponents(edges)
+    val losers = mapping.filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol)).persist()
+    losers.count() // materialize while the mapping cache is alive
+    mapping.unpersist()
+    val keptSig = fresh.join(losers, Seq(idCol), "left_anti")
+
+    val survivors = batch.filter(col(textCol).isNull)
+      .unionByName(keptSig.drop("__sig"))
+    val historyRows = keptSig.select(col(idCol), col("__sig"),
+        posexplode(array(keyExprs.map(e => e): _*)).as(Seq("band", "key")))
+      .select(col(idCol), col("band"), col("key"), col("__sig").as("sig"))
+    NearDupBatch(survivors, historyRows, Seq(sigged, losers))
+  }
 }

@@ -2758,6 +2758,125 @@ object PipelineQueries {
        |FROM inj""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q106
+  /** Streaming NEAR-duplicate dedup against all history
+    * ([[StreamingOps.nearDupDedupStream]] /
+    * [[graft.dedup.IncrementalDedup.nearDupNewDocs]]) — the fuzzy twin
+    * of q64's exact Bloom path: state is a disk-resident band-key table
+    * (id, band, key, minhash sig), each micro-batch equi-joins it on
+    * (band, key) and drops rows whose signature agreement (estimated
+    * jaccard) reaches 0.7, then resolves its own near-dups to min-id
+    * representatives. Four deterministic chunks (doc_id % 4, explicit
+    * mtimes pin replay order); the oracle unrolls the four batches and
+    * replays sketches, candidate joins, agreement checks, and each
+    * batch's recursive closure.
+    */
+  def q106StreamNearDupDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val tmp = java.nio.file.Files.createTempDirectory("q106").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (0 until 4).foreach { kk =>
+      val stage = s"$tmp/stage$kk"
+      docs.filter(pmod(col("doc_id"), lit(4)) === kk).coalesce(1)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    var nBatches = 0L
+    var nSurvivors = 0L
+    var idSum = 0L
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = StreamingOps.nearDupDedupStream(stream, "text", "doc_id",
+          s"$tmp/history", threshold = 0.7) { (survivors, _) =>
+        nBatches += 1
+        val r = survivors.agg(count(lit(1)),
+          coalesce(sum(col("doc_id")), lit(0L))).head()
+        nSurvivors += r.getLong(0)
+        idSum += r.getLong(1)
+      }
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    import s.implicits._
+    Seq((nSurvivors, idSum, nBatches))
+      .toDF("n_survivors", "survivor_id_sum", "n_batches")
+  }
+
+  val q106Sql: String = {
+    // per-doc minhash sketch + band keys (band 0: mh0#mh1, band 1:
+    // mh2#mh3), batch tag bt = doc_id % 4
+    val agree = (l: String, r: String) =>
+      s"""(CAST($l.mh0 = $r.mh0 AS INT) + CAST($l.mh1 = $r.mh1 AS INT)
+         | + CAST($l.mh2 = $r.mh2 AS INT) + CAST($l.mh3 = $r.mh3 AS INT)) >= 3"""
+        .stripMargin.replace("\n", "")
+    val stages = (0 until 4).map { t =>
+      val hist =
+        if (t == 0) "SELECT * FROM ky WHERE FALSE"
+        else (0 until t).map(p => s"SELECT k.* FROM ky k JOIN surv$p sv " +
+          s"ON k.doc_id = sv.doc_id").mkString(" UNION ALL ")
+      s"""hist$t AS MATERIALIZED ($hist),
+         |drop$t AS MATERIALIZED (SELECT DISTINCT k.doc_id FROM ky k
+         |  JOIN hist$t h ON k.band = h.band AND k.key = h.key
+         |  WHERE k.bt = $t AND ${agree("k", "h")}),
+         |rem$t AS MATERIALIZED (SELECT * FROM ky WHERE bt = $t
+         |  AND doc_id NOT IN (SELECT doc_id FROM drop$t)),
+         |edges$t AS MATERIALIZED (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM rem$t a JOIN rem$t b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE ${agree("a", "b")}),
+         |sym$t AS MATERIALIZED (SELECT ia AS a, ib AS b FROM edges$t
+         |  UNION SELECT ib AS a, ia AS b FROM edges$t),
+         |reach$t(a, b) AS (SELECT a, b FROM sym$t
+         |  UNION SELECT r.a, s2.b FROM reach$t r JOIN sym$t s2 ON r.b = s2.a),
+         |losers$t AS MATERIALIZED (SELECT a AS doc_id FROM reach$t
+         |  GROUP BY a HAVING MIN(b) < a),
+         |surv$t AS MATERIALIZED (SELECT DISTINCT doc_id FROM rem$t
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers$t))"""
+        .stripMargin
+    }
+    // own copy of the shingle CTE with MATERIALIZED hints: the 4
+    // unrolled stages reference ky dozens of times and DuckDB would
+    // otherwise re-open the parquet per reference (fd exhaustion)
+    s"""WITH RECURSIVE dq AS MATERIALIZED (SELECT doc_id, text,
+       |  string_split(text, ' ') AS tk FROM documents
+       |  WHERE text IS NOT NULL),
+       |s AS MATERIALIZED (SELECT doc_id, text,
+       |  CASE WHEN len(tk) >= 3
+       |    THEN list_transform(range(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |    ELSE [text] END AS sh
+       |  FROM dq),
+       |sg AS MATERIALIZED (SELECT doc_id, doc_id % 4 AS bt,
+       |  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+       |  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+       |  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+       |  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+       |  FROM s),
+       |ky AS MATERIALIZED (SELECT doc_id, bt, 0 AS band, mh0 || '#' || mh1 AS key,
+       |    mh0, mh1, mh2, mh3 FROM sg
+       |  UNION ALL SELECT doc_id, bt, 1, mh2 || '#' || mh3,
+       |    mh0, mh1, mh2, mh3 FROM sg),
+       |${stages.mkString(",\n")},
+       |nulls AS (SELECT COUNT(*) AS n, COALESCE(SUM(doc_id), 0) AS ids
+       |  FROM documents WHERE text IS NULL),
+       |allsurv AS (SELECT doc_id FROM surv0 UNION ALL SELECT doc_id FROM surv1
+       |  UNION ALL SELECT doc_id FROM surv2 UNION ALL SELECT doc_id FROM surv3)
+       |SELECT
+       |  (SELECT COUNT(*) FROM allsurv) + (SELECT n FROM nulls) AS n_survivors,
+       |  CAST((SELECT COALESCE(SUM(doc_id), 0) FROM allsurv)
+       |    + (SELECT ids FROM nulls) AS BIGINT) AS survivor_id_sum,
+       |  4 AS n_batches""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2827,7 +2946,8 @@ object PipelineQueries {
     "q102_funnel" -> (q102Funnel _),
     "q103_hybrid_retrieval" -> (q103HybridRetrieval _),
     "q104_image_semdedup" -> (q104ImageSemDedup _),
-    "q105_knowledge_injection" -> (q105Knowledge _))
+    "q105_knowledge_injection" -> (q105Knowledge _),
+    "q106_stream_neardup_dedup" -> (q106StreamNearDupDedup _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -2898,5 +3018,6 @@ object PipelineQueries {
     "q102_funnel" -> q102Sql,
     "q103_hybrid_retrieval" -> q103Sql,
     "q104_image_semdedup" -> q104Sql,
-    "q105_knowledge_injection" -> q105Sql)
+    "q105_knowledge_injection" -> q105Sql,
+    "q106_stream_neardup_dedup" -> q106Sql)
 }

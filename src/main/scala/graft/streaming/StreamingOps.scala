@@ -112,6 +112,38 @@ object StreamingOps {
     }.start()
   }
 
+  /** Streaming NEAR-duplicate dedup against ALL history — the fuzzy
+    * twin of [[bloomDedupStream]]. State is a disk-resident band-key
+    * table ([[graft.dedup.IncrementalDedup.nearDupNewDocs]]'s
+    * (id, band, key, sig) rows, appended per batch) — NOT the texts and
+    * NOT the driver's memory: each micro-batch equi-joins the state
+    * table on (band, key) and verifies candidates by minhash-signature
+    * agreement. Corpus-lifetime fuzzy dedup with state proportional to
+    * the sketch, never to the content; the table is partition-prunable
+    * by key at scale. Survivors go to `sink`; the batch's own state
+    * rows append after the sink consumes them.
+    */
+  def nearDupDedupStream(docs: DataFrame, textCol: String, idCol: String,
+      historyDir: String, threshold: Double = 0.7, numBands: Int = 2,
+      rowsPerBand: Int = 2, k: Int = 3)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val dir = new java.io.File(historyDir)
+      val hasState = dir.exists() &&
+        dir.listFiles() != null && dir.listFiles().exists(
+          _.getName.endsWith(".parquet"))
+      val hist =
+        if (hasState) spark.read.parquet(historyDir)
+        else graft.dedup.IncrementalDedup.emptyHistory(spark, idCol)
+      val r = graft.dedup.IncrementalDedup.nearDupNewDocs(
+        hist, batch, textCol, idCol, threshold, numBands, rowsPerBand, k)
+      try {
+        sink(r.survivors, id)
+        r.historyRows.write.mode("append").parquet(historyDir)
+      } finally r.close()
+    }.start()
+
   /** CDC apply: maintain a Hive-partitioned parquet table from a stream
     * of upserts. Each micro-batch is first resolved to its LATEST row
     * per key (highest `versionCol` — multi-version CDC batches are

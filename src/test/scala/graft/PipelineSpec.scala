@@ -502,6 +502,34 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.flatMap(p => Set(p._1, p._2)) === (0L until 10L).toSet)
   }
 
+  test("incremental near-dup dedup: history drop, batch closure, null pass") {
+    import graft.dedup.IncrementalDedup
+    val textA = "the quick brown fox jumps over the lazy dog again"
+    val textA2 = textA + " x"        // near-dup of A (shares most shingles)
+    val far = "completely different words nobody repeats anywhere here"
+    // batch 0: A survives, A2 drops within-batch (min id wins), far
+    // survives, null survives
+    val b0 = Seq((1L, textA), (2L, textA2), (3L, far))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val hist0 = IncrementalDedup.emptyHistory(spark, "doc_id")
+    val r0 = IncrementalDedup.nearDupNewDocs(hist0, b0, "text", "doc_id")
+    val s0 = r0.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s0 === Set(1L, 3L, 4L))
+    val h0 = r0.historyRows.cache()
+    // state carries band keys + sig for non-null survivors only
+    assert(h0.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+    // batch 1: a near-dup of A drops AGAINST HISTORY; a new text stays
+    val b1 = Seq((10L, textA), (11L, "fresh tokens appear exactly once"))
+      .toDF("doc_id", "text")
+    val r1 = IncrementalDedup.nearDupNewDocs(h0, b1, "text", "doc_id")
+    val s1 = r1.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === Set(11L))
+    r0.close(); r1.close(); h0.unpersist(true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("knowledge injection rewrites tokens by the reference's rules") {
     import graft.text.Knowledge
     val rows = Seq(
