@@ -173,10 +173,19 @@ object IncrementalDedup {
     *  4. survivors' state rows returned for append.
     * NULL-text rows always survive and add no state (the bloomNewDocs
     * semantic).
+    *
+    * @param maxBucketSize opt-in skew guard for the WITHIN-BATCH pair
+    *   step (the [[Dedup.lshCandidatePairs]] contract): a degenerate
+    *   batch collapses a band bucket and hands one task O(b²) pair
+    *   verification — capping keeps the `maxBucketSize` id-smallest
+    *   rows per (band, key) bucket for pairing (deterministic, recall
+    *   cost documented there). The history probe is never capped: a
+    *   missed history match would resurrect a duplicate.
     */
   def nearDupNewDocs(history: DataFrame, batch: DataFrame, textCol: String,
       idCol: String, threshold: Double = 0.7, numBands: Int = 2,
-      rowsPerBand: Int = 2, k: Int = 3): NearDupBatch = {
+      rowsPerBand: Int = 2, k: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): NearDupBatch = {
     val nh = numBands * rowsPerBand
     val sigged = batch.filter(col(textCol).isNotNull)
       .withColumn("__sig",
@@ -198,7 +207,15 @@ object IncrementalDedup {
     val fresh = sigged.join(histMatches, Seq(idCol), "left_anti")
 
     // 3. within-batch near-dup closure over the remaining rows
-    val freshKeys = batchKeys.join(histMatches, Seq(idCol), "left_anti")
+    val freshKeys0 = batchKeys.join(histMatches, Seq(idCol), "left_anti")
+    val freshKeys =
+      if (maxBucketSize == Int.MaxValue) freshKeys0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key")).orderBy(col(idCol))
+        freshKeys0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucketSize).drop("__rn")
+      }
     val a = freshKeys.select(col("band"), col("key"),
       col(idCol).as("id_a"), col("__sig").as("__sa"))
     val b = freshKeys.select(col("band").as("__b2"), col("key").as("__k2"),

@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   *    recognizer drops in by replacing [[entityMarker]].
   *
   * Everything is a scan-local `transform` fold over whitespace tokens —
-  * codegen'd built-ins, no UDF, no shuffle, linear at any corpus size.
+  * built-in expressions only (higher-order functions evaluate
+  * interpreted but sit in one projection over the scan), no UDF, no
+  * shuffle, linear at any corpus size.
   */
 object Knowledge {
 

@@ -48,6 +48,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q105: knowledge injection is one codegen'd projection, no UDF") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/part.parquet")
+      .select(graft.text.Knowledge.injectKnowledge(col("p_name")).as("dk"))
+    val p = plan(df)
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("udf"), p)
+    // higher-order transform/aggregate evaluate interpreted (no
+    // doGenCode) but stay inside ONE projection over the scan
+    assert(p.linesIterator.count(_.startsWith("Project")) <= 1, p)
+    assert(!p.contains("Exchange"), p) // scan-local: no shuffle anywhere
+  }
+
+  test("q106: history probe is a hash equi-join on (band, key)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = graft.dedup.IncrementalDedup.emptyHistory(spark, "doc_id")
+    val r = graft.dedup.IncrementalDedup.nearDupNewDocs(
+      hist, docs, "text", "doc_id")
+    try {
+      val p = plan(r.survivors)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    } finally r.close()
+  }
+
   test("q01: aggregation is partial (map-side) before the shuffle") {
     val p = plan(Relational.q01PricingSummary(spark, dir))
     // two HashAggregate stages around one exchange = partial+final
