@@ -19,6 +19,60 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Per-partition PNG decode context — owns the codec-handle lifecycle
+    * and every buffer the round-6 ScaleSmoke showed being allocated per
+    * row (per-image cost drifted 72→102 µs across 20k→320k images from
+    * allocation/GC pressure):
+    *
+    *  - ONE `ImageReader` for the partition (as before);
+    *  - a memory-backed `ImageInputStream` per row, constructed
+    *    directly — `ImageIO.createImageInputStream` consults
+    *    `ImageIO.getUseCache()` (default TRUE) and routes every image
+    *    through a fresh temp FILE on disk;
+    *  - bulk `getRGB` into ONE recycled `int[]` — the per-pixel
+    *    `getRGB(x, y)` path allocates a raster transfer object per
+    *    PIXEL on the interleaved rasters `PNGImageReader` produces,
+    *    while the bulk overload allocates one per call and writes into
+    *    the array we hand it.
+    *
+    * Pixel VALUES are unchanged (both paths convert through the same
+    * `ColorModel.getRGB`), so every oracle replay is unaffected.
+    * Call [[close]] when the partition drains.
+    */
+  private final class PngCodec(onInit: () => Unit = () => ()) {
+    private var reader: javax.imageio.ImageReader = null
+    private var pixBuf: Array[Int] = Array.emptyIntArray
+
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      if (reader == null) {
+        reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        onInit()
+      }
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        reader.read(0)
+      } finally iis.close()
+    }
+
+    /** Row-major ARGB pixels of `img`. The returned array is REUSED
+      * across calls (and may be longer than w·h) — consume before the
+      * next decode, never retain.
+      */
+    def rgb(img: java.awt.image.BufferedImage): Array[Int] = {
+      val w = img.getWidth
+      val n = w * img.getHeight
+      if (pixBuf.length < n) pixBuf = new Array[Int](n)
+      img.getRGB(0, 0, w, img.getHeight, pixBuf, 0, w)
+      pixBuf
+    }
+
+    def close(): Unit =
+      if (reader != null) { reader.dispose(); reader = null }
+  }
+
   /** Demo binary table: documents' text bytes as media payloads with a
     * metadata struct — the schema a real pipeline would carry for
     * image/audio blobs (modality, byte size, content hash).
@@ -73,9 +127,12 @@ object Multimodal {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       val buf = new java.io.ByteArrayOutputStream()
+      // fixed dims across the partition: one frame + staging array,
+      // fully overwritten per row (bulk setRGB avoids per-pixel calls)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
       it.map { id =>
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
           var x = 0
@@ -83,11 +140,12 @@ object Multimodal {
             val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
             val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
             val b = ((id * 11 + x + y) % 256).toInt
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            px(y * w + x) = (r << 16) | (g << 8) | b
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         buf.reset()
         javax.imageio.ImageIO.write(img, "png", buf)
         (id, buf.toByteArray)
@@ -112,10 +170,11 @@ object Multimodal {
     val g = groups
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       val buf = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
       it.map { id =>
         val gid = id % g
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
           var x = 0
@@ -124,11 +183,12 @@ object Multimodal {
             val gr = ((gid * 91 + (x / 2) * 17 + y * 43) % 256).toInt
             val b = ((gid * 53 + (x / 2) * 11 + y * 7) % 256).toInt
             if (x == 0 && y == 0) r = ((r + id % 5) % 256).toInt
-            img.setRGB(x, y, (r << 16) | (gr << 8) | b)
+            px(y * w + x) = (r << 16) | (gr << 8) | b
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         buf.reset()
         javax.imageio.ImageIO.write(img, "png", buf)
         (id, buf.toByteArray)
@@ -152,46 +212,35 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        var reader: javax.imageio.ImageReader = null
-        def acquire(): javax.imageio.ImageReader = {
-          if (reader == null)
-            reader = javax.imageio.ImageIO
-              .getImageReadersByFormatName("png").next()
-          reader
-        }
+        val codec = new PngCodec
         new Iterator[(Long, Array[Float])] {
           override def hasNext: Boolean = {
             val more = it.hasNext
-            if (!more && reader != null) { reader.dispose(); reader = null }
+            if (!more) codec.close()
             more
           }
           override def next(): (Long, Array[Float]) = {
             val (id, bytes) = it.next()
-            val r = acquire()
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              r.setInput(iis)
-              val img = r.read(0)
-              val w = img.getWidth
-              val h = img.getHeight
-              val gw = math.max(1, w / cg)
-              val sums = Array.ofDim[Long](3 * cg)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val grp = math.min(cg - 1, x / gw)
-                  val p = img.getRGB(x, y)
-                  sums(grp) += (p >> 16) & 0xff
-                  sums(cg + grp) += (p >> 8) & 0xff
-                  sums(2 * cg + grp) += p & 0xff
-                  x += 1
-                }
-                y += 1
+            val img = codec.decode(bytes)
+            val w = img.getWidth
+            val h = img.getHeight
+            val gw = math.max(1, w / cg)
+            val px = codec.rgb(img)
+            val sums = Array.ofDim[Long](3 * cg)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val grp = math.min(cg - 1, x / gw)
+                val p = px(y * w + x)
+                sums(grp) += (p >> 16) & 0xff
+                sums(cg + grp) += (p >> 8) & 0xff
+                sums(2 * cg + grp) += p & 0xff
+                x += 1
               }
-              (id, sums.map(_.toFloat))
-            } finally iis.close()
+              y += 1
+            }
+            (id, sums.map(_.toFloat))
           }
         }
       }
@@ -215,46 +264,30 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        var reader: javax.imageio.ImageReader = null
-        def acquire(): javax.imageio.ImageReader = {
-          if (reader == null) {
-            reader = javax.imageio.ImageIO
-              .getImageReadersByFormatName("png").next()
-            readerInits.foreach(_.add(1L))
-          }
-          reader
-        }
+        val codec = new PngCodec(() => readerInits.foreach(_.add(1L)))
         new Iterator[(Long, Int, Int, Long, Long, Long)] {
           override def hasNext: Boolean = {
             val more = it.hasNext
-            if (!more && reader != null) { reader.dispose(); reader = null }
+            if (!more) codec.close()
             more
           }
           override def next(): (Long, Int, Int, Long, Long, Long) = {
             val (id, bytes) = it.next()
-            val r = acquire()
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              r.setInput(iis)
-              val img = r.read(0)
-              val w = img.getWidth
-              val h = img.getHeight
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  sr += (p >> 16) & 0xff
-                  sg += (p >> 8) & 0xff
-                  sb += p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              (id, w, h, sr, sg, sb)
-            } finally iis.close()
+            val img = codec.decode(bytes)
+            val w = img.getWidth
+            val h = img.getHeight
+            val px = codec.rgb(img)
+            val n = w * h
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < n) {
+              val p = px(i)
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              i += 1
+            }
+            (id, w, h, sr, sg, sb)
           }
         }
       }
@@ -279,48 +312,45 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        var reader: javax.imageio.ImageReader = null
+        val codec = new PngCodec
         val buf = new java.io.ByteArrayOutputStream()
+        // the resized frame and its pixel staging array are fixed-size
+        // across the partition — allocate once, overwrite fully per row
+        val out = new java.awt.image.BufferedImage(outW, outH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val outBuf = new Array[Int](outW * outH)
         new Iterator[(Long, Int, Int, Int, Int, Array[Byte], Long, Long, Long)] {
           override def hasNext: Boolean = {
             val more = it.hasNext
-            if (!more && reader != null) { reader.dispose(); reader = null }
+            if (!more) codec.close()
             more
           }
           override def next(): (Long, Int, Int, Int, Int, Array[Byte], Long, Long, Long) = {
             val (id, bytes) = it.next()
-            if (reader == null)
-              reader = javax.imageio.ImageIO
-                .getImageReadersByFormatName("png").next()
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              reader.setInput(iis)
-              val src = reader.read(0)
-              val sw = src.getWidth
-              val sh = src.getHeight
-              val out = new java.awt.image.BufferedImage(outW, outH,
-                java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < outH) {
-                val sy = (y.toLong * sh / outH).toInt
-                var x = 0
-                while (x < outW) {
-                  val sx = (x.toLong * sw / outW).toInt
-                  val p = src.getRGB(sx, sy)
-                  out.setRGB(x, y, p)
-                  sr += (p >> 16) & 0xff
-                  sg += (p >> 8) & 0xff
-                  sb += p & 0xff
-                  x += 1
-                }
-                y += 1
+            val src = codec.decode(bytes)
+            val sw = src.getWidth
+            val sh = src.getHeight
+            val srcPx = codec.rgb(src)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < outH) {
+              val sy = (y.toLong * sh / outH).toInt
+              var x = 0
+              while (x < outW) {
+                val sx = (x.toLong * sw / outW).toInt
+                val p = srcPx(sy * sw + sx)
+                outBuf(y * outW + x) = p
+                sr += (p >> 16) & 0xff
+                sg += (p >> 8) & 0xff
+                sb += p & 0xff
+                x += 1
               }
-              buf.reset()
-              javax.imageio.ImageIO.write(out, "png", buf)
-              (id, sw, sh, outW, outH, buf.toByteArray, sr, sg, sb)
-            } finally iis.close()
+              y += 1
+            }
+            out.setRGB(0, 0, outW, outH, outBuf, 0, outW)
+            buf.reset()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (id, sw, sh, outW, outH, buf.toByteArray, sr, sg, sb)
           }
         }
       }
@@ -429,6 +459,9 @@ object Multimodal {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       val frameBuf = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
       it.map { id =>
         val nFrames = (4 + id % 5).toInt
         val out = new java.io.ByteArrayOutputStream()
@@ -437,8 +470,6 @@ object Multimodal {
         dos.writeInt(Integer.reverseBytes(nFrames))
         var f = 0
         while (f < nFrames) {
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < h) {
             var x = 0
@@ -446,11 +477,12 @@ object Multimodal {
               val r = ((id * 31 + f * 19 + x * 7 + y * 13) % 256).toInt
               val g = ((id * 17 + f * 23 + x * 3 + y * 5) % 256).toInt
               val b = ((id * 11 + f * 29 + x + y) % 256).toInt
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              px(y * w + x) = (r << 16) | (g << 8) | b
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w)
           frameBuf.reset()
           javax.imageio.ImageIO.write(img, "png", frameBuf)
           val png = frameBuf.toByteArray
@@ -477,7 +509,7 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        var reader: javax.imageio.ImageReader = null
+        val codec = new PngCodec
         val flat = it.flatMap { case (id, bytes) =>
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -492,37 +524,28 @@ object Multimodal {
             bb.get(png)
             if (f % everyNth != 0) None
             else {
-              if (reader == null)
-                reader = javax.imageio.ImageIO
-                  .getImageReadersByFormatName("png").next()
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(png))
-              try {
-                reader.setInput(iis)
-                val img = reader.read(0)
-                var sr = 0L; var sg = 0L; var sb = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    val p = img.getRGB(x, y)
-                    sr += (p >> 16) & 0xff
-                    sg += (p >> 8) & 0xff
-                    sb += p & 0xff
-                    x += 1
-                  }
-                  y += 1
-                }
-                Some((id, f, nFrames, sr, sg, sb))
-              } finally iis.close()
+              val img = codec.decode(png)
+              val w = img.getWidth
+              val n = w * img.getHeight
+              val px = codec.rgb(img)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < n) {
+                val p = px(i)
+                sr += (p >> 16) & 0xff
+                sg += (p >> 8) & 0xff
+                sb += p & 0xff
+                i += 1
+              }
+              Some((id, f, nFrames, sr, sg, sb))
             }
           }
         }
-        // dispose the shared reader when the partition drains
+        // dispose the shared codec when the partition drains
         new Iterator[(Long, Int, Int, Long, Long, Long)] {
           override def hasNext: Boolean = {
             val more = flat.hasNext
-            if (!more && reader != null) { reader.dispose(); reader = null }
+            if (!more) codec.close()
             more
           }
           override def next(): (Long, Int, Int, Long, Long, Long) = flat.next()
