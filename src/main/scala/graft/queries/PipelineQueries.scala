@@ -2877,6 +2877,136 @@ object PipelineQueries {
        |  4 AS n_batches""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q107
+  /** Exact top-5 documents per source by length, via the bounded
+    * [[graft.operators.TopK]] AGGREGATOR instead of a window rank: the
+    * partial step truncates to k map-side, so the shuffle carries ≤ k
+    * rows per (source, task) — the shape that survives a hot source at
+    * 100 TB where `row_number() OVER (PARTITION BY source ...)` (q08)
+    * would route the whole source to one reducer. Oracle: the window
+    * form (same rows by construction, asserted equivalent in spec too).
+    */
+  def q107TopKPerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.topKPerGroup(
+      t(s, dir, "documents"), Seq("source"),
+      col("n_chars"), col("doc_id"), k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("source"), col("rank"))
+
+  val q107Sql: String =
+    """WITH r AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+      |  ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |  FROM documents)
+      |SELECT source, CAST(rn AS INT) AS rank, doc_id, score FROM r
+      |WHERE rn <= 5 ORDER BY source, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q108
+  /** Canonicalization dedup census ([[TextAnalysis.canonicalize]]):
+    * group documents on their order-preserving canonical form and count
+    * the rows that only near-exact dedup (not byte-exact, q30) would
+    * remove — plus the byte-exact baseline in the same pass so the gap
+    * is visible. One md5-key shuffle, same scale shape as exact dedup.
+    */
+  def q108CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.canonicalize(col("text")).as("canon"))
+    val canon = d.groupBy(md5(col("canon")).as("ck")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(md5(col("text"))).as("n_exact_forms"))
+    canon.agg(
+      count(lit(1)).as("n_canonical"),
+      sum(col("n")).cast("long").as("n_docs"),
+      sum(col("n") - 1).cast("long").as("n_dups_canonical"),
+      sum(col("n_exact_forms") - 1).cast("long").as("n_forms_merged"))
+  }
+
+  val q108Sql: String =
+    """WITH c AS (SELECT doc_id, text,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |    ' +', ' ', 'g')) AS canon
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT md5(canon) AS ck, COUNT(*) AS n,
+      |  COUNT(DISTINCT md5(text)) AS n_exact_forms FROM c GROUP BY 1)
+      |SELECT COUNT(*) AS n_canonical,
+      |  CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n - 1) AS BIGINT) AS n_dups_canonical,
+      |  CAST(SUM(n_exact_forms - 1) AS BIGINT) AS n_forms_merged
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+  /** Temperature-weighted mix ([[TextAnalysis.temperatureRates]] →
+    * [[TextAnalysis.mixSample]]): per-source rates derived from √n
+    * weights targeting a 20% corpus sample, then the q53 hash gate.
+    * The oracle re-derives the rates from the table with the identical
+    * integer-floored √n arithmetic (see temperatureRates' portability
+    * note) and replays the gate.
+    */
+  def q109TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val rates = TextAnalysis.temperatureRates(d, "source", targetDiv = 5L)
+    TextAnalysis.mixSample(d, "source", "doc_id", rates)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val q109Sql: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(n) AS total FROM c),
+      |sq AS (SELECT source, n,
+      |  CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS sqn FROM c),
+      |den AS (SELECT SUM(sqn) AS denom FROM sq),
+      |r AS (SELECT source, n,
+      |  LEAST(CAST(1.0 AS DOUBLE),
+      |    CAST(total // 5 AS DOUBLE) * CAST(sqn AS DOUBLE)
+      |      / CAST(denom AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+      |  FROM sq, tot, den),
+      |g AS (SELECT d.source,
+      |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |    % 10000 AS gate,
+      |  r.rate FROM documents d JOIN r ON d.source = r.source)
+      |SELECT source, COUNT(*) AS n_kept FROM g WHERE gate < rate * 10000
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+  /** Centroid assignment census ([[graft.similarity.Centroids]]): the
+    * 8 min-id embeddings seed the centroids, every vector routes to its
+    * nearest (squared-L2, tie → smaller centroid id) as scan-local
+    * literal arithmetic — no join, no embedding shuffle — and the
+    * census aggregates k rows. Distances quantized per row at 1e6 so
+    * the summed column is exact integer math; the ARGMIN itself needs
+    * no quantization (bit-identical double chains, see Centroids).
+    */
+  def q110CentroidAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = graft.similarity.Centroids.seedByMinId(e, "vec_id", "embedding", 8)
+    graft.similarity.Centroids.assign(e, "embedding", cents)
+      .select(col("vec_id"), col("centroid_id"),
+        floor(col("dist") * 1e6).cast("long").as("dist_q"))
+      .groupBy(col("centroid_id")).agg(
+        count(lit(1)).as("n_members"),
+        sum(col("dist_q")).as("sum_dist_q"),
+        min(col("vec_id")).as("min_member"))
+      .orderBy(col("centroid_id"))
+  }
+
+  val q110Sql: String =
+    """WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  ORDER BY vec_id LIMIT 8),
+      |d AS (SELECT e.vec_id, c.cid,
+      |  list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+      |    i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+      |       * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))),
+      |    'sum') AS dist
+      |  FROM embeddings e, cent c),
+      |best AS (SELECT vec_id, cid, dist,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+      |SELECT cid AS centroid_id, COUNT(*) AS n_members,
+      |  CAST(SUM(CAST(FLOOR(dist * 1000000) AS BIGINT)) AS BIGINT) AS sum_dist_q,
+      |  MIN(vec_id) AS min_member
+      |FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -2947,7 +3077,11 @@ object PipelineQueries {
     "q103_hybrid_retrieval" -> (q103HybridRetrieval _),
     "q104_image_semdedup" -> (q104ImageSemDedup _),
     "q105_knowledge_injection" -> (q105Knowledge _),
-    "q106_stream_neardup_dedup" -> (q106StreamNearDupDedup _))
+    "q106_stream_neardup_dedup" -> (q106StreamNearDupDedup _),
+    "q107_topk_per_group" -> (q107TopKPerGroup _),
+    "q108_canonical_dedup" -> (q108CanonicalDedup _),
+    "q109_temperature_mix" -> (q109TemperatureMix _),
+    "q110_centroid_assign" -> (q110CentroidAssign _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3019,5 +3153,9 @@ object PipelineQueries {
     "q103_hybrid_retrieval" -> q103Sql,
     "q104_image_semdedup" -> q104Sql,
     "q105_knowledge_injection" -> q105Sql,
-    "q106_stream_neardup_dedup" -> q106Sql)
+    "q106_stream_neardup_dedup" -> q106Sql,
+    "q107_topk_per_group" -> q107Sql,
+    "q108_canonical_dedup" -> q108Sql,
+    "q109_temperature_mix" -> q109Sql,
+    "q110_centroid_assign" -> q110Sql)
 }

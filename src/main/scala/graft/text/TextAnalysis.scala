@@ -88,6 +88,17 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 
+  /** ORDER-PRESERVING canonical form: lowercase, non-alphanumerics to
+    * spaces, whitespace collapsed, trimmed. The near-exact dedup key of
+    * web-scale pipelines — catches "Hello, World!" vs "hello world"
+    * that exact-hash dedup misses while staying a pure scan-local
+    * expression (no shingles, no sketches). Character classes are
+    * ASCII-explicit so Java and RE2-based engines agree.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   // ---------------------------------------------------- serialization
   /** F11 Ditto pair serialization (reference ditto/matcher.py:37-69
     * to_str): `COL <name> VAL <value>` segments per attribute, sides
@@ -279,5 +290,35 @@ object TextAnalysis {
       when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
     }
     df.filter(gate < rateCol * 10000.0)
+  }
+
+  /** Temperature-weighted (α = 0.5) per-stratum keep rates for a target
+    * sample of `total / targetDiv` rows: weight each stratum by √n (the
+    * multilingual-sampling temperature trick that up-weights small
+    * sources relative to proportional sampling), then convert weights
+    * to rates capped at 1. Feed the result to [[mixSample]].
+    *
+    * Engine-portability: √ is IEEE correctly-rounded everywhere, so the
+    * per-stratum √n is bit-identical across engines; it is then FLOORED
+    * to an integer at 1e6 so the cross-strata SUM is exact integer math
+    * (a raw double Σ√n would depend on summation order, which SQL
+    * aggregates don't define). The remaining rate arithmetic is a fixed
+    * left-to-right double chain. The collect is bounded at one row per
+    * stratum (a training mix has tens of sources, not millions).
+    */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+      targetDiv: Long = 5L): Map[String, Double] = {
+    val counts = df.groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val targetN = total / targetDiv
+    val sq = counts.map { case (k, n) =>
+      k -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+    }
+    val denom = sq.values.sum
+    counts.map { case (k, n) =>
+      k -> math.min(1.0,
+        targetN.toDouble * sq(k).toDouble / denom.toDouble / n.toDouble)
+    }
   }
 }

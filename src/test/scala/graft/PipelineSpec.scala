@@ -1211,4 +1211,78 @@ class PipelineSpec extends SparkSpec {
     assert(brute.count(ivf2.contains) >= 3)
     index.close()
   }
+
+  test("topKPerGroup ≡ window rank on randomized data, incl. score ties") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // scores drawn from a SMALL range so cross-id ties are guaranteed
+    val rows = (0L until 500L).map(i => (i, s"g${i % 7}", rnd.nextInt(20).toDouble))
+    val df = rows.toDF("id", "g", "s").repartition(8)
+    val viaAgg = graft.operators.TopK
+      .topKPerGroup(df, Seq("g"), col("s"), col("id"), k = 4)
+      .select("g", "rank", "id", "score").collect()
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id").asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select(col("g"), col("rank").cast("int"), col("id"),
+        col("s").as("score"))
+      .collect()
+    assert(viaAgg.map(_.toString).sorted.toSeq
+      === viaWindow.map(_.toString).sorted.toSeq)
+  }
+
+  test("canonicalize: idempotent, punctuation/case-insensitive, order-preserving") {
+    val c = Seq(
+      ("Hello,   World!!", "hello world"),
+      ("hello world", "hello world"),
+      ("  A--B  c_d ", "a b c d"),
+      ("fox dog", "fox dog")).toDF("raw", "want")
+      .withColumn("got", TextAnalysis.canonicalize(col("raw")))
+    assert(c.filter(col("got") =!= col("want")).count() === 0)
+    // idempotence: canonicalize(canonicalize(x)) == canonicalize(x)
+    val twice = c.withColumn("again", TextAnalysis.canonicalize(col("got")))
+    assert(twice.filter(col("again") =!= col("got")).count() === 0)
+    // order preserved (unlike fingerprint, which sorts tokens)
+    assert(twice.filter(col("raw") === "fox dog").head().getAs[String]("got")
+      === "fox dog")
+  }
+
+  test("temperatureRates: caps at 1, up-weights small strata, hits the target") {
+    val rows = (0L until 1000L).map(i =>
+      (i, if (i < 900) "big" else if (i < 990) "mid" else "tiny"))
+    val df = rows.toDF("id", "src")
+    val rates = TextAnalysis.temperatureRates(df, "src", targetDiv = 2L)
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    // √n weighting: smaller stratum keeps a fraction at least as large
+    // (the two small strata may both cap at 1.0), and the dominant
+    // stratum is strictly thinned
+    assert(rates("tiny") >= rates("mid") && rates("mid") > rates("big"))
+    assert(rates("big") < 1.0)
+    // expected kept ≈ target (tiny stratum may cap at 1.0 and undershoot)
+    val counts = Map("big" -> 900L, "mid" -> 90L, "tiny" -> 10L)
+    val expected = rates.map { case (k, r) => counts(k) * r }.sum
+    assert(expected <= 500.0 + 1e-6 && expected > 400.0)
+  }
+
+  test("centroid assign ≡ driver-side argmin with (dist, cid) tie-break") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(6)(rnd.nextInt(5).toFloat))) // small ints → exact ties
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = graft.similarity.Centroids.seedByMinId(df, "vec_id", "embedding", 4)
+    assert(cents.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    val got = graft.similarity.Centroids.assign(df, "embedding", cents)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = vecs.map { case (id, v) =>
+      val best = cents.map { case (cid, c) =>
+        val d = v.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
+        }
+        (d, cid)
+      }.min
+      id -> best._2
+    }.toMap
+    assert(got === want)
+  }
 }

@@ -404,4 +404,28 @@ class PlanQualitySpec extends SparkSpec {
       p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q107: top-k per group is a partial-merged aggregate, not a window sort") {
+    val p = plan(PipelineQueries.q107TopKPerGroup(spark, dir))
+    // ObjectHashAggregate appears twice: map-side partial + final — the
+    // combine step a window rank cannot have
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
+    assert(!p.contains("Window"), p)
+    // exactly one HASH exchange (the group key, carrying ≤ k rows per
+    // group per task); the others are the fixture fan-out (round-robin,
+    // loadFanned) and the output sort's range exchange — the full row
+    // set is never hash-shuffled or sorted
+    assert(p.linesIterator.count(
+      _.trim.startsWith("Arguments: hashpartitioning")) == 1, p)
+  }
+
+  test("q110: centroid assignment is scan-local — no join, one census shuffle") {
+    val p = plan(PipelineQueries.q110CentroidAssign(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one hash exchange for the k-row census; the embeddings themselves
+    // never hash-shuffle (centroids ride in as literals)
+    assert(p.linesIterator.count(
+      _.trim.startsWith("Arguments: hashpartitioning")) == 1, p)
+  }
 }
