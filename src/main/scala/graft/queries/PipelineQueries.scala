@@ -3007,6 +3007,60 @@ object PipelineQueries {
       |  MIN(vec_id) AS min_member
       |FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** BM25 ranked retrieval ([[graft.text.Search.bm25TopK]]) —
+    * disjunctive, tf-saturated, length-normalized, with the
+    * integer-log2 idf and binary-exact constants that make the raw
+    * double scores hash-comparable across engines (see the operator's
+    * scaladoc). Query mixes the fixture's one rare token ("dup",
+    * ~5% df → idf 4, SF-stable) with two common ones that the coarse
+    * idf correctly zeroes out (df ≈ 0.77·N → floor(log2(N/df)) = 0),
+    * so the ranking exercises rare-term dominance + length
+    * normalization + tf saturation. Corpus stats and dfs fold in as
+    * literals; the oracle re-derives them from the table and replays
+    * the identical arithmetic AST.
+    */
+  def q111Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.text.Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+      terms = Seq("dup", "join", "scan"), k = 10)
+
+  val q111Sql: String = {
+    val terms = Seq("dup", "join", "scan")
+    val dfCols = terms.zipWithIndex.map { case (tm, i) =>
+      s"(SELECT COUNT(*) FROM d WHERE list_contains(tk, '$tm')) AS df${i + 1}"
+    }.mkString(",\n  ")
+    val idfCols = terms.indices.map { i =>
+      s"CAST(length(bin(nd // df${i + 1})) - 1 AS DOUBLE) AS idf${i + 1}"
+    }.mkString(",\n  ")
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$tm')) AS DOUBLE) AS tf${i + 1}"
+    }.mkString(",\n  ")
+    val parts = terms.indices.map { i =>
+      val (tf, idf) = (s"tf${i + 1}", s"idf${i + 1}")
+      s"""(CASE WHEN $tf > 0 THEN $idf * ($tf * CAST(2.25 AS DOUBLE)
+         |  / ($tf + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |    + CAST(0.75 AS DOUBLE) * (dl / avgdl))))
+         |  ELSE CAST(0.0 AS DOUBLE) END)""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |  FROM documents WHERE text IS NOT NULL),
+       |st AS (SELECT COUNT(*) AS nd, SUM(len(tk)) AS tt FROM d),
+       |dfs AS (SELECT
+       |  $dfCols),
+       |p AS (SELECT CAST(tt AS DOUBLE) / CAST(nd AS DOUBLE) AS avgdl,
+       |  $idfCols
+       |  FROM st, dfs),
+       |tfp AS (SELECT doc_id, dl,
+       |  $tfCols
+       |  FROM d),
+       |sc AS (SELECT doc_id,
+       |  $parts AS score
+       |  FROM tfp, p)
+       |SELECT doc_id, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3081,7 +3135,8 @@ object PipelineQueries {
     "q107_topk_per_group" -> (q107TopKPerGroup _),
     "q108_canonical_dedup" -> (q108CanonicalDedup _),
     "q109_temperature_mix" -> (q109TemperatureMix _),
-    "q110_centroid_assign" -> (q110CentroidAssign _))
+    "q110_centroid_assign" -> (q110CentroidAssign _),
+    "q111_bm25" -> (q111Bm25 _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3157,5 +3212,6 @@ object PipelineQueries {
     "q107_topk_per_group" -> q107Sql,
     "q108_canonical_dedup" -> q108Sql,
     "q109_temperature_mix" -> q109Sql,
-    "q110_centroid_assign" -> q110Sql)
+    "q110_centroid_assign" -> q110Sql,
+    "q111_bm25" -> q111Sql)
 }

@@ -95,4 +95,61 @@ object Search {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** BM25-style ranked retrieval — disjunctive (any-term) scoring with
+    * the standard per-term tf saturation and document-length
+    * normalization, in an ENGINE-PORTABLE variant:
+    *
+    *  - idf is the INTEGER `floor(log2(N / df))` — computed without
+    *    libm (`63 - numberOfLeadingZeros` here, `length(bin(x)) - 1`
+    *    in a SQL oracle), because `ln`'s last ulp differs across math
+    *    libraries and a score hash would be data-dependently fragile
+    *    (the q103 lesson). Coarser than Robertson idf but the same
+    *    rare-term-up-weighting shape, and exactly reproducible.
+    *  - k1 = 1.25, b = 0.75: BINARY-EXACT doubles (not the textbook
+    *    1.2, which no engine can represent exactly), so the whole
+    *    scoring chain is deterministic IEEE arithmetic with a fixed
+    *    association order and scores hash-compare bit-identically.
+    *
+    * Scale shape: corpus stats (N, Σdl) and per-term document
+    * frequencies fold in as literals (driver scalars bounded at
+    * 2 + |terms|), scoring is scan-local codegen arithmetic, and the
+    * top-k is a TakeOrdered — no join, no shuffle of the corpus.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "query terms must be non-empty and distinct")
+    val d = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .withColumn("__dl", size(col("__tk")).cast("double"))
+    // two corpus scalars + |terms| doc frequencies — bounded collects
+    val stats = d.agg(count(lit(1)), sum(size(col("__tk")).cast("long"))).head()
+    val nd = stats.getLong(0)
+    val tt = stats.getLong(1)
+    val avgdl = lit(tt.toDouble / nd.toDouble)
+    val dfs: Map[String, Long] = d
+      .select(explode(array_distinct(col("__tk"))).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col("__t")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def contrib(term: String): org.apache.spark.sql.Column = {
+      val dfl = dfs.getOrElse(term, 0L)
+      if (dfl == 0L) lit(0.0)
+      else {
+        val idf = lit((63 - java.lang.Long.numberOfLeadingZeros(nd / dfl)).toDouble)
+        val tf = size(filter(col("__tk"), x => x === term)).cast("double")
+        when(tf > 0.0,
+          idf * (tf * lit(2.25) / (tf + lit(1.25) *
+            (lit(0.25) + lit(0.75) * (col("__dl") / avgdl)))))
+          .otherwise(lit(0.0))
+      }
+    }
+    // fixed left-to-right addition in query-term order (portable sum)
+    val score = terms.map(contrib).reduce(_ + _)
+    d.select(col(idCol), score.as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -118,4 +118,29 @@ class SearchSpec extends SparkSpec {
       Search.conjunctiveTopK(corpus, "text", "id", Seq("a", "a"), 5)
     }
   }
+
+  test("bm25: hand-computed scores, disjunctive match, length penalty") {
+    // corpus: N=4 docs with text, Σdl = 5+5+3+2 = 15, avgdl = 3.75
+    // df(spark)=1 → idf = floor(log2(4/1)) = 2
+    // df(join)=3  → idf = floor(log2(4/3)) = floor(log2(1)) = 0
+    val got = Search.bm25TopK(corpus, "text", "id",
+        Seq("spark", "join"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def part(tf: Double, dl: Double, idf: Double): Double =
+      if (tf == 0) 0.0
+      else idf * (tf * 2.25 / (tf + 1.25 * (0.25 + 0.75 * (dl / 3.75))))
+    // doc 1: spark tf=1 dl=5, join tf=2 (idf 0 → contributes nothing)
+    val want1 = part(1, 5, 2) + part(2, 5, 0)
+    assert(got(1L) === want1)
+    // docs 2 and 3 match only 'join' (idf 0) → score 0 → filtered out
+    assert(!got.contains(2L) && !got.contains(3L) && !got.contains(4L))
+    // length normalization: the same tf in a SHORTER doc scores higher.
+    // (filler docs keep df < N — at df = N the integer idf is
+    // floor(log2(1)) = 0 and the term contributes nothing, by design)
+    val short = Seq((1L, "spark a"), (2L, "spark a b c d e f g"),
+      (3L, "x y"), (4L, "z w")).toDF("id", "text")
+    val s = Search.bm25TopK(short, "text", "id", Seq("spark"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L))
+  }
 }
