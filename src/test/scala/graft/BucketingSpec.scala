@@ -93,4 +93,35 @@ class BucketingSpec extends SparkSpec {
     val expected = docs.filter(col("lang") === "en").count()
     assert(q.count() === expected && expected > 0)
   }
+
+  test("compaction: many small files → ~target-sized few, rows identical") {
+    import graft.operators.Compact
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val path = s"$dir/t"
+    val src = spark.range(0L, 2000L)
+      .select(col("id"), md5(col("id").cast("string")).as("payload"))
+    src.repartition(16).write.parquet(path)
+    val before = src.collect().map(_.toString).sorted.toSeq
+    val (filesBefore, bytesBefore, _) = Compact.plan(spark, path, Long.MaxValue)
+    assert(filesBefore === 16)
+    // a target far above total bytes plans a single output file
+    val (_, _, filesAfter, bytesAfter) = Compact.compact(spark, path, Long.MaxValue)
+    assert(filesAfter === 1)
+    assert(bytesAfter > 0 && bytesBefore > 0)
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    // a small byte target fans back out: planned = ceil(bytes/target)
+    val (_, bytesNow, planned) = Compact.plan(spark, path, (bytesAfter / 3) + 1)
+    assert(bytesNow === bytesAfter && planned >= 2 && planned <= 4)
+    val (_, _, files2, _) = Compact.compact(spark, path, (bytesAfter / 3) + 1)
+    assert(files2 === planned)
+    assert(spark.read.parquet(path).count() === 2000L)
+    // orphaned .compacting sibling from a crashed run is cleared
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path.compacting"))
+    val (_, _, files3, _) = Compact.compact(spark, path, Long.MaxValue)
+    assert(files3 === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.compacting")))
+  }
 }

@@ -130,4 +130,25 @@ class PropertySpec extends SparkSpec {
       HashSketches.simhash64(u) == HashSketches.simhash64(u)
     })
   }
+
+  test("TopKAgg: any partitioning/merge tree ≡ global sort-take") {
+    import graft.operators.{Scored, TopKAgg}
+    val rows: Gen[List[(Int, Long)]] = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 30L))))
+    val kGen = Gen.choose(1, 6)
+    check(Prop.forAll(rows, kGen, Gen.choose(1, 5)) { (xs, k, parts) =>
+      val agg = new TopKAgg(k)
+      // partition arbitrarily, reduce each slice, merge left-to-right —
+      // the partial/final aggregation path Spark will drive
+      val slices = xs.zipWithIndex.groupBy(_._2 % parts).values
+        .map(_.map { case ((s, i), _) => Scored(s.toDouble, i) })
+      val merged = slices.foldLeft(agg.zero) { (acc, slice) =>
+        agg.merge(acc, slice.foldLeft(agg.zero)(agg.reduce))
+      }
+      val got = agg.finish(merged)
+      val want = xs.map { case (s, i) => Scored(s.toDouble, i) }
+        .sortBy(s => (-s.score, s.id)).take(k)
+      got == want
+    })
+  }
 }
