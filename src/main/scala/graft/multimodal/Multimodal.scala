@@ -42,6 +42,13 @@ object Multimodal {
   private final class PngCodec(onInit: () => Unit = () => ()) {
     private var reader: javax.imageio.ImageReader = null
     private var pixBuf: Array[Int] = Array.emptyIntArray
+    // recycled decode destination: corpora are dominated by one frame
+    // geometry, so the same BufferedImage can absorb row after row
+    // (ImageReadParam.setDestination) instead of reader.read allocating
+    // a fresh raster per row. Reused only while dimensions repeat;
+    // falls back to a plain read if the reader rejects the destination.
+    private var dest: java.awt.image.BufferedImage = null
+    private var destOk = true
 
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       if (reader == null) {
@@ -53,7 +60,28 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         reader.setInput(iis)
-        reader.read(0)
+        if (destOk) {
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (dest == null || dest.getWidth != w || dest.getHeight != h)
+            dest = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val param = reader.getDefaultReadParam
+          param.setDestination(dest)
+          try reader.read(0, param)
+          catch {
+            case _: javax.imageio.IIOException |
+                 _: IllegalArgumentException =>
+              // reader refused the destination (e.g. non-RGB color
+              // type) — disable reuse for this partition and re-read
+              destOk = false
+              dest = null
+              reader.setInput(new javax.imageio.stream
+                .MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes)))
+              reader.read(0)
+          }
+        } else reader.read(0)
       } finally iis.close()
     }
 
@@ -71,6 +99,52 @@ object Multimodal {
 
     def close(): Unit =
       if (reader != null) { reader.dispose(); reader = null }
+  }
+
+  /** Per-partition PNG encode context — `ImageIO.write` per row does a
+    * writer-SPI lookup, constructs a fresh `ImageWriter`, AND routes
+    * the output through a disk-backed temp file (`getUseCache`, same
+    * default as the input side). One writer per partition + a
+    * memory-backed output stream per row. Bytes are identical (same
+    * `PNGImageWriter`, same default params). Call [[close]] when the
+    * partition drains.
+    */
+  private final class PngEncoder {
+    private var writer: javax.imageio.ImageWriter = null
+    private val buf = new java.io.ByteArrayOutputStream()
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      if (writer == null)
+        writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+      buf.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
+      } finally ios.close()
+      buf.toByteArray
+    }
+
+    def close(): Unit =
+      if (writer != null) { writer.dispose(); writer = null }
+  }
+
+  /** Map `it` through `f`, closing `resources` when the iterator
+    * drains — the shared per-partition codec-lifecycle shape.
+    */
+  private def mapWithClose[A, B](it: Iterator[A], close: () => Unit)(
+      f: A => B): Iterator[B] = {
+    val mapped = it.map(f)
+    new Iterator[B] {
+      override def hasNext: Boolean = {
+        val more = mapped.hasNext
+        if (!more) close()
+        more
+      }
+      override def next(): B = mapped.next()
+    }
   }
 
   /** Demo binary table: documents' text bytes as media payloads with a
@@ -126,13 +200,13 @@ object Multimodal {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
-      val buf = new java.io.ByteArrayOutputStream()
       // fixed dims across the partition: one frame + staging array,
       // fully overwritten per row (bulk setRGB avoids per-pixel calls)
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val px = new Array[Int](w * h)
-      it.map { id =>
+      val enc = new PngEncoder
+      mapWithClose(it, () => enc.close()) { id =>
         var y = 0
         while (y < h) {
           var x = 0
@@ -146,9 +220,7 @@ object Multimodal {
           y += 1
         }
         img.setRGB(0, 0, w, h, px, 0, w)
-        buf.reset()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        (id, buf.toByteArray)
+        (id, enc.encode(img))
       }
     }.toDF("media_id", "content")
   }
@@ -169,11 +241,11 @@ object Multimodal {
     import spark.implicits._
     val g = groups
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
-      val buf = new java.io.ByteArrayOutputStream()
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val px = new Array[Int](w * h)
-      it.map { id =>
+      val enc = new PngEncoder
+      mapWithClose(it, () => enc.close()) { id =>
         val gid = id % g
         var y = 0
         while (y < h) {
@@ -189,9 +261,7 @@ object Multimodal {
           y += 1
         }
         img.setRGB(0, 0, w, h, px, 0, w)
-        buf.reset()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        (id, buf.toByteArray)
+        (id, enc.encode(img))
       }
     }.toDF("media_id", "content")
   }
@@ -313,20 +383,14 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val codec = new PngCodec
-        val buf = new java.io.ByteArrayOutputStream()
+        val enc = new PngEncoder
         // the resized frame and its pixel staging array are fixed-size
         // across the partition — allocate once, overwrite fully per row
         val out = new java.awt.image.BufferedImage(outW, outH,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val outBuf = new Array[Int](outW * outH)
-        new Iterator[(Long, Int, Int, Int, Int, Array[Byte], Long, Long, Long)] {
-          override def hasNext: Boolean = {
-            val more = it.hasNext
-            if (!more) codec.close()
-            more
-          }
-          override def next(): (Long, Int, Int, Int, Int, Array[Byte], Long, Long, Long) = {
-            val (id, bytes) = it.next()
+        mapWithClose(it, () => { codec.close(); enc.close() }) {
+          case (id, bytes) =>
             val src = codec.decode(bytes)
             val sw = src.getWidth
             val sh = src.getHeight
@@ -348,10 +412,7 @@ object Multimodal {
               y += 1
             }
             out.setRGB(0, 0, outW, outH, outBuf, 0, outW)
-            buf.reset()
-            javax.imageio.ImageIO.write(out, "png", buf)
-            (id, sw, sh, outW, outH, buf.toByteArray, sr, sg, sb)
-          }
+            (id, sw, sh, outW, outH, enc.encode(out), sr, sg, sb)
         }
       }
       .toDF("media_id", "src_w", "src_h", "out_w", "out_h", "content",
@@ -458,11 +519,11 @@ object Multimodal {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
-      val frameBuf = new java.io.ByteArrayOutputStream()
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val px = new Array[Int](w * h)
-      it.map { id =>
+      val enc = new PngEncoder
+      mapWithClose(it, () => enc.close()) { id =>
         val nFrames = (4 + id % 5).toInt
         val out = new java.io.ByteArrayOutputStream()
         val dos = new java.io.DataOutputStream(out)
@@ -483,9 +544,7 @@ object Multimodal {
             y += 1
           }
           img.setRGB(0, 0, w, h, px, 0, w)
-          frameBuf.reset()
-          javax.imageio.ImageIO.write(img, "png", frameBuf)
-          val png = frameBuf.toByteArray
+          val png = enc.encode(img)
           dos.writeInt(Integer.reverseBytes(png.length))
           dos.write(png)
           f += 1
