@@ -3061,6 +3061,44 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q112
+  /** OOV novelty census ([[TextAnalysis.withOovCounts]]): per-source
+    * totals of tokens outside the corpus' top-16 vocabulary — the
+    * rare-token quality signal, all-integer. The oracle re-derives the
+    * vocabulary with the identical (df DESC, token ASC) total order
+    * and replays the counts.
+    */
+  def q112OovNovelty(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withOovCounts(t(s, dir, "documents"), "text", vocabSize = 16)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_oov")).as("sum_oov"),
+        sum(when(col("n_oov") > 0, 1L).otherwise(0L)).as("n_novel_docs"))
+      .orderBy(col("source"))
+
+  val q112Sql: String =
+    """WITH tokc AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |voc AS (SELECT tok FROM (
+      |    SELECT unnest(tk) AS tok, doc_id FROM tokc)
+      |  GROUP BY tok ORDER BY COUNT(DISTINCT doc_id) DESC, tok ASC
+      |  LIMIT 16),
+      |vl AS (SELECT list(tok ORDER BY tok) AS vocab FROM voc),
+      |per AS (SELECT d.doc_id, d.source,
+      |  CASE WHEN d.text IS NULL THEN 0
+      |    ELSE len(string_split(d.text, ' ')) END AS n_tokens,
+      |  CASE WHEN d.text IS NULL THEN 0
+      |    ELSE len(list_filter(string_split(d.text, ' '),
+      |      x -> NOT list_contains(vocab, x))) END AS n_oov
+      |  FROM documents d, vl)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(n_oov) AS BIGINT) AS sum_oov,
+      |  CAST(SUM(CASE WHEN n_oov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel_docs
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3136,7 +3174,8 @@ object PipelineQueries {
     "q108_canonical_dedup" -> (q108CanonicalDedup _),
     "q109_temperature_mix" -> (q109TemperatureMix _),
     "q110_centroid_assign" -> (q110CentroidAssign _),
-    "q111_bm25" -> (q111Bm25 _))
+    "q111_bm25" -> (q111Bm25 _),
+    "q112_oov_novelty" -> (q112OovNovelty _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3213,5 +3252,6 @@ object PipelineQueries {
     "q108_canonical_dedup" -> q108Sql,
     "q109_temperature_mix" -> q109Sql,
     "q110_centroid_assign" -> q110Sql,
-    "q111_bm25" -> q111Sql)
+    "q111_bm25" -> q111Sql,
+    "q112_oov_novelty" -> q112Sql)
 }

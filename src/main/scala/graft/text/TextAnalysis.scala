@@ -292,6 +292,38 @@ object TextAnalysis {
     df.filter(gate < rateCol * 10000.0)
   }
 
+  /** Out-of-vocabulary novelty counts: tokens outside the corpus'
+    * top-`vocabSize` vocabulary (by document frequency, ties to the
+    * lexicographically smaller token — a total, engine-portable
+    * order). The classic "rare-token rate" quality/novelty signal,
+    * complementing the intra-document signals
+    * ([[withQualitySignals]]/[[withRepetitionSignals]]) and the
+    * target-distribution affinity ([[graft.text.Importance]]) with a
+    * corpus-vocabulary-conditional one.
+    *
+    * Scale shape: one distinct-(token, doc) census picks the
+    * vocabulary (bounded collect: `vocabSize` rows), which then rides
+    * into a scan-local counting expression as a LITERAL array — the
+    * corpus is never joined or shuffled. All outputs are integers.
+    */
+  def withOovCounts(df: DataFrame, textCol: String = "text",
+      vocabSize: Int = 16): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab = df.filter(col(textCol).isNotNull)
+      .select(explode(array_distinct(tokens(col(textCol)))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df").desc, col("__t").asc).limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val vocabCol = typedLit(vocab)
+    val tk = tokens(col(textCol))
+    df.withColumn("n_tokens",
+        when(col(textCol).isNull, lit(0)).otherwise(size(tk)).cast("long"))
+      .withColumn("n_oov",
+        when(col(textCol).isNull, lit(0))
+          .otherwise(size(filter(tk, t => !array_contains(vocabCol, t))))
+          .cast("long"))
+  }
+
   /** Temperature-weighted (α = 0.5) per-stratum keep rates for a target
     * sample of `total / targetDiv` rows: weight each stratum by √n (the
     * multilingual-sampling temperature trick that up-weights small

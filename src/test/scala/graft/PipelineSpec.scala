@@ -1264,6 +1264,23 @@ class PipelineSpec extends SparkSpec {
     assert(expected <= 500.0 + 1e-6 && expected > 400.0)
   }
 
+  test("oov counts: vocabulary cut is total-ordered; counts are exact") {
+    // dfs: the=3, fox=2, dog=2, cat=1, run=1 → V=3 picks the,dog,fox
+    // (df desc, token asc: dog before fox at df 2)
+    val d = Seq(
+      (0L, "the fox the dog"),
+      (1L, "the dog fox"),
+      (2L, "the cat run run"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.withOovCounts(d, "text", vocabSize = 3)
+      .select("doc_id", "n_tokens", "n_oov").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) === ((4L, 0L)))
+    assert(got(1L) === ((3L, 0L)))
+    assert(got(2L) === ((4L, 3L))) // cat + run + run outside {the,dog,fox}
+    assert(got(3L) === ((0L, 0L))) // null text → zero counts, row kept
+  }
+
   test("centroid assign ≡ driver-side argmin with (dist, cid) tie-break") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 60L).map(i =>

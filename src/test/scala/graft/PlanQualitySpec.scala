@@ -419,6 +419,34 @@ class PlanQualitySpec extends SparkSpec {
       _.trim.startsWith("Arguments: hashpartitioning")) == 1, p)
   }
 
+  test("q108: canonical dedup shuffles only narrow md5 keys") {
+    val p = plan(PipelineQueries.q108CanonicalDedup(spark, dir))
+    assert(!p.contains("Join"), p)
+    // two hash exchanges, both inherent and both narrow: the exact
+    // count-distinct plans two-phase — (canon-key, text-md5) distinct
+    // pairs first, then the canon-key group. Every exchanged key is an
+    // md5, never the document text.
+    val hashes = p.linesIterator
+      .filter(_.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(hashes.size <= 2, p)
+    assert(hashes.forall(l => !l.contains("text#") || l.contains("md5")), p)
+  }
+
+  test("q111/q112: literal-folded scoring stays scan-local (no join)") {
+    val p1 = plan(PipelineQueries.q111Bm25(spark, dir))
+    assert(!p1.contains("Join"), p1)
+    // scoring plan is scan → project → TakeOrdered; stats/df jobs run
+    // separately before the returned plan and fold in as literals
+    assert(p1.contains("TakeOrderedAndProject"), p1)
+    assert(p1.linesIterator.count(
+      _.trim.startsWith("Arguments: hashpartitioning")) == 0, p1)
+    val p2 = plan(PipelineQueries.q112OovNovelty(spark, dir))
+    assert(!p2.contains("Join"), p2)
+    // one hash exchange: the per-source census
+    assert(p2.linesIterator.count(
+      _.trim.startsWith("Arguments: hashpartitioning")) == 1, p2)
+  }
+
   test("q110: centroid assignment is scan-local — no join, one census shuffle") {
     val p = plan(PipelineQueries.q110CentroidAssign(spark, dir))
     assert(!p.contains("Join"), p)
