@@ -3099,6 +3099,69 @@ object PipelineQueries {
       |    AS n_novel_docs
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** End-to-end corpus build — the composition the individual operators
+    * exist for, as ONE query: quality gate (token-count floor) →
+    * canonicalization dedup (min-id survivor per canonical form,
+    * [[TextAnalysis.canonicalize]]) → temperature-weighted mix
+    * ([[TextAnalysis.temperatureRates]] on the SURVIVING corpus →
+    * [[TextAnalysis.mixSample]]) → per-source census. Every stage is a
+    * previously-proven portable fragment (q34/q108/q109 arithmetic);
+    * the oracle replays all four in staged CTEs. Scale shape: one
+    * narrow md5 shuffle (dedup) + one census shuffle; the gate and the
+    * rate application are scan-local; the rate table is driver-bounded
+    * at one row per source.
+    */
+  def q113CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("__nt", size(TextAnalysis.tokens(col("text"))))
+      .filter(col("__nt") >= 8)
+    // canonical dedup: min doc_id survives each canonical form
+    val surv = d.withColumn("__ck", md5(TextAnalysis.canonicalize(col("text"))))
+      .withColumn("__keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__ck"))))
+      .filter(col("doc_id") === col("__keep"))
+      .select(col("doc_id"), col("source"), col("__nt"))
+    val rates = TextAnalysis.temperatureRates(surv, "source", targetDiv = 2L)
+    TextAnalysis.mixSample(surv, "source", "doc_id", rates)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("__nt").cast("long")).as("sum_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q113Sql: String =
+    """WITH gated AS (SELECT doc_id, source, text,
+      |  len(string_split(text, ' ')) AS nt
+      |  FROM documents WHERE text IS NOT NULL
+      |    AND len(string_split(text, ' ')) >= 8),
+      |ck AS (SELECT doc_id, source, nt,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon
+      |  FROM gated),
+      |surv AS (SELECT doc_id, source, nt FROM (
+      |  SELECT doc_id, source, nt,
+      |    MIN(doc_id) OVER (PARTITION BY canon) AS keep FROM ck)
+      |  WHERE doc_id = keep),
+      |c AS (SELECT source, COUNT(*) AS n FROM surv GROUP BY source),
+      |tot AS (SELECT SUM(n) AS total FROM c),
+      |sq AS (SELECT source, n,
+      |  CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS sqn FROM c),
+      |den AS (SELECT SUM(sqn) AS denom FROM sq),
+      |r AS (SELECT source, n,
+      |  LEAST(CAST(1.0 AS DOUBLE),
+      |    CAST(total // 2 AS DOUBLE) * CAST(sqn AS DOUBLE)
+      |      / CAST(denom AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+      |  FROM sq, tot, den),
+      |g AS (SELECT sv.doc_id, sv.source, sv.nt,
+      |  CAST(('0x' || substring(md5(CAST(sv.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |    % 10000 AS gate,
+      |  r.rate FROM surv sv JOIN r ON sv.source = r.source)
+      |SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(nt) AS BIGINT) AS sum_tokens
+      |FROM g WHERE gate < rate * 10000
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3175,7 +3238,8 @@ object PipelineQueries {
     "q109_temperature_mix" -> (q109TemperatureMix _),
     "q110_centroid_assign" -> (q110CentroidAssign _),
     "q111_bm25" -> (q111Bm25 _),
-    "q112_oov_novelty" -> (q112OovNovelty _))
+    "q112_oov_novelty" -> (q112OovNovelty _),
+    "q113_corpus_build" -> (q113CorpusBuild _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3253,5 +3317,6 @@ object PipelineQueries {
     "q109_temperature_mix" -> q109Sql,
     "q110_centroid_assign" -> q110Sql,
     "q111_bm25" -> q111Sql,
-    "q112_oov_novelty" -> q112Sql)
+    "q112_oov_novelty" -> q112Sql,
+    "q113_corpus_build" -> q113Sql)
 }

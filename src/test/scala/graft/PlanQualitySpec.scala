@@ -447,6 +447,15 @@ class PlanQualitySpec extends SparkSpec {
       _.trim.startsWith("Arguments: hashpartitioning")) == 1, p2)
   }
 
+  test("q113: corpus build plans with no join — rates fold in as literals") {
+    val p = plan(PipelineQueries.q113CorpusBuild(spark, dir))
+    assert(!p.contains("Join"), p)
+    // every hash exchange keys on md5(canon) or source — never raw text
+    val hashes = p.linesIterator
+      .filter(_.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(hashes.forall(l => !l.contains("text#") || l.contains("md5")), p)
+  }
+
   test("q110: centroid assignment is scan-local — no join, one census shuffle") {
     val p = plan(PipelineQueries.q110CentroidAssign(spark, dir))
     assert(!p.contains("Join"), p)
