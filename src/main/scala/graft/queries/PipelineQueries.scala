@@ -3162,6 +3162,42 @@ object PipelineQueries {
       |FROM g WHERE gate < rate * 10000
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** Streaming per-day top-3 events by value
+    * ([[StreamingOps.windowedTopK]]): the bounded TopKAgg aggregator
+    * running inside the streaming state store — per-window state ≤ ~4k
+    * entries however many events the day holds. Oracle: the batch
+    * window-rank form. State sized to volume (the q48 rule).
+    */
+  def q114StreamTopK(s: SparkSession, dir: String): DataFrame = {
+    val stream = StreamingOps.eventsStream(s, dir)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val result =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        StreamingOps.runToCompletion(
+          StreamingOps.windowedTopK(stream, k = 3),
+          s"stream_topk_${dir.hashCode.abs}")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    result
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_start"),
+        posexplode(col("topk")))
+      .select(col("window_start"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"),
+        col("col.score").as("score"))
+      .orderBy(col("window_start"), col("rank"))
+  }
+
+  val q114Sql: String =
+    """WITH r AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+      |  event_id, CAST(value AS DOUBLE) AS score,
+      |  ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+      |    ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events)
+      |SELECT window_start, CAST(rn AS INT) AS rank, event_id, score
+      |FROM r WHERE rn <= 3 ORDER BY window_start, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3239,7 +3275,8 @@ object PipelineQueries {
     "q110_centroid_assign" -> (q110CentroidAssign _),
     "q111_bm25" -> (q111Bm25 _),
     "q112_oov_novelty" -> (q112OovNovelty _),
-    "q113_corpus_build" -> (q113CorpusBuild _))
+    "q113_corpus_build" -> (q113CorpusBuild _),
+    "q114_stream_topk" -> (q114StreamTopK _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3318,5 +3355,6 @@ object PipelineQueries {
     "q110_centroid_assign" -> q110Sql,
     "q111_bm25" -> q111Sql,
     "q112_oov_novelty" -> q112Sql,
-    "q113_corpus_build" -> q113Sql)
+    "q113_corpus_build" -> q113Sql,
+    "q114_stream_topk" -> q114Sql)
 }

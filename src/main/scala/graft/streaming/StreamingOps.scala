@@ -44,6 +44,24 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,2)")).as("sum_value"))
 
+  /** Per-window top-k over the event stream via the bounded
+    * [[graft.operators.TopKAgg]] aggregator: the partial top-k runs
+    * INSIDE the streaming aggregation state (the typed buffer
+    * serializes to the state store), so per-window state is ≤ ~4k
+    * scored entries regardless of the window's event volume — the
+    * "trending items" shape that a windowed rank would have to buffer
+    * every event for.
+    */
+  def windowedTopK(events: DataFrame, k: Int, windowDur: String = "1 day",
+      watermark: String = "1 hour"): DataFrame = {
+    val agg = udaf(new graft.operators.TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.operators.Scored])
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(agg(col("value"), col("event_id")).as("topk"))
+  }
+
   /** Calendar-month rollup (streaming twin of the batch q15 query —
     * identical results, checkable against the same oracle).
     */
