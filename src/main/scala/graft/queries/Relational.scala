@@ -92,7 +92,12 @@ object Relational {
   def q03JoinAgg(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // NO broadcast() hint: customer SCALES WITH SF (unlike nation /
+    // region / the per-brand aggregates, which are bounded), and an
+    // explicit hint never degrades — Catalyst auto-broadcasts below
+    // the threshold and AQE falls back to a shuffled join above it
+    // (degradation pinned in PlanQualitySpec)
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),

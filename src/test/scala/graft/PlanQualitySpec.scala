@@ -34,6 +34,57 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p4.contains("CartesianProduct"), p4)
   }
 
+  test("q03: dim join degrades to a shuffled join when broadcast is off") {
+    // the 100 TB posture: customer scales with SF, so q03 carries NO
+    // broadcast hint — below the threshold Catalyst broadcasts, above
+    // it the join MUST fall back to a shuffled join with identical
+    // results (an explicit hint would never degrade and would OOM)
+    val before = Relational.q03JoinAgg(spark, dir).collect().map(_.toString).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Relational.q03JoinAgg(spark, dir)
+      val p = plan(df)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(df.collect().map(_.toString).toSeq === before)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits a manufactured hot-key join partition (skew=true)") {
+    import org.apache.spark.sql.functions._
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      // force a shuffled join and lower the skew thresholds so the
+      // fixture-scale hot key trips the same split a 100 TB hot key
+      // would at the defaults
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // 50% of rows land on key 0; the rest spread
+      val left = spark.range(0L, 200000L).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(0L, 1000L).select(col("id").as("k"))
+      val j = left.join(right, "k")
+      // collect() drives THIS frame's queryExecution (count() would
+      // plan its own), so the final adaptive plan is inspectable after
+      val n = j.collect().length
+      assert(n === 100000 + 500) // key 0 matches 100k rows; odd ids < 1000 match once
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(4000))
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("q02: scan reads only referenced columns (pruning)") {
     val p = plan(Relational.q02FilterRevenue(spark, dir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
