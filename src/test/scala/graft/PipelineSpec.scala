@@ -966,6 +966,57 @@ class PipelineSpec extends SparkSpec {
     assert(got === graft.queries.PipelineQueries.q96Golden)
   }
 
+  test("bpe: distributed training ≡ sequential driver replay on the live fixture") {
+    // regeneration-proof twin of the frozen-golden test: derive the
+    // expected merge table by replaying BPE sequentially over whatever
+    // names the CURRENT fixture holds. If the driver regenerates
+    // testdata with different content, this still validates the
+    // distributed trainer (only the golden/oracle then needs GoldenGen)
+    val dir = "/root/testdata/sf0.001"
+    val names = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_name").as("name"))
+      .unionByName(spark.read.parquet(s"$dir/region.parquet")
+        .select(col("r_name").as("name")))
+      .collect().map(_.getString(0)).toSeq
+    val freqs = names.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var ws: Seq[(Vector[String], Long)] = freqs.toSeq
+      .map { case (w, f) => (w.split("").filter(_.nonEmpty).toVector, f) }
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < 12 && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- ws; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .sortBy { case ((x, y), n) => (-n, x, y) }.head
+        expected += ((r, a, b, a + b, c))
+        // exactly Bpe.mergeSyms' fold: if the last accumulated symbol
+        // is `a` and the incoming one is `b`, fuse them in place
+        ws = ws.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- syms) {
+            if (acc.nonEmpty && acc.last == a && x == b) {
+              acc.remove(acc.length - 1)
+              acc += (a + b)
+            } else acc += x
+          }
+          (acc.toVector, f)
+        }
+        r += 1
+      }
+    }
+    val got = graft.queries.PipelineQueries.q96BpeVocab(spark, dir).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4))).toSeq
+    assert(got === expected.toSeq)
+  }
+
   test("partitioned upsert rewrites touched partitions only, byte-identical rest") {
     import graft.operators.Upsert
     val base = java.nio.file.Files.createTempDirectory("pupsert").toString + "/t"
