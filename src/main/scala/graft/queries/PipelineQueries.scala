@@ -3116,12 +3116,15 @@ object PipelineQueries {
     val d = t(s, dir, "documents").filter(col("text").isNotNull)
       .withColumn("__nt", size(TextAnalysis.tokens(col("text"))))
       .filter(col("__nt") >= 8)
-    // canonical dedup: min doc_id survives each canonical form
+    // canonical dedup: min doc_id survives each canonical form — as a
+    // PURE AGGREGATE (min over a struct led by the unique id picks the
+    // whole survivor row), which map-side combines and never routes a
+    // giant dup cluster's rows to one reducer the way a window would
     val surv = d.withColumn("__ck", md5(TextAnalysis.canonicalize(col("text"))))
-      .withColumn("__keep", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__ck"))))
-      .filter(col("doc_id") === col("__keep"))
-      .select(col("doc_id"), col("source"), col("__nt"))
+      .groupBy(col("__ck"))
+      .agg(min(struct(col("doc_id"), col("source"), col("__nt"))).as("__s"))
+      .select(col("__s.doc_id").as("doc_id"),
+        col("__s.source").as("source"), col("__s.__nt").as("__nt"))
     val rates = TextAnalysis.temperatureRates(surv, "source", targetDiv = 2L)
     TextAnalysis.mixSample(surv, "source", "doc_id", rates)
       .groupBy(col("source")).agg(
