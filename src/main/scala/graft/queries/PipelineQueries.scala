@@ -3201,6 +3201,86 @@ object PipelineQueries {
       |SELECT window_start, CAST(rn AS INT) AS rank, event_id, score
       |FROM r WHERE rn <= 3 ORDER BY window_start, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Frozen merge table for corpus-wide BPE ENCODING (the inference
+    * side of q96's training — [[graft.text.Bpe.applyMerges]] applied at
+    * corpus scale). Literal so the DuckDB oracle can replay the exact
+    * same table; every pair has `left != right`, which is the property
+    * that makes greedy left-to-right fusing ORDER-FREE (see q115Sql).
+    * Later ranks consume earlier ranks' fused symbols (th→the) so the
+    * stage-chaining semantics are exercised, not just independent
+    * substitutions.
+    */
+  val encodeMerges: Seq[graft.text.Bpe.Merge] = Seq(
+    graft.text.Bpe.Merge(0, "t", "h", "th", 0L),
+    graft.text.Bpe.Merge(1, "th", "e", "the", 0L),
+    graft.text.Bpe.Merge(2, "i", "n", "in", 0L),
+    graft.text.Bpe.Merge(3, "a", "n", "an", 0L),
+    graft.text.Bpe.Merge(4, "an", "d", "and", 0L),
+    graft.text.Bpe.Merge(5, "e", "r", "er", 0L),
+    graft.text.Bpe.Merge(6, "o", "n", "on", 0L),
+    graft.text.Bpe.Merge(7, "r", "e", "re", 0L))
+
+  /** Corpus-wide BPE encoding census: lowercase whitespace words →
+    * char symbols → the frozen [[encodeMerges]] table, per-source
+    * totals of words / chars-in / tokens-out / fused (multi-char)
+    * tokens. Scale shape: the word explode and the 8-stage merge fold
+    * are SCAN-LOCAL (one projection, no shuffle — the corpus never
+    * moves); the only shuffle is the per-source census. This is how a
+    * tokenizer runs over 100 TB: train small (q96), apply wide with
+    * zero data movement.
+    *
+    * Oracle portability: each merge has `left != right`, so within one
+    * merge pass a fused symbol's right piece can never start the next
+    * match — greedy left-to-right fusing (the Spark-side
+    * [[graft.text.Bpe.mergeSyms]] fold) is equivalent to the parallel
+    * rebuild "fuse every (a,b) adjacency; drop every b whose left
+    * neighbor is a", which DuckDB computes order-free per stage (the
+    * equivalence is ScalaCheck-proven in PipelineSpec).
+    */
+  def q115BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val words = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+    val enc = Bpe.applyMerges(Bpe.charSyms(col("w")), encodeMerges)
+    words
+      .select(col("source"), length(col("w")).as("n_chars"), enc.as("s"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        sum(size(col("s")).cast("long")).as("sum_tokens"),
+        sum(size(filter(col("s"), x => length(x) > 1)).cast("long"))
+          .as("n_fused"))
+      .orderBy(col("source"))
+  }
+
+  val q115Sql: String = {
+    val stages = encodeMerges.zipWithIndex.map { case (m, k) =>
+      s"""c${k + 1} AS (SELECT source, n_chars,
+         |  list_filter(list_transform(range(1, len(s) + 1), i ->
+         |    CASE WHEN s[i] = '${m.left}' AND i < len(s)
+         |              AND s[i + 1] = '${m.right}' THEN '${m.merged}'
+         |         WHEN s[i] = '${m.right}' AND i > 1
+         |              AND s[i - 1] = '${m.left}' THEN NULL
+         |         ELSE s[i] END), x -> x IS NOT NULL) AS s
+         |  FROM c$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (SELECT source, u.w AS w
+       |  FROM documents, unnest(string_split(lower(text), ' ')) AS u(w)
+       |  WHERE text IS NOT NULL AND u.w <> ''),
+       |c0 AS (SELECT source, length(w) AS n_chars,
+       |  list_transform(range(1, length(w) + 1), i -> w[i]) AS s FROM w0),
+       |$stages
+       |SELECT source, COUNT(*) AS n_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(len(s)) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(len(list_filter(s, x -> length(x) > 1))) AS BIGINT)
+       |    AS n_fused
+       |FROM c${encodeMerges.size} GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3279,7 +3359,8 @@ object PipelineQueries {
     "q111_bm25" -> (q111Bm25 _),
     "q112_oov_novelty" -> (q112OovNovelty _),
     "q113_corpus_build" -> (q113CorpusBuild _),
-    "q114_stream_topk" -> (q114StreamTopK _))
+    "q114_stream_topk" -> (q114StreamTopK _),
+    "q115_bpe_encode" -> (q115BpeEncode _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3359,5 +3440,6 @@ object PipelineQueries {
     "q111_bm25" -> q111Sql,
     "q112_oov_novelty" -> q112Sql,
     "q113_corpus_build" -> q113Sql,
-    "q114_stream_topk" -> q114Sql)
+    "q114_stream_topk" -> q114Sql,
+    "q115_bpe_encode" -> q115Sql)
 }

@@ -151,4 +151,50 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  test("bpe merge (a≠b): greedy left-to-right fold ≡ order-free parallel rebuild") {
+    // The q115 oracle's per-stage rewrite: fuse every (a,b) adjacency,
+    // drop every b whose left neighbor is a. For a≠b this is exactly
+    // the greedy left-to-right semantics of Bpe.mergeSyms (a fused
+    // symbol can never re-match, and no position is both a fuse start
+    // and a consumed right piece). The equivalence is what licenses
+    // DuckDB's CASE/list_transform replay of the Spark aggregate fold.
+    def greedy(s: List[String], a: String, b: String): List[String] =
+      s.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b)
+          acc.init :+ (a + b)
+        else acc :+ x
+      }
+    def parallel(s: Vector[String], a: String, b: String): List[String] =
+      s.indices.flatMap { i =>
+        if (s(i) == a && i + 1 < s.length && s(i + 1) == b) Some(a + b)
+        else if (s(i) == b && i > 0 && s(i - 1) == a) None
+        else Some(s(i))
+      }.toList
+    val sym: Gen[String] = Gen.oneOf("a", "b", "c", "ab", "bc")
+    val seqGen: Gen[List[String]] = Gen.choose(0, 12).flatMap(Gen.listOfN(_, sym))
+    val pair: Gen[(String, String)] =
+      Gen.zip(sym, sym).suchThat { case (a, b) => a != b }
+    check(Prop.forAll(seqGen, pair) { case (xs, (a, b)) =>
+      greedy(xs, a, b) == parallel(xs.toVector, a, b)
+    })
+    // and the Spark-side expression agrees with the driver-side greedy
+    // fold on the q115 merge table, chained through all 8 stages
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.text.Bpe
+    val merges = graft.queries.PipelineQueries.encodeMerges
+    val words = List("the", "andthen", "errer", "nonsense", "thethe",
+      "anand", "rere", "x", "")
+    val got = words.toDF("w")
+      .select(Bpe.applyMerges(Bpe.charSyms(col("w")), merges).as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val want = words.map { w =>
+      merges.sortBy(_.rank).foldLeft(w.split("").filter(_.nonEmpty).toList) {
+        (s, m) => greedy(s, m.left, m.right)
+      }
+    }
+    assert(got === want)
+    assert(got.zip(words).forall { case (s, w) => s.mkString == w })
+  }
 }
