@@ -3281,6 +3281,75 @@ object PipelineQueries {
        |FROM c${encodeMerges.size} GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q116
+  /** Streaming enrichment: the event stream inner-joined to a STATIC
+    * broadcast dimension (customer segment) before a windowless
+    * streaming aggregation — the canonical "enrich the firehose with a
+    * slowly-changing dim" shape. A stream-static inner join is
+    * STATELESS in Structured Streaming (no watermark, no join state —
+    * the static side is re-resolved per micro-batch, broadcast here so
+    * each batch is a map-side hash join); the only state is the
+    * downstream aggregation's. Oracle: the equivalent batch join.
+    * State sized to volume (the q48 rule).
+    */
+  def q116StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val stream = StreamingOps.eventsStream(s, dir)
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val result =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        StreamingOps.runToCompletion(
+          stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+            .groupBy(col("c_mktsegment").as("mktsegment"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(12,2)")).cast("double")
+                .as("sum_value")),
+          s"stream_enrich_${dir.hashCode.abs}")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    result.orderBy(col("mktsegment"), col("event_type"))
+  }
+
+  val q116Sql: String =
+    """SELECT c.c_mktsegment AS mktsegment, e.event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q117
+  /** Semi-structured sidecar parse: the events table carries a JSON
+    * `props` string; `from_json` with an explicit schema parses it
+    * IN-SCAN (codegen'd Jackson parse, no UDF) and the census
+    * aggregates the extracted field. Scale shape: parse is scan-local —
+    * nothing shuffles but the per-type census; at 100 TB the schema'd
+    * `from_json` beats schema inference (one pass, no sampling job)
+    * and unparsed rows surface as NULLs (counted here) rather than
+    * failures. Oracle: DuckDB json_extract_string.
+    */
+  def q117JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ev = Tables.load(s, dir, "events")
+    val k = from_json(col("props"),
+      StructType(Seq(StructField("k", LongType)))).getField("k")
+    ev.select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q117Sql: String =
+    """WITH p AS (SELECT event_type,
+      |  CAST(json_extract_string(props, 'k') AS BIGINT) AS k FROM events)
+      |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3360,7 +3429,9 @@ object PipelineQueries {
     "q112_oov_novelty" -> (q112OovNovelty _),
     "q113_corpus_build" -> (q113CorpusBuild _),
     "q114_stream_topk" -> (q114StreamTopK _),
-    "q115_bpe_encode" -> (q115BpeEncode _))
+    "q115_bpe_encode" -> (q115BpeEncode _),
+    "q116_stream_static_join" -> (q116StreamStaticJoin _),
+    "q117_json_extract" -> (q117JsonExtract _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3441,5 +3512,7 @@ object PipelineQueries {
     "q112_oov_novelty" -> q112Sql,
     "q113_corpus_build" -> q113Sql,
     "q114_stream_topk" -> q114Sql,
-    "q115_bpe_encode" -> q115Sql)
+    "q115_bpe_encode" -> q115Sql,
+    "q116_stream_static_join" -> q116Sql,
+    "q117_json_extract" -> q117Sql)
 }
