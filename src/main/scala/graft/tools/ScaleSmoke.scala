@@ -185,6 +185,37 @@ object ScaleSmoke {
         }
         println(f"    [swap] drift chi2 long $longT%.2fs vs " +
           f"float $floatT%.2fs (${longT / floatT}%.2fx)")
+      }),
+      "profile distinct swap" -> (d => {
+        // q65/Profile's stated 100 TB swap, executed: Profile.exact
+        // routes |rows|×|cols| Expand records through the shuffle;
+        // Profile.sketch ships constant-size HLL++ buffers. Time both
+        // on the token-exploded frame (the high-cardinality case) and
+        // assert each estimate lands within 5× the nominal rsd.
+        val toks = d.filter(col("text").isNotNull)
+          .select(col("source"), col("lang"),
+            explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+        def tm(f: => Any): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val exactT = tm(graft.operators.Profile
+          .exact(toks, "token", "source", "lang").collect())
+        val sketchT = tm(graft.operators.Profile
+          .sketch(toks, Seq("token", "source", "lang"), rsd = 0.02).collect())
+        val ex = graft.operators.Profile.exact(toks, "token", "source", "lang")
+          .select(col("col_name"), col("n_distinct")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        graft.operators.Profile
+          .sketch(toks, Seq("token", "source", "lang"), rsd = 0.02)
+          .select(col("col_name"), col("n_distinct")).collect()
+          .foreach { r =>
+            val (c, a) = (r.getString(0), r.getLong(1))
+            val e = ex(c)
+            require(math.abs(a - e).toDouble <= math.max(1.0, 0.10 * e),
+              s"HLL estimate $a for column $c outside 10% of exact $e")
+          }
+        println(f"    [swap] profile distinct exact $exactT%.2fs vs " +
+          f"hll $sketchT%.2fs (${exactT / sketchT}%.2fx)")
       }))
 
     // SMOKE_ONLY=substr,substr filters legs (dev iteration on one leg)
