@@ -3350,6 +3350,126 @@ object PipelineQueries {
       |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** Edit-distance fuzzy join ([[graft.text.Fuzzy.fuzzyPairs]]): pairs
+    * of distinct names within Levenshtein 2, found via FastSS
+    * deletion-neighborhood blocking (scan-local variant explode + one
+    * hash equi-join — never all-pairs) and verified with the exact
+    * distance. The name pool unions the word-like part names (variable
+    * length, insert/delete regime) with the serial-number supplier
+    * names (fixed length, dense substitution neighborhoods). Oracle:
+    * DuckDB's levenshtein over the brute-force cross join — exactly
+    * the O(n²) plan the blocking exists to avoid, viable only at
+    * oracle scale.
+    */
+  def q118FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.load(s, dir, "part").select(col("p_name").as("name"))
+      .unionByName(Tables.load(s, dir, "supplier")
+        .select(col("s_name").as("name")))
+    graft.text.Fuzzy.fuzzyPairs(names, "name", maxDist = 2)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(concat_ws("|", col("name_a"), col("name_b"))).as("min_pair"),
+        max(concat_ws("|", col("name_a"), col("name_b"))).as("max_pair"))
+      .orderBy(col("dist"))
+  }
+
+  val q118Sql: String =
+    """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+      |  UNION SELECT DISTINCT s_name FROM supplier),
+      |p AS (SELECT a.name AS name_a, b.name AS name_b,
+      |  levenshtein(a.name, b.name) AS dist
+      |  FROM n a, n b WHERE a.name < b.name)
+      |SELECT dist, COUNT(*) AS n_pairs,
+      |  MIN(name_a || '|' || name_b) AS min_pair,
+      |  MAX(name_a || '|' || name_b) AS max_pair
+      |FROM p WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  /** GROUPING SETS in one pass (the rollup/cube sibling q90/q94 left
+    * out): per-(month, type), per-month, per-type, and grand totals
+    * from a single Expand — one scan, one shuffle, instead of four
+    * separate aggregations. Null grouping slots are COALESCEd to a
+    * sentinel so the oracle compares without relying on engine-specific
+    * GROUPING() functions. `month` is derived per-row first; none of
+    * the grouped columns are null in the data, so the sentinel is
+    * unambiguous.
+    */
+  def q119GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+    ev.groupingSets(
+        Seq(Seq(col("month"), col("event_type")), Seq(col("month")),
+          Seq(col("event_type")), Seq.empty),
+        col("month"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(coalesce(col("month"), lit("ALL")).as("month"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("month"), col("event_type"))
+  }
+
+  val q119Sql: String =
+    """WITH e AS (SELECT strftime(ts, '%Y-%m') AS month, event_type,
+      |  CAST(value AS DECIMAL(12,2)) AS v FROM events)
+      |SELECT COALESCE(month, 'ALL') AS month,
+      |  COALESCE(event_type, 'ALL') AS event_type,
+      |  COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY GROUPING SETS ((month, event_type), (month),
+      |  (event_type), ())
+      |ORDER BY month, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+  /** Table reconciliation ([[graft.operators.Diff.diffCensus]]):
+    * documents vs a deterministically perturbed next drop (doc_id % 10:
+    * 0 → deleted, 1 → text rewritten, 2 → re-inserted under a shifted
+    * id). Each side narrows to (key, md5 fingerprint) IN ITS SCAN, the
+    * full-outer join moves only those two columns, and the census is a
+    * one-row rollup — the audit that verifies an upsert/CDC application
+    * did what it claimed. Oracle replays the perturbation and the
+    * status classification.
+    */
+  def q120TableDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "documents")
+    val gate = pmod(col("doc_id"), lit(10L))
+    val b = a.filter(gate =!= 0L)
+      .withColumn("text",
+        when(gate === 1L, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(a.filter(gate === 2L)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    graft.operators.Diff.diffCensus(a, b, Seq("doc_id"),
+      Seq("text", "lang", "source"))
+  }
+
+  val q120Sql: String =
+    """WITH a AS (SELECT doc_id,
+      |  md5(concat_ws(chr(1), COALESCE(text, 'null'),
+      |    COALESCE(lang, 'null'), COALESCE(source, 'null'))) AS fa
+      |  FROM documents),
+      |b0 AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text,
+      |  lang, source FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source FROM documents
+      |  WHERE doc_id % 10 = 2),
+      |b AS (SELECT doc_id, md5(concat_ws(chr(1), COALESCE(text, 'null'),
+      |  COALESCE(lang, 'null'), COALESCE(source, 'null'))) AS fb FROM b0),
+      |d AS (SELECT CASE WHEN fa IS NULL THEN 'added'
+      |    WHEN fb IS NULL THEN 'removed'
+      |    WHEN fa = fb THEN 'unchanged' ELSE 'changed' END AS status
+      |  FROM a FULL OUTER JOIN b USING (doc_id))
+      |SELECT CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added,
+      |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unchanged
+      |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3431,7 +3551,10 @@ object PipelineQueries {
     "q114_stream_topk" -> (q114StreamTopK _),
     "q115_bpe_encode" -> (q115BpeEncode _),
     "q116_stream_static_join" -> (q116StreamStaticJoin _),
-    "q117_json_extract" -> (q117JsonExtract _))
+    "q117_json_extract" -> (q117JsonExtract _),
+    "q118_fuzzy_join" -> (q118FuzzyJoin _),
+    "q119_grouping_sets" -> (q119GroupingSets _),
+    "q120_table_diff" -> (q120TableDiff _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3514,5 +3637,8 @@ object PipelineQueries {
     "q114_stream_topk" -> q114Sql,
     "q115_bpe_encode" -> q115Sql,
     "q116_stream_static_join" -> q116Sql,
-    "q117_json_extract" -> q117Sql)
+    "q117_json_extract" -> q117Sql,
+    "q118_fuzzy_join" -> q118Sql,
+    "q119_grouping_sets" -> q119Sql,
+    "q120_table_diff" -> q120Sql)
 }

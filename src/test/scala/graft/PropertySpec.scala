@@ -152,6 +152,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("fuzzy join: deletion-neighborhood blocking ≡ brute force (complete, exact)") {
+    // FastSS completeness: lev(a,b) ≤ d ⇒ the ≤d-deletion
+    // neighborhoods intersect, so the blocked candidate join + exact
+    // verify must return EXACTLY the brute-force pair set. Alphabet
+    // {a,b} + short strings maximize dense neighborhoods (the hardest
+    // case for completeness). Driver-side Levenshtein as the oracle.
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    import spark.implicits._
+    val short: Gen[String] = Gen.choose(0, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val pool: Gen[List[String]] = Gen.choose(1, 8).flatMap(Gen.listOfN(_, short))
+    val p = Prop.forAll(pool, Gen.oneOf(1, 2)) { (xs, d) =>
+      val names = xs.distinct
+      val got = graft.text.Fuzzy
+        .fuzzyPairs(names.toDF("name"), "name", maxDist = d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val want = (for {
+        a <- names; b <- names if a < b
+        dist = lev(a, b) if dist <= d
+      } yield (a, b, dist)).toSet
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bpe merge (a≠b): greedy left-to-right fold ≡ order-free parallel rebuild") {
     // The q115 oracle's per-stage rewrite: fuse every (a,b) adjacency,
     // drop every b whose left neighbor is a. For a≠b this is exactly
