@@ -3470,6 +3470,44 @@ object PipelineQueries {
       |    AS n_unchanged
       |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** EXACT set-similarity self-join ([[graft.dedup.SetSimJoin]]):
+    * every document pair with token-set Jaccard ≥ 0.6, via prefix
+    * filtering (AllPairs/PPJoin) — complete by theorem, verified by
+    * exact integer cross-multiplication, in contrast to q32's
+    * probabilistic MinHash recall. Census: pair count and exact
+    * intersection/union totals per integer Jaccard band. Oracle: the
+    * brute-force O(n²) cross join the prefix filter exists to avoid
+    * (viable only at oracle scale).
+    */
+  def q121SetSimJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.dedup.SetSimJoin.similarPairs(d, "text", "doc_id", t100 = 60)
+      .withColumn("jac_pct",
+        floor(col("n_inter") * 100 / col("n_union")).cast("int"))
+      .groupBy(col("jac_pct"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_inter").cast("long")).as("sum_inter"),
+        sum(col("n_union").cast("long")).as("sum_union"))
+      .orderBy(col("jac_pct"))
+  }
+
+  val q121Sql: String =
+    """WITH s AS (SELECT doc_id,
+      |  list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
+      |    AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |  len(list_intersect(a.toks, b.toks)) AS ni,
+      |  len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS nu
+      |  FROM s a, s b WHERE a.doc_id < b.doc_id),
+      |q AS (SELECT CAST(FLOOR(ni * 100.0 / nu) AS INT) AS jac_pct, ni, nu
+      |  FROM p WHERE ni * 100 >= nu * 60)
+      |SELECT jac_pct, COUNT(*) AS n_pairs,
+      |  CAST(SUM(ni) AS BIGINT) AS sum_inter,
+      |  CAST(SUM(nu) AS BIGINT) AS sum_union
+      |FROM q GROUP BY jac_pct ORDER BY jac_pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3554,7 +3592,8 @@ object PipelineQueries {
     "q117_json_extract" -> (q117JsonExtract _),
     "q118_fuzzy_join" -> (q118FuzzyJoin _),
     "q119_grouping_sets" -> (q119GroupingSets _),
-    "q120_table_diff" -> (q120TableDiff _))
+    "q120_table_diff" -> (q120TableDiff _),
+    "q121_setsim_join" -> (q121SetSimJoin _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3640,5 +3679,6 @@ object PipelineQueries {
     "q117_json_extract" -> q117Sql,
     "q118_fuzzy_join" -> q118Sql,
     "q119_grouping_sets" -> q119Sql,
-    "q120_table_diff" -> q120Sql)
+    "q120_table_diff" -> q120Sql,
+    "q121_setsim_join" -> q121Sql)
 }

@@ -186,6 +186,35 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("setsim join: prefix filtering ≡ brute force at several thresholds") {
+    // AllPairs completeness: J(a,b) ≥ t ⇒ the (L − ⌈tL⌉ + 1)-prefixes
+    // under the (df, token) order intersect. Small vocab + short docs
+    // maximize collisions; driver-side Jaccard is the oracle.
+    import spark.implicits._
+    val word: Gen[String] = Gen.oneOf("w0", "w1", "w2", "w3", "w4", "w5")
+    val doc: Gen[String] = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs: Gen[List[String]] = Gen.choose(1, 8).flatMap(Gen.listOfN(_, doc))
+    val p = Prop.forAll(docs, Gen.oneOf(40, 60, 80, 100)) { (xs, t100) =>
+      val df = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.SetSimJoin
+        .similarPairs(df, "text", "doc_id", t100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = xs.zipWithIndex
+        .map { case (s, i) => i.toLong -> s.split(" ").filter(_.nonEmpty).toSet }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        ni = (sa & sb).size; nu = (sa | sb).size
+        if nu > 0 && ni * 100 >= nu * t100
+      } yield (ia, ib)).toSet
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bpe merge (a≠b): greedy left-to-right fold ≡ order-free parallel rebuild") {
     // The q115 oracle's per-stage rewrite: fuse every (a,b) adjacency,
     // drop every b whose left neighbor is a. For a≠b this is exactly
