@@ -3508,6 +3508,39 @@ object PipelineQueries {
       |  CAST(SUM(nu) AS BIGINT) AS sum_union
       |FROM q GROUP BY jac_pct ORDER BY jac_pct""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** Robust outlier census ([[graft.operators.Robust.madOutlierCensus]]):
+    * per-event-type median + MAD over integer cents, outliers at 3·MAD.
+    * Exact percentiles are the oracle surface (`approx_percentile` is
+    * the documented 100 TB swap, measured in ScaleSmoke); the integer
+    * cents scaling keeps every interpolated median k/2-representable so
+    * the DuckDB quantile_cont comparison is double-exact.
+    */
+  def q122OutlierMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("cents", graft.operators.Robust.cents(col("value")))
+    graft.operators.Robust.madOutlierCensus(ev, "event_type", "cents", k = 3)
+      .select(col("event_type"), col("med"), col("mad"),
+        col("n"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q122Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+      |  FROM e GROUP BY event_type),
+      |a AS (SELECT e.event_type, e.cents, m.med,
+      |  abs(e.cents - m.med) AS ad FROM e JOIN m USING (event_type)),
+      |d AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      |  FROM a GROUP BY event_type)
+      |SELECT a.event_type, MIN(a.med) AS med, MIN(d.mad) AS mad,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN a.ad > 3 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM a JOIN d USING (event_type)
+      |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3593,7 +3626,8 @@ object PipelineQueries {
     "q118_fuzzy_join" -> (q118FuzzyJoin _),
     "q119_grouping_sets" -> (q119GroupingSets _),
     "q120_table_diff" -> (q120TableDiff _),
-    "q121_setsim_join" -> (q121SetSimJoin _))
+    "q121_setsim_join" -> (q121SetSimJoin _),
+    "q122_outlier_mad" -> (q122OutlierMad _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3680,5 +3714,6 @@ object PipelineQueries {
     "q118_fuzzy_join" -> q118Sql,
     "q119_grouping_sets" -> q119Sql,
     "q120_table_diff" -> q120Sql,
-    "q121_setsim_join" -> q121Sql)
+    "q121_setsim_join" -> q121Sql,
+    "q122_outlier_mad" -> q122Sql)
 }
