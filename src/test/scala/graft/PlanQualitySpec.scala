@@ -507,6 +507,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashes.forall(l => !l.contains("text#") || l.contains("md5")), p)
   }
 
+  test("q118/q121: fuzzy and set-sim joins are hash equi-joins, never nested loops") {
+    // both blocked-similarity joins must plan as equi-joins on the
+    // blocking key (deletion variant / prefix token) — a nested-loop or
+    // cartesian here means the blocking silently stopped working and
+    // the plan is the O(n²) one the operator exists to avoid
+    val p118 = plan(PipelineQueries.q118FuzzyJoin(spark, dir))
+    assert(!p118.contains("CartesianProduct"), p118)
+    assert(!p118.contains("BroadcastNestedLoopJoin"), p118)
+    val p121 = plan(PipelineQueries.q121SetSimJoin(spark, dir))
+    assert(!p121.contains("CartesianProduct"), p121)
+    assert(!p121.contains("BroadcastNestedLoopJoin"), p121)
+  }
+
+  test("q120: diff shuffles are NARROW — key + fingerprint, never the wide row") {
+    // the reconciliation contract: each side projects to (key, md5)
+    // inside its scan, so every exchange in the plan moves ≤ 3 columns
+    // however wide the diffed table is
+    val df = PipelineQueries.q120TableDiff(spark, dir)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val wide = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike if e.output.size > 3 => e.output.map(_.name)
+    }
+    assert(wide.isEmpty, s"wide exchanges: $wide")
+    assert(df.collect().head.getLong(3) > 0L) // sanity: some rows unchanged
+  }
+
   test("q110: centroid assignment is scan-local — no join, one census shuffle") {
     val p = plan(PipelineQueries.q110CentroidAssign(spark, dir))
     assert(!p.contains("Join"), p)
