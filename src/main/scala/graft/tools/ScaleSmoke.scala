@@ -186,6 +186,26 @@ object ScaleSmoke {
         println(f"    [swap] drift chi2 long $longT%.2fs vs " +
           f"float $floatT%.2fs (${longT / floatT}%.2fx)")
       }),
+      // replica-salted tokens ⇒ no cross-replica set similarity, so an
+      // m× corpus holds m× the qualifying pairs: the leg measures the
+      // prefix-filter join's growth, not output blowup. Same 20% gate
+      // as q121 (the fixture's dup clusters make pairs quadratic in
+      // cluster size; the gate keeps the answer linear in the corpus).
+      "setsim join" -> (d => {
+        val gated = d.filter(pmod(Dedup.portableHash60(
+          concat(col("doc_id").cast("string"), lit("#ss"))), lit(10000L)) < 2000L)
+        graft.dedup.SetSimJoin.similarPairs(gated, "text", "doc_id", t100 = 60)
+          .agg(count(lit(1)), sum(col("n_inter"))).collect()
+      }),
+      // dense serial-number namespace (every doc_id as a zero-padded
+      // Doc#NNNNNNNNN): deletion-variant blocking at distance 1 — the
+      // id-typo reconciliation shape; neighbors per name are bounded by
+      // the digit alphabet so pairs grow linearly with the namespace
+      "fuzzy join serials" -> (d => {
+        val names = d.select(format_string("Doc#%09d", col("doc_id")).as("name"))
+        graft.text.Fuzzy.fuzzyPairs(names, "name", maxDist = 1)
+          .agg(count(lit(1)), sum(col("dist"))).collect()
+      }),
       "profile distinct swap" -> (d => {
         // q65/Profile's stated 100 TB swap, executed: Profile.exact
         // routes |rows|×|cols| Expand records through the shuffle;
