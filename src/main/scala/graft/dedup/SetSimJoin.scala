@@ -54,20 +54,36 @@ object SetSimJoin {
     // prefix length p = L − ⌈t·L⌉ + 1 (integer ceil: (t100·L + 99) / 100)
     val L = size(col("toks"))
     val p = L - floor((L * t100 + lit(99)) / lit(100)).cast("int") + 1
-    // prefix rows carry (id, ptok) ONLY — the token arrays join back in
-    // once per deduped candidate, not once per prefix-bucket pairing
-    val pref0 = sets.select(col("id"),
+    // prefix rows carry (id, hash(ptok), L) ONLY — the token arrays
+    // join back in once per deduped candidate, not once per
+    // prefix-bucket pairing. The join key is xxhash64(token): an
+    // 8-byte shuffle key and integer probes; collisions only ADD
+    // candidates (equal tokens always share the key) and the exact
+    // Jaccard verify removes them. The PPJoin length band
+    // (J ≥ t ⇒ t·max(La,Lb) ≤ 100·min(La,Lb)) prunes size-incompatible
+    // bucket pairings before the candidate dedup.
+    val pref0 = sets.select(col("id"), L.as("len"),
       explode(slice(col("toks"), lit(1), greatest(p, lit(1)))).as("ptok"))
+      .select(col("id"), col("len"), xxhash64(col("ptok")).as("ph"))
     val pref =
       if (maxBucketSize == Int.MaxValue) pref0
       else {
-        val hot = pref0.groupBy(col("ptok")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > maxBucketSize).select(col("ptok"))
-        pref0.join(F.broadcast(hot), Seq("ptok"), "left_anti")
+        val hot = pref0.groupBy(col("ph")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketSize).select(col("ph"))
+        pref0.join(F.broadcast(hot), Seq("ph"), "left_anti")
       }
-    val cand = pref.as("a")
-      .join(pref.as("b"),
-        col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
+    // pin the join's parallelism: prefix rows are BYTES-small but the
+    // bucket join is CPU-amplifying (|bucket|² pairings + the Jaccard
+    // verify downstream), so AQE's bytes-based coalescing would run it
+    // on one task. A user key-repartition is never coalesced and the
+    // equi-join reuses the partitioning (no extra exchange).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val prefP = pref.repartition(par, col("ph"))
+    val cand = prefP.as("a")
+      .join(prefP.as("b"),
+        col("a.ph") === col("b.ph") && col("a.id") < col("b.id") &&
+          col("a.len") * t100 <= col("b.len") * 100 &&
+          col("b.len") * t100 <= col("a.len") * 100)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand

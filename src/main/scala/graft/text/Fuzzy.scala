@@ -54,33 +54,58 @@ object Fuzzy {
 
   /** Distinct candidate pairs (name_a < name_b) whose deletion
     * neighborhoods share a variant — complete for `lev ≤ maxDel`.
+    *
+    * The equi-join runs on `xxhash64(variant)` rather than the variant
+    * string: an 8-byte shuffle key instead of a ~name-length one, and
+    * integer hash-join probes. Hash collisions can only ADD candidate
+    * pairs (equal strings always share the key), and the caller's
+    * exact `levenshtein` verify removes them — completeness is
+    * untouched. A length band (`lev ≤ d ⇒ |len(a)−len(b)| ≤ d`) prunes
+    * cross-length bucket pairings before the candidate dedup.
     */
   def candidatePairs(df: DataFrame, nameCol: String, maxDel: Int,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val names = df.select(col(nameCol).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct()
-    val v0 = names.select(col("name"),
+    val v0 = names.select(col("name"), length(col("name")).as("len"),
       explode(deletionVariants(col("name"), maxDel)).as("v"))
+      .select(col("name"), col("len"), xxhash64(col("v")).as("vh"))
     val v =
       if (maxBucketSize == Int.MaxValue) v0
       else {
-        val sized = v0.groupBy(col("v"))
-          .agg(collect_list(col("name")).as("ns"), count(lit(1)).as("n"))
+        val sized = v0.groupBy(col("vh"))
+          .agg(collect_list(struct(col("name"), col("len"))).as("ns"),
+            count(lit(1)).as("n"))
           .filter(col("n") <= maxBucketSize)
-        sized.select(col("v"), explode(col("ns")).as("name"))
+          .select(col("vh"), explode(col("ns")).as("r"))
+        sized.select(col("vh"), col("r.name").as("name"),
+          col("r.len").as("len"))
       }
-    v.as("a").join(v.as("b"),
-        col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+    // pin the join's parallelism: the variant frame is BYTES-small but
+    // the bucket join is CPU-amplifying (|bucket|² pairs + verify), so
+    // AQE's bytes-based partition coalescing would collapse it onto one
+    // task. An explicit key repartition is never coalesced, and the
+    // equi-join reuses the partitioning (no extra exchange).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val vp = v.repartition(par, col("vh"))
+    vp.as("a").join(vp.as("b"),
+        col("a.vh") === col("b.vh") && col("a.name") < col("b.name") &&
+          abs(col("a.len") - col("b.len")) <= maxDel)
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
   }
 
-  /** Verified fuzzy pairs: candidates with `levenshtein ≤ maxDist`,
-    * distance attached.
+  /** Verified fuzzy pairs: candidates with `lev ≤ maxDist`, distance
+    * attached. The verify uses the THRESHOLD form of `levenshtein`
+    * (returns −1 past the bound): the banded O(d·L) dynamic program
+    * with early exit, not the O(L²) full matrix — at d=2 on ~35-char
+    * names that is ~17× fewer cells per candidate, and the verify is
+    * where a dense candidate set spends its time.
     */
   def fuzzyPairs(df: DataFrame, nameCol: String, maxDist: Int,
       maxBucketSize: Int = Int.MaxValue): DataFrame =
     candidatePairs(df, nameCol, maxDist, maxBucketSize)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
 }
