@@ -3603,6 +3603,68 @@ object PipelineQueries {
        |FROM r GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q124
+  /** Full k-means TRAINING (Lloyd iterations, not just the q110
+    * assignment step): [[graft.similarity.Centroids.lloyd]] in
+    * fixed-point arithmetic — data quantized to an integer grid
+    * (`floor(x·4096)`, exact in IEEE double), centroid updates as
+    * floor-divided per-dimension means, empty centroids keeping their
+    * position, ties to the smaller id. Every quantity in the loop is
+    * an integer, so the oracle replays 2 iterations + the final
+    * assignment bit-exactly with zero float-summation-order hazard —
+    * the property that makes iterative ML training hash-checkable
+    * across engines at all. Per iteration the corpus scans once
+    * against literal centroids (no join, no corpus shuffle); only the
+    * k×(dim+1) map-combined census moves.
+    */
+  def q124Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.similarity.Centroids.lloyd(e, "vec_id", "embedding",
+        k = 8, iters = 2)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist_q")).as("sum_dist_q"),
+        min(col("vec_id")).as("min_member"))
+      .orderBy(col("centroid_id"))
+  }
+
+  val q124Sql: String = {
+    // one Lloyd step: assignment under c$p, floored-mean update → c$it
+    def step(it: Int, p: String): String =
+      s"""d$it AS (SELECT q.vec_id, q.qv, c.cid,
+         |  list_aggregate(list_transform(range(1, len(q.qv) + 1),
+         |    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), 'sum') AS dist
+         |  FROM q, $p c),
+         |a$it AS (SELECT vec_id, qv, cid, dist FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM d$it) WHERE rn = 1),
+         |u$it AS (SELECT cid, UNNEST(range(1, len(qv) + 1)) AS i,
+         |    UNNEST(qv) AS x FROM a$it),
+         |m$it AS (SELECT cid, i, SUM(x) AS sv, COUNT(*) AS n
+         |  FROM u$it GROUP BY cid, i),
+         |n$it AS (SELECT cid, list(CAST((sv - ((sv % n) + n) % n) // n
+         |    AS BIGINT) ORDER BY i) AS cv
+         |  FROM m$it GROUP BY cid),
+         |c$it AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+         |  FROM $p p LEFT JOIN n$it m ON p.cid = m.cid)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+       |${step(1, "c0")},
+       |${step(2, "c1")},
+       |d3 AS (SELECT q.vec_id, c.cid,
+       |  list_aggregate(list_transform(range(1, len(q.qv) + 1),
+       |    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), 'sum') AS dist
+       |  FROM q, c2 c),
+       |a3 AS (SELECT vec_id, cid, dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM d3) WHERE rn = 1)
+       |SELECT cid AS centroid_id, COUNT(*) AS n_members,
+       |  CAST(SUM(dist) AS BIGINT) AS sum_dist_q, MIN(vec_id) AS min_member
+       |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3690,7 +3752,8 @@ object PipelineQueries {
     "q120_table_diff" -> (q120TableDiff _),
     "q121_setsim_join" -> (q121SetSimJoin _),
     "q122_outlier_mad" -> (q122OutlierMad _),
-    "q123_pii_redact" -> (q123PiiRedact _))
+    "q123_pii_redact" -> (q123PiiRedact _),
+    "q124_kmeans" -> (q124Kmeans _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3779,5 +3842,6 @@ object PipelineQueries {
     "q120_table_diff" -> q120Sql,
     "q121_setsim_join" -> q121Sql,
     "q122_outlier_mad" -> q122Sql,
-    "q123_pii_redact" -> q123Sql)
+    "q123_pii_redact" -> q123Sql,
+    "q124_kmeans" -> q124Sql)
 }

@@ -1353,4 +1353,49 @@ class PipelineSpec extends SparkSpec {
     }.toMap
     assert(got === want)
   }
+
+  test("fixed-point Lloyd ≡ independent driver-side replay (3 iters)") {
+    // independent reimplementation of the whole loop: quantize → assign by
+    // exact integer distance (ties to smaller cid) → floorDiv means,
+    // empty centroids keep position. Any divergence in the engine's
+    // literal-fold/agg path shows up as a different assignment map.
+    val rnd = new scala.util.Random(7)
+    val scale = 4096L
+    val vecs = (0L until 80L).map(i =>
+      (i, Seq.fill(5)((rnd.nextDouble() - 0.5).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 4; val iters = 3
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * scale).toLong)
+    }.toMap
+    var cents: Seq[(Long, Seq[Long])] =
+      (0L until k.toLong).map(i => (i, q(i)))
+    def assignAll(cs: Seq[(Long, Seq[Long])]): Map[Long, (Long, Long)] =
+      q.map { case (id, v) =>
+        val best = cs.map { case (cid, c) =>
+          (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+        }.min
+        id -> ((best._2, best._1))
+      }
+    for (_ <- 1 to iters) {
+      val a = assignAll(cents)
+      val byC = a.toSeq.groupBy(_._2._1)
+      cents = cents.map { case (cid, old) =>
+        byC.get(cid) match {
+          case Some(members) =>
+            val ids = members.map(_._1)
+            val n = ids.size.toLong
+            (cid, (0 until 5).map(d =>
+              Math.floorDiv(ids.map(q(_)(d)).sum, n)))
+          case None => (cid, old)
+        }
+      }
+    }
+    val want = assignAll(cents)
+    val got = graft.similarity.Centroids
+      .lloyd(df, "vec_id", "embedding", k, iters, scale)
+      .select("vec_id", "centroid_id", "dist_q").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
 }

@@ -542,4 +542,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.linesIterator.count(
       _.trim.startsWith("Arguments: hashpartitioning")) == 1, p)
   }
+
+  test("q124: Lloyd final assignment is scan-local — no join, integer census only") {
+    // the trained centroids ride in as literal vectors exactly like
+    // q110's; the corpus never joins or shuffles during assignment
+    val p = plan(PipelineQueries.q124Kmeans(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(
+      _.trim.startsWith("Arguments: hashpartitioning")) == 1, p)
+  }
 }
