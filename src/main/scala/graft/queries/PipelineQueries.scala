@@ -3665,6 +3665,108 @@ object PipelineQueries {
        |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q125
+  /** SCD TYPE 2 dimension history ([[graft.operators.Scd2]]) — the
+    * history-preserving MERGE the SCD1 family (q93/q98/q99) overwrites
+    * away: two successive change batches applied to the customer
+    * dimension (batch 1 at t=100: segment rename for a 30% md5 gate,
+    * a 10% no-op slice, 5% key inserts; batch 2 at t=200: nation bump
+    * for a different 20% gate), then a census over the resulting
+    * version set. Closed history never joins (filtered + concatenated
+    * back); open rows full-outer-join each batch ONCE and emit their
+    * output versions through one exploded projection. Oracle replays
+    * both applications as UNION ALL case branches.
+    */
+  def q125Scd2(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    def gate(salt: String) = pmod(Dedup.portableHash60(
+      concat(col("c_custkey").cast("string"), lit(salt))), lit(100L))
+    val dim0 = graft.operators.Scd2.initial(c, 0L)
+    val b1 = c.filter(gate("#a") < 30)
+      .select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("#1")).as("c_mktsegment"),
+        col("c_nationkey"))
+      .unionByName(c.filter(gate("#a") >= 30 && gate("#a") < 40))
+      .unionByName(c.filter(gate("#a") >= 95)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          col("c_mktsegment"), col("c_nationkey")))
+    val dim1 = graft.operators.Scd2.apply(dim0, b1, Seq("c_custkey"),
+      Seq("c_mktsegment", "c_nationkey"), 100L)
+    val b2 = c.filter(gate("#b") < 20)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_nationkey") + 1).as("c_nationkey"))
+    val dim2 = graft.operators.Scd2.apply(dim1, b2, Seq("c_custkey"),
+      Seq("c_mktsegment", "c_nationkey"), 200L)
+    dim2.groupBy(col("is_current"),
+        col("c_mktsegment").like("%#1").as("with_v1"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("n_keys"),
+        sum(col("valid_from")).as("sum_from"),
+        sum(coalesce(col("valid_to"), lit(-1L))).as("sum_to"))
+      .orderBy(col("is_current"), col("with_v1"))
+  }
+
+  val q125Sql: String = {
+    // one SCD2 application as four UNION ALL branches over the
+    // open ⟗ batch join; `same` is null-safe attribute equality
+    def applyStep(openRel: String, batchRel: String, ts: Int,
+        outName: String, joinName: String): String =
+      s"""$joinName AS (SELECT o.c_custkey, o.c_mktsegment, o.c_nationkey,
+         |    o.valid_from, o.valid_to, o.is_current,
+         |    c.c_custkey AS ck, c.c_mktsegment AS cm, c.c_nationkey AS cn
+         |  FROM $openRel o FULL OUTER JOIN $batchRel c
+         |    ON o.c_custkey = c.c_custkey),
+         |$outName AS (
+         |  SELECT c_custkey, c_mktsegment, c_nationkey,
+         |      valid_from, valid_to, is_current
+         |    FROM $joinName WHERE c_custkey IS NOT NULL AND (ck IS NULL
+         |      OR (c_mktsegment IS NOT DISTINCT FROM cm
+         |          AND c_nationkey IS NOT DISTINCT FROM cn))
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, c_nationkey,
+         |      valid_from, $ts, FALSE
+         |    FROM $joinName WHERE c_custkey IS NOT NULL AND ck IS NOT NULL
+         |      AND NOT (c_mktsegment IS NOT DISTINCT FROM cm
+         |               AND c_nationkey IS NOT DISTINCT FROM cn)
+         |  UNION ALL
+         |  SELECT c_custkey, cm, cn, $ts, NULL, TRUE
+         |    FROM $joinName WHERE c_custkey IS NOT NULL AND ck IS NOT NULL
+         |      AND NOT (c_mktsegment IS NOT DISTINCT FROM cm
+         |               AND c_nationkey IS NOT DISTINCT FROM cn)
+         |  UNION ALL
+         |  SELECT ck, cm, cn, $ts, NULL, TRUE
+         |    FROM $joinName WHERE c_custkey IS NULL)""".stripMargin
+    s"""WITH g AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+       |    CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#a'),
+       |      1, 15)) AS BIGINT) % 100 AS ga,
+       |    CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#b'),
+       |      1, 15)) AS BIGINT) % 100 AS gb
+       |  FROM customer),
+       |dim0 AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+       |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+       |    TRUE AS is_current FROM g),
+       |b1 AS (SELECT c_custkey, c_mktsegment || '#1' AS c_mktsegment,
+       |    c_nationkey FROM g WHERE ga < 30
+       |  UNION ALL SELECT c_custkey, c_mktsegment, c_nationkey FROM g
+       |    WHERE ga >= 30 AND ga < 40
+       |  UNION ALL SELECT c_custkey + 10000000, c_mktsegment, c_nationkey
+       |    FROM g WHERE ga >= 95),
+       |${applyStep("dim0", "b1", 100, "app1", "j1")},
+       |dim1 AS (SELECT * FROM app1),
+       |b2 AS (SELECT c_custkey, c_mktsegment, c_nationkey + 1 AS c_nationkey
+       |  FROM g WHERE gb < 20),
+       |${applyStep("(SELECT * FROM dim1 WHERE is_current)", "b2", 200,
+          "app2", "j2")},
+       |dim2 AS (SELECT * FROM dim1 WHERE NOT is_current
+       |  UNION ALL SELECT * FROM app2)
+       |SELECT is_current, (c_mktsegment LIKE '%#1') AS with_v1,
+       |  COUNT(*) AS n_rows, COUNT(DISTINCT c_custkey) AS n_keys,
+       |  CAST(SUM(valid_from) AS BIGINT) AS sum_from,
+       |  CAST(SUM(COALESCE(valid_to, -1)) AS BIGINT) AS sum_to
+       |FROM dim2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3753,7 +3855,8 @@ object PipelineQueries {
     "q121_setsim_join" -> (q121SetSimJoin _),
     "q122_outlier_mad" -> (q122OutlierMad _),
     "q123_pii_redact" -> (q123PiiRedact _),
-    "q124_kmeans" -> (q124Kmeans _))
+    "q124_kmeans" -> (q124Kmeans _),
+    "q125_scd2" -> (q125Scd2 _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3843,5 +3946,6 @@ object PipelineQueries {
     "q121_setsim_join" -> q121Sql,
     "q122_outlier_mad" -> q122Sql,
     "q123_pii_redact" -> q123Sql,
-    "q124_kmeans" -> q124Sql)
+    "q124_kmeans" -> q124Sql,
+    "q125_scd2" -> q125Sql)
 }
