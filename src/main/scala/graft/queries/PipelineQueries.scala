@@ -3767,6 +3767,60 @@ object PipelineQueries {
        |FROM dim2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q126
+  /** TIME-WEIGHTED AVERAGE (TWAP/step-function mean) of `value` per
+    * event type — the metering/pricing census where each observation
+    * holds until the next one, so plain AVG over-weights bursts. All
+    * arithmetic is integer: values quantized to cents
+    * (`floor(value·100)`, exact), timestamps to epoch seconds of the
+    * inter-event gap (floor-div of the micros delta), so the weighted
+    * sums and the final floor-divided TWAP are bit-identical across
+    * engines — no float-summation-order hazard. Magnitude headroom:
+    * |cents| ≤ ~1e5, gap ≤ ~1e6 s ⇒ ≤ 1e11 per segment, ~1e16 summed
+    * at sf0.1 — far inside Long. One shuffle (by event_type) + per-key
+    * sorted runs; no join. At 100 TB the per-type runs are the skew
+    * unit — pre-bucket by (type, coarse time range) and stitch
+    * boundaries if a single type outgrows an executor's sort.
+    */
+  def q126Twap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    // `div`, not `/`: Spark's `/` on longs goes through DOUBLE, which
+    // silently mis-floors once operands pass 2^53; `div` stays integral
+    val seg = e.withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt_s", expr("(nxt - us) div 1000000"))
+    seg.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dt_s")).as("total_s"),
+        sum(col("cents") * col("dt_s")).as("num_q"))
+      .withColumn("twap_cents",
+        expr("(num_q - pmod(num_q, total_s)) div total_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val q126Sql: String =
+    """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) // 1000 AS us,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+      |w AS (SELECT event_type, cents, us,
+      |    LEAD(us) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id) AS nxt FROM e),
+      |seg AS (SELECT event_type, cents,
+      |    (nxt - us) // 1000000 AS dt_s FROM w WHERE nxt IS NOT NULL),
+      |a AS (SELECT event_type, COUNT(*) AS n_segments,
+      |    CAST(SUM(dt_s) AS BIGINT) AS total_s,
+      |    CAST(SUM(cents * dt_s) AS BIGINT) AS num_q
+      |  FROM seg GROUP BY event_type)
+      |SELECT event_type, n_segments, total_s, num_q,
+      |  CAST((num_q - ((num_q % total_s) + total_s) % total_s) // total_s
+      |    AS BIGINT) AS twap_cents
+      |FROM a ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3856,7 +3910,8 @@ object PipelineQueries {
     "q122_outlier_mad" -> (q122OutlierMad _),
     "q123_pii_redact" -> (q123PiiRedact _),
     "q124_kmeans" -> (q124Kmeans _),
-    "q125_scd2" -> (q125Scd2 _))
+    "q125_scd2" -> (q125Scd2 _),
+    "q126_twap" -> (q126Twap _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -3947,5 +4002,6 @@ object PipelineQueries {
     "q122_outlier_mad" -> q122Sql,
     "q123_pii_redact" -> q123Sql,
     "q124_kmeans" -> q124Sql,
-    "q125_scd2" -> q125Sql)
+    "q125_scd2" -> q125Sql,
+    "q126_twap" -> q126Sql)
 }
