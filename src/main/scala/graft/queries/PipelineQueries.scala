@@ -3821,6 +3821,40 @@ object PipelineQueries {
       |    AS BIGINT) AS twap_cents
       |FROM a ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** COHORT RETENTION matrix — users grouped by first-activity DAY,
+    * counted in each later day they return (the product-analytics
+    * staple next to funnel q102 / sessions q49; daily grain because
+    * the fixture spans one month). ONE user-keyed shuffle computes
+    * both the cohort anchor (min day) and the distinct activity days
+    * per user (`collect_set`, bounded by the calendar, not the event
+    * volume); cells then census in a second tiny shuffle. The oracle
+    * takes the textbook two-pass distinct+join form — structurally
+    * different plans, identical integer cells.
+    */
+  def q127CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+    e.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_d"), collect_set(col("d")).as("ds"))
+      .select(col("cohort_d"), explode(col("ds")).as("d"))
+      .select(col("cohort_d"), (col("d") - col("cohort_d")).as("day_offset"))
+      .groupBy(col("cohort_d"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_d"), col("day_offset"))
+  }
+
+  val q127Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    (epoch_ns(ts) // 1000) // 86400000000 AS d FROM events),
+      |ud AS (SELECT DISTINCT user_id, d FROM e),
+      |f AS (SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY user_id)
+      |SELECT f.d0 AS cohort_d, ud.d - f.d0 AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM ud JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3911,7 +3945,8 @@ object PipelineQueries {
     "q123_pii_redact" -> (q123PiiRedact _),
     "q124_kmeans" -> (q124Kmeans _),
     "q125_scd2" -> (q125Scd2 _),
-    "q126_twap" -> (q126Twap _))
+    "q126_twap" -> (q126Twap _),
+    "q127_cohort_retention" -> (q127CohortRetention _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -4003,5 +4038,6 @@ object PipelineQueries {
     "q123_pii_redact" -> q123Sql,
     "q124_kmeans" -> q124Sql,
     "q125_scd2" -> q125Sql,
-    "q126_twap" -> q126Sql)
+    "q126_twap" -> q126Sql,
+    "q127_cohort_retention" -> q127Sql)
 }
