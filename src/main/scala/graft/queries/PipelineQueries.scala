@@ -3855,6 +3855,74 @@ object PipelineQueries {
       |FROM ud JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** SIMILARITY-GRAPH CENTRALITY: integer PageRank
+    * ([[graft.graph.PageRank.rankInt]]) over the 3-NN embedding graph
+    * — "which vectors sit in the densest neighborhoods" as a
+    * hash-checkable ranking. Edges rank by the same exact integer
+    * distance as q124 (quantized grid, ties to the smaller id), and
+    * the PR loop is fixed-point floor arithmetic, so 2 unrolled
+    * iterations replay bit-for-bit in SQL. The edge build here is the
+    * brute-force quantized scan (fine at catalog scale); at corpus
+    * scale it swaps for the salted two-phase kNN join (q82) or the
+    * LSH/IVF generators (q41/q42) — the PR loop is generator-agnostic.
+    */
+  def q128Pagerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+    val q = e.select(col("vec_id"),
+      graft.similarity.Centroids.quantizeVec(col("embedding"), 4096L)
+        .as("qv"))
+    // fan the probe side out: embeddings arrive as one small parquet
+    // split, and a broadcast-nested-loop join inherits the stream
+    // side's partitioning — without this the 4M-pair distance scan
+    // runs on one core (the q118 lesson, pre-join flavor)
+    val a = q.select(col("vec_id").as("src"), col("qv").as("qa"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val b = q.select(col("vec_id").as("dst"), col("qv").as("qb"))
+    val pairs = a.crossJoin(b).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        graft.similarity.Centroids.sqDistLong(col("qa"), col("qb"))
+          .as("dist"))
+    // nearest-3 via the bounded aggregate (q107's TopKAgg), not a
+    // window: the map-side partial keeps ≤3 rows per (src, task), so
+    // the 4M scored pairs never shuffle — score −dist is exact in
+    // double (dist ≤ 2^38), ties resolve to the smaller dst
+    val edges = graft.operators.TopK.topKPerGroup(
+        pairs, Seq("src"), -col("dist"), col("dst"), k = 3)
+      .select(col("src"), col("id").as("dst"))
+    graft.graph.PageRank.rankInt(edges, iters = 2)
+      .select(col("id").as("vec_id"), col("pr"))
+      .orderBy(col("pr").desc, col("vec_id")).limit(10)
+  }
+
+  val q128Sql: String = {
+    def iter(prev: String, it: Int): String =
+      s"""c$it AS (SELECT e.dst AS id, SUM((p.pr * 85) // (100 * deg.dg)) AS s
+         |  FROM e JOIN $prev p ON e.src = p.id
+         |  JOIN deg ON e.src = deg.src GROUP BY e.dst),
+         |p$it AS (SELECT n.id, 150000 + COALESCE(c$it.s, 0) AS pr
+         |  FROM n LEFT JOIN c$it ON n.id = c$it.id)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    list_aggregate(list_transform(range(1, len(a.qv) + 1),
+       |      i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])), 'sum') AS dist
+       |  FROM q a, q b WHERE a.vec_id <> b.vec_id),
+       |e AS (SELECT src, dst FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY src ORDER BY dist, dst) AS rn FROM d)
+       |  WHERE rn <= 3),
+       |deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+       |n AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n),
+       |${iter("p0", 1)},
+       |${iter("p1", 2)}
+       |SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr FROM p2
+       |ORDER BY pr DESC, id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -3946,7 +4014,8 @@ object PipelineQueries {
     "q124_kmeans" -> (q124Kmeans _),
     "q125_scd2" -> (q125Scd2 _),
     "q126_twap" -> (q126Twap _),
-    "q127_cohort_retention" -> (q127CohortRetention _))
+    "q127_cohort_retention" -> (q127CohortRetention _),
+    "q128_pagerank" -> (q128Pagerank _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -4039,5 +4108,6 @@ object PipelineQueries {
     "q124_kmeans" -> q124Sql,
     "q125_scd2" -> q125Sql,
     "q126_twap" -> q126Sql,
-    "q127_cohort_retention" -> q127Sql)
+    "q127_cohort_retention" -> q127Sql,
+    "q128_pagerank" -> q128Sql)
 }

@@ -62,8 +62,19 @@ object Centroids {
   def quantizeVec(c: Column, scale: Long): Column =
     transform(c, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Integer squared L2 distance between two long-array columns. */
+  /** Integer squared L2 distance between two long-array columns —
+    * the codegen'd fused expression ([[graft.functions.SqDistLong]]);
+    * all-pairs scans evaluate this millions of times and the
+    * declarative higher-order form is CodegenFallback.
+    */
   def sqDistLong(a: Column, b: Column): Column =
+    graft.functions.SqDistLong(a, b)
+
+  /** Declarative twin of [[sqDistLong]] (zip_with + aggregate) — kept
+    * for the value-equivalence spec; identical long ops in identical
+    * order.
+    */
+  def sqDistLongDeclarative(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => { val d = x - y; d * d }),
       lit(0L), (acc, v) => acc + v)

@@ -1354,6 +1354,45 @@ class PipelineSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("fused sqDistLong ≡ declarative zip_with/aggregate twin") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 200L).map(i => (i,
+      Seq.fill(17)(rnd.nextLong() % 100000L),
+      Seq.fill(17)(rnd.nextLong() % 100000L)))
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+        graft.similarity.Centroids.sqDistLong(col("a"), col("b")).as("f"),
+        graft.similarity.Centroids.sqDistLongDeclarative(col("a"), col("b"))
+          .as("d"))
+      .filter(col("f") =!= col("d")).count()
+    assert(diff === 0L)
+  }
+
+  test("integer PageRank matches hand-computed fixed-point values") {
+    // star: 1→2, 2→1, 3→1 (all out-degree 1)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    def prMap(iters: Int) = graft.graph.PageRank.rankInt(edges, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prMap(1) === Map(
+      1L -> 1850000L, // 150000 + 850000 (from 2) + 850000 (from 3)
+      2L -> 1000000L, // 150000 + 850000 (from 1)
+      3L -> 150000L)) // no in-edges: base only
+    assert(prMap(2) === Map(
+      1L -> 1127500L, // 150000 + 850000 + floor(150000·85/100)
+      2L -> 1722500L, // 150000 + floor(1850000·85/100)
+      3L -> 150000L))
+    // pure cycle is a fixed point of the scheme (mass neither leaks
+    // nor concentrates): every node stays at the initial base
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(graft.graph.PageRank.rankInt(cyc, 3)
+      .collect().map(_.getLong(1)).toSet === Set(1000000L))
+    // out-degree 2 splits the damped mass with floor division
+    val split = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val m = graft.graph.PageRank.rankInt(split, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2L) === 150000L + 425000L && m(3L) === 150000L + 425000L)
+  }
+
   test("fixed-point Lloyd ≡ independent driver-side replay (3 iters)") {
     // independent reimplementation of the whole loop: quantize → assign by
     // exact integer distance (ties to smaller cid) → floorDiv means,
