@@ -3923,6 +3923,70 @@ object PipelineQueries {
        |ORDER BY pr DESC, id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q129
+  /** DATA-QUALITY GATE ([[graft.operators.Integrity]]) — the dbt-test
+    * / Deequ suite as one query: PK uniqueness (groupBy census, no
+    * self-join), FK orphans (one LEFT ANTI join each), null and
+    * domain violations (scan-local) across four tables, unioned as
+    * 1-row aggregates into a single job. The fixture intentionally
+    * passes clean, so every n_bad is an exact zero both engines must
+    * agree on — and the per-check n_total pins that each check really
+    * scanned its table.
+    */
+  def q129Integrity(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Integrity._
+    val (cust, ord, li, ev) = (t(s, dir, "customer"), t(s, dir, "orders"),
+      t(s, dir, "lineitem"), Tables.load(s, dir, "events"))
+    suite(Seq(
+      uniqueKey(cust, "customer_pk_unique", Seq("c_custkey")),
+      uniqueKey(li, "lineitem_pk_unique", Seq("l_orderkey", "l_linenumber")),
+      foreignKey(ord, "orders_custkey_fk", "o_custkey", cust, "c_custkey"),
+      foreignKey(li, "lineitem_orderkey_fk", "l_orderkey", ord, "o_orderkey"),
+      notNull(ev, "events_user_not_null", "user_id"),
+      accepted(ord, "orders_status_domain", "o_orderstatus",
+        Seq("F", "O", "P")),
+      accepted(ev, "events_type_domain", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))))
+  }
+
+  val q129Sql: String =
+    """SELECT * FROM (
+      |SELECT 'customer_pk_unique' AS check, CAST(COALESCE(SUM(CASE
+      |    WHEN n > 1 THEN n END), 0) AS BIGINT) AS n_bad,
+      |  CAST(SUM(n) AS BIGINT) AS n_total
+      |  FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey)
+      |UNION ALL
+      |SELECT 'lineitem_pk_unique', CAST(COALESCE(SUM(CASE
+      |    WHEN n > 1 THEN n END), 0) AS BIGINT), CAST(SUM(n) AS BIGINT)
+      |  FROM (SELECT COUNT(*) AS n FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber)
+      |UNION ALL
+      |SELECT 'orders_custkey_fk',
+      |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |  (SELECT COUNT(*) FROM orders)
+      |UNION ALL
+      |SELECT 'lineitem_orderkey_fk',
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |  (SELECT COUNT(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'events_user_not_null',
+      |  (SELECT COUNT(*) FROM events WHERE user_id IS NULL),
+      |  (SELECT COUNT(*) FROM events)
+      |UNION ALL
+      |SELECT 'orders_status_domain',
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL
+      |    AND o_orderstatus NOT IN ('F', 'O', 'P')),
+      |  (SELECT COUNT(*) FROM orders)
+      |UNION ALL
+      |SELECT 'events_type_domain',
+      |  (SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL
+      |    AND event_type NOT IN
+      |      ('click', 'error', 'purchase', 'signup', 'view')),
+      |  (SELECT COUNT(*) FROM events))
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -4015,7 +4079,8 @@ object PipelineQueries {
     "q125_scd2" -> (q125Scd2 _),
     "q126_twap" -> (q126Twap _),
     "q127_cohort_retention" -> (q127CohortRetention _),
-    "q128_pagerank" -> (q128Pagerank _))
+    "q128_pagerank" -> (q128Pagerank _),
+    "q129_integrity" -> (q129Integrity _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -4109,5 +4174,6 @@ object PipelineQueries {
     "q125_scd2" -> q125Sql,
     "q126_twap" -> q126Sql,
     "q127_cohort_retention" -> q127Sql,
-    "q128_pagerank" -> q128Sql)
+    "q128_pagerank" -> q128Sql,
+    "q129_integrity" -> q129Sql)
 }
