@@ -659,6 +659,107 @@ object ScaleSmoke {
         semTs.map(t => f"$t%7.2fs").mkString(" ") +
         f"   ${semTs.last / semTs.head}%5.1f")
     }
+    // ---- fixed-point training/graph/warehouse legs over replicated
+    // non-document tables. Shared helper: time a thunk warm, clear
+    // caches after.
+    def leg(name: String)(build: Int => DataFrame)(run: DataFrame => Unit): Unit =
+      if (on(name)) {
+        val ts = mults.map { m =>
+          val d = build(m); d.count()
+          run(d) // warm
+          val t = time(run(d))
+          spark.catalog.clearCache()
+          t
+        }
+        println(f"$name%-22s " + ts.map(t => f"$t%7.2fs").mkString(" ") +
+          f"   ${ts.last / ts.head}%5.1f")
+      }
+
+    // replica-rotated embeddings (the semantic-dedup trick): m× rows
+    // of m×-distinct geometry
+    def scaledEmb(m: Int): DataFrame = {
+      val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val dim = e0.select(size(col("embedding"))).head().getInt(0)
+      e0.crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .select((col("vec_id") * m + col("__rep")).as("vec_id"),
+          transform(col("embedding"), (_, i) =>
+            element_at(col("embedding"),
+              (pmod(i + col("__rep"), lit(dim)) + 1).cast("int")))
+            .as("embedding"))
+        .repartition(32).cache()
+    }
+    // per-iteration cost is one literal-centroid scan + a k×dim census
+    // — growth should track the scan, i.e. ~linear
+    leg("kmeans train")(scaledEmb) { e =>
+      graft.similarity.Centroids.lloyd(e, "vec_id", "embedding", 8, 2)
+        .agg(count(lit(1)), sum(col("dist_q"))).collect()
+    }
+    // PageRank loop growth on a LINEAR edge set (ring graph, out-deg 3
+    // — the kNN-graph shape without the quadratic brute-force edge
+    // build, which at scale comes from q82/q41 generators): m× nodes
+    // ⇒ m× edges ⇒ the per-round joins should grow ~linearly
+    leg("pagerank loop") { m =>
+      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count() * m
+      spark.range(n).select(col("id").as("src"))
+        .crossJoin(spark.range(1, 4).select(col("id").as("__o")))
+        .select(col("src"), pmod(col("src") + col("__o"), lit(n)).as("dst"))
+        .repartition(32).cache()
+    } { e =>
+      graft.graph.PageRank.rankInt(e, iters = 2)
+        .agg(sum(col("pr"))).collect()
+    }
+    // SCD2 apply over an m×-keyed customer dimension with a 30% gated
+    // change batch: one full-outer join on the open set — ~linear
+    leg("scd2 apply") { m =>
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .select((col("c_custkey") * m + col("__rep")).as("c_custkey"),
+          concat(col("c_mktsegment"), col("__rep")).as("c_mktsegment"),
+          col("c_nationkey"))
+        .repartition(32).cache()
+    } { c =>
+      val dim0 = graft.operators.Scd2.initial(c, 0L)
+      val b = c.filter(pmod(Dedup.portableHash60(
+          col("c_custkey").cast("string")), lit(100L)) < 30)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("#1")).as("c_mktsegment"),
+          col("c_nationkey"))
+      graft.operators.Scd2.apply(dim0, b, Seq("c_custkey"),
+          Seq("c_mktsegment", "c_nationkey"), 100L)
+        .agg(count(lit(1)), sum(col("valid_from"))).collect()
+    }
+    // replicated events (users remapped per replica): TWAP window runs
+    // and the cohort census both ~linear in event volume
+    def scaledEvents(m: Int): DataFrame = {
+      graft.sources.Tables.load(spark, sfDir, "events")
+        .crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .select((col("event_id") * m + col("__rep")).as("event_id"),
+          col("ts"), (col("user_id") * m + col("__rep")).as("user_id"),
+          col("event_type"), col("value"))
+        .repartition(32).cache()
+    }
+    leg("twap census")(scaledEvents) { e =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      e.select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("nxt", lead(col("us"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dt_s", expr("(nxt - us) div 1000000"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cents") * col("dt_s"))).collect()
+    }
+    leg("cohort retention")(scaledEvents) { e =>
+      e.select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("d"))
+        .groupBy(col("user_id"))
+        .agg(min(col("d")).as("c0"), collect_set(col("d")).as("ds"))
+        .select(col("c0"), explode(col("ds")).as("d"))
+        .groupBy(col("c0"), (col("d") - col("c0")).as("off"))
+        .agg(count(lit(1))).agg(count(lit(1))).collect()
+    }
     spark.stop()
   }
 }
