@@ -3707,36 +3707,42 @@ object PipelineQueries {
       .orderBy(col("is_current"), col("with_v1"))
   }
 
+  /** One SCD2 application as four UNION ALL branches over the
+    * open ⟗ batch join (null-safe attribute equality) — shared by the
+    * q125 and q130 oracles.
+    */
+  private def scd2StepSql(openRel: String, batchRel: String, ts: Int,
+      outName: String, joinName: String): String =
+    s"""$joinName AS (SELECT o.c_custkey, o.c_mktsegment, o.c_nationkey,
+       |    o.valid_from, o.valid_to, o.is_current,
+       |    c.c_custkey AS ck, c.c_mktsegment AS cm, c.c_nationkey AS cn
+       |  FROM $openRel o FULL OUTER JOIN $batchRel c
+       |    ON o.c_custkey = c.c_custkey),
+       |$outName AS (
+       |  SELECT c_custkey, c_mktsegment, c_nationkey,
+       |      valid_from, valid_to, is_current
+       |    FROM $joinName WHERE c_custkey IS NOT NULL AND (ck IS NULL
+       |      OR (c_mktsegment IS NOT DISTINCT FROM cm
+       |          AND c_nationkey IS NOT DISTINCT FROM cn))
+       |  UNION ALL
+       |  SELECT c_custkey, c_mktsegment, c_nationkey,
+       |      valid_from, $ts, FALSE
+       |    FROM $joinName WHERE c_custkey IS NOT NULL AND ck IS NOT NULL
+       |      AND NOT (c_mktsegment IS NOT DISTINCT FROM cm
+       |               AND c_nationkey IS NOT DISTINCT FROM cn)
+       |  UNION ALL
+       |  SELECT c_custkey, cm, cn, $ts, NULL, TRUE
+       |    FROM $joinName WHERE c_custkey IS NOT NULL AND ck IS NOT NULL
+       |      AND NOT (c_mktsegment IS NOT DISTINCT FROM cm
+       |               AND c_nationkey IS NOT DISTINCT FROM cn)
+       |  UNION ALL
+       |  SELECT ck, cm, cn, $ts, NULL, TRUE
+       |    FROM $joinName WHERE c_custkey IS NULL)""".stripMargin
+
   val q125Sql: String = {
-    // one SCD2 application as four UNION ALL branches over the
-    // open ⟗ batch join; `same` is null-safe attribute equality
     def applyStep(openRel: String, batchRel: String, ts: Int,
         outName: String, joinName: String): String =
-      s"""$joinName AS (SELECT o.c_custkey, o.c_mktsegment, o.c_nationkey,
-         |    o.valid_from, o.valid_to, o.is_current,
-         |    c.c_custkey AS ck, c.c_mktsegment AS cm, c.c_nationkey AS cn
-         |  FROM $openRel o FULL OUTER JOIN $batchRel c
-         |    ON o.c_custkey = c.c_custkey),
-         |$outName AS (
-         |  SELECT c_custkey, c_mktsegment, c_nationkey,
-         |      valid_from, valid_to, is_current
-         |    FROM $joinName WHERE c_custkey IS NOT NULL AND (ck IS NULL
-         |      OR (c_mktsegment IS NOT DISTINCT FROM cm
-         |          AND c_nationkey IS NOT DISTINCT FROM cn))
-         |  UNION ALL
-         |  SELECT c_custkey, c_mktsegment, c_nationkey,
-         |      valid_from, $ts, FALSE
-         |    FROM $joinName WHERE c_custkey IS NOT NULL AND ck IS NOT NULL
-         |      AND NOT (c_mktsegment IS NOT DISTINCT FROM cm
-         |               AND c_nationkey IS NOT DISTINCT FROM cn)
-         |  UNION ALL
-         |  SELECT c_custkey, cm, cn, $ts, NULL, TRUE
-         |    FROM $joinName WHERE c_custkey IS NOT NULL AND ck IS NOT NULL
-         |      AND NOT (c_mktsegment IS NOT DISTINCT FROM cm
-         |               AND c_nationkey IS NOT DISTINCT FROM cn)
-         |  UNION ALL
-         |  SELECT ck, cm, cn, $ts, NULL, TRUE
-         |    FROM $joinName WHERE c_custkey IS NULL)""".stripMargin
+      scd2StepSql(openRel, batchRel, ts, outName, joinName)
     s"""WITH g AS (SELECT c_custkey, c_mktsegment, c_nationkey,
        |    CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#a'),
        |      1, 15)) AS BIGINT) % 100 AS ga,
@@ -3987,6 +3993,92 @@ object PipelineQueries {
       |  (SELECT COUNT(*) FROM events))
       |ORDER BY "check"""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** STREAMING CDC → SCD2 ([[StreamingOps.scd2Stream]]): a snapshot
+    * batch bootstraps the all-open dimension, then three sequential
+    * change batches (file-source micro-batches, explicit replay order)
+    * close and reopen versions in place — q99's CDC maintenance with
+    * HISTORY instead of overwrite. State is the table; no state store,
+    * no watermark. Census matches the q125 shape; oracle replays the
+    * three applications through the shared SCD2 step builder.
+    */
+  def q130StreamScd2(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val tmp = java.nio.file.Files.createTempDirectory("q130").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val chunks = (0 to 3).map {
+      case 0 => cust.withColumn("version", lit(0L))
+      case k => cust
+        .filter(pmod(col("c_custkey"), lit(3)) === (k - 1) ||
+          pmod(col("c_custkey"), lit(5)) === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit(s"#$k")).as("c_mktsegment"),
+          col("c_nationkey"), lit(k * 100L).as("version"))
+    }
+    chunks.zipWithIndex.foreach { case (c, k) =>
+      val stage = s"$tmp/stage$k"
+      c.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$in/chunk-$k.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + k * 60000L))
+    }
+    val schema = s.read.parquet(s"$in/chunk-0.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val table = s"$tmp/table"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // state-volume sizing (the q48/q59/q99 rule): per-batch joins
+      // move a few thousand rows
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = StreamingOps.scd2Stream(stream, table, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_nationkey"), "version")
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(table)
+      .groupBy(col("is_current"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("n_keys"),
+        sum(col("valid_from")).as("sum_from"),
+        sum(coalesce(col("valid_to"), lit(-1L))).as("sum_to"))
+      .orderBy(col("is_current"))
+  }
+
+  val q130Sql: String =
+    s"""WITH dim0 AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+       |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+       |    TRUE AS is_current FROM customer),
+       |b1 AS (SELECT c_custkey, c_mktsegment || '#1' AS c_mktsegment,
+       |    c_nationkey FROM customer
+       |  WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0),
+       |${scd2StepSql("dim0", "b1", 100, "app1", "j1")},
+       |dim1 AS (SELECT * FROM app1),
+       |b2 AS (SELECT c_custkey, c_mktsegment || '#2' AS c_mktsegment,
+       |    c_nationkey FROM customer
+       |  WHERE c_custkey % 3 = 1 OR c_custkey % 5 = 0),
+       |${scd2StepSql("(SELECT * FROM dim1 WHERE is_current)", "b2", 200,
+          "app2", "j2")},
+       |dim2 AS (SELECT * FROM dim1 WHERE NOT is_current
+       |  UNION ALL SELECT * FROM app2),
+       |b3 AS (SELECT c_custkey, c_mktsegment || '#3' AS c_mktsegment,
+       |    c_nationkey FROM customer
+       |  WHERE c_custkey % 3 = 2 OR c_custkey % 5 = 0),
+       |${scd2StepSql("(SELECT * FROM dim2 WHERE is_current)", "b3", 300,
+          "app3", "j3")},
+       |dim3 AS (SELECT * FROM dim2 WHERE NOT is_current
+       |  UNION ALL SELECT * FROM app3)
+       |SELECT is_current, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT c_custkey) AS n_keys,
+       |  CAST(SUM(valid_from) AS BIGINT) AS sum_from,
+       |  CAST(SUM(COALESCE(valid_to, -1)) AS BIGINT) AS sum_to
+       |FROM dim3 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -4080,7 +4172,8 @@ object PipelineQueries {
     "q126_twap" -> (q126Twap _),
     "q127_cohort_retention" -> (q127CohortRetention _),
     "q128_pagerank" -> (q128Pagerank _),
-    "q129_integrity" -> (q129Integrity _))
+    "q129_integrity" -> (q129Integrity _),
+    "q130_stream_scd2" -> (q130StreamScd2 _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -4175,5 +4268,6 @@ object PipelineQueries {
     "q126_twap" -> q126Sql,
     "q127_cohort_retention" -> q127Sql,
     "q128_pagerank" -> q128Sql,
-    "q129_integrity" -> q129Sql)
+    "q129_integrity" -> q129Sql,
+    "q130_stream_scd2" -> q130Sql)
 }

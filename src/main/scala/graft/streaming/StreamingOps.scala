@@ -196,6 +196,53 @@ object StreamingOps {
       }
     }.start()
 
+  /** CDC → SCD TYPE 2: maintain a history-preserving dimension table
+    * from a stream of change batches — the auditable twin of
+    * [[upsertStream]] (which overwrites). Each micro-batch is resolved
+    * to its latest row per key (multi-version batches are normal),
+    * then applied via [[graft.operators.Scd2.apply]] at the batch's
+    * max `versionCol` as the effective time; the first batch
+    * bootstraps an all-open table. State is the TABLE — no state
+    * store, no watermark, corpus-lifetime history.
+    *
+    * The table rewrites whole per batch (materialized first —
+    * [[graft.operators.Upsert.upsertPartitioned]]'s read-then-
+    * overwrite rule); dimensions are small next to facts, and a
+    * partition-scoped write (bucket `valid_from` into the partition
+    * column: closed versions never change again) is the drop-in when
+    * they are not.
+    */
+  def scd2Stream(changes: DataFrame, tableDir: String, keys: Seq[String],
+      attrs: Seq[String], versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val asOf = batch.agg(max(col(versionCol))).head().getLong(0)
+        val exists = {
+          val p = new org.apache.hadoop.fs.Path(tableDir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        }
+        if (!exists)
+          graft.operators.Scd2.initial(latest.drop(versionCol), asOf)
+            .write.parquet(tableDir)
+        else {
+          val table = spark.read.parquet(tableDir)
+          val next = graft.operators.Scd2.apply(table,
+            latest.drop(versionCol), keys, attrs, asOf).localCheckpoint()
+          val pinned = next.queryExecution.analyzed match {
+            case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+            case _ => None
+          }
+          try next.write.mode("overwrite").parquet(tableDir)
+          finally pinned.foreach(_.unpersist(blocking = false))
+        }
+      }
+    }.start()
+
   /** Streaming exact dedup: watermark-bounded dropDuplicates on the key
     * — state expires with the watermark, so memory stays bounded.
     */
