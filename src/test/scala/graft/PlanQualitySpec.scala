@@ -543,6 +543,41 @@ class PlanQualitySpec extends SparkSpec {
       _.trim.startsWith("Arguments: hashpartitioning")) == 1, p)
   }
 
+  test("q125: SCD2 apply joins once per batch — hash full-outer, no nested loop") {
+    val p = plan(PipelineQueries.q125Scd2(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // every join in the plan is the apply's hash FullOuter — nothing
+    // else joins (history passes through filter+union). Chained
+    // UNMATERIALIZED applies re-plan the earlier apply per reference
+    // (dim1 feeds apply 2 as both history and open set), so the join
+    // COUNT exceeds the apply count — the contract when chaining in
+    // one job is to persist/write between batches, which the
+    // streaming twin (q130 scd2Stream) does by construction.
+    val joinTypes = p.linesIterator
+      .filter(_.trim.startsWith("Join type:")).toSeq
+    assert(joinTypes.nonEmpty &&
+      joinTypes.forall(_.contains("FullOuter")), p)
+  }
+
+  test("q126: TWAP is one window pass — no join, integer aggregates") {
+    val p = plan(PipelineQueries.q126Twap(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q129: integrity FK checks are hash anti-joins, never nested loops") {
+    val p = plan(PipelineQueries.q129Integrity(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the two 1-row total counts ride broadcast nested loop joins by
+    // construction (cross of single rows) — make sure no DATA-sized
+    // nested loop appears: every BNLJ in this plan must be a cross of
+    // aggregated 1-row sides, which surface as BroadcastNestedLoopJoin
+    // Cross; anything labelled Inner/LeftOuter there would be a bug
+    assert(!p.contains("BroadcastNestedLoopJoin Inner"), p)
+  }
+
   test("q124: Lloyd final assignment is scan-local — no join, integer census only") {
     // the trained centroids ride in as literal vectors exactly like
     // q110's; the corpus never joins or shuffles during assignment
