@@ -3677,7 +3677,12 @@ object PipelineQueries {
     * output versions through one exploded projection. Oracle replays
     * both applications as UNION ALL case branches.
     */
-  def q125Scd2(s: SparkSession, dir: String): DataFrame = {
+  /** The two-batch SCD2 customer dimension shared by q125 (version
+    * census) and q131 (temporal join): segment rename for a 30% md5
+    * gate + 10% no-ops + 5% inserts at t=100, nation bump for a
+    * different 20% gate at t=200.
+    */
+  private def scd2CustomerDim(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
     def gate(salt: String) = pmod(Dedup.portableHash60(
@@ -3696,8 +3701,12 @@ object PipelineQueries {
     val b2 = c.filter(gate("#b") < 20)
       .select(col("c_custkey"), col("c_mktsegment"),
         (col("c_nationkey") + 1).as("c_nationkey"))
-    val dim2 = graft.operators.Scd2.apply(dim1, b2, Seq("c_custkey"),
+    graft.operators.Scd2.apply(dim1, b2, Seq("c_custkey"),
       Seq("c_mktsegment", "c_nationkey"), 200L)
+  }
+
+  def q125Scd2(s: SparkSession, dir: String): DataFrame = {
+    val dim2 = scd2CustomerDim(s, dir)
     dim2.groupBy(col("is_current"),
         col("c_mktsegment").like("%#1").as("with_v1"))
       .agg(count(lit(1)).as("n_rows"),
@@ -3739,11 +3748,12 @@ object PipelineQueries {
        |  SELECT ck, cm, cn, $ts, NULL, TRUE
        |    FROM $joinName WHERE c_custkey IS NULL)""".stripMargin
 
-  val q125Sql: String = {
-    def applyStep(openRel: String, batchRel: String, ts: Int,
-        outName: String, joinName: String): String =
-      scd2StepSql(openRel, batchRel, ts, outName, joinName)
-    s"""WITH g AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+  /** CTE chain building the two-batch SCD2 customer dimension as
+    * `dim2` — the oracle twin of [[scd2CustomerDim]], shared by q125
+    * and q131.
+    */
+  private def scd2CustomerDimCtes: String =
+    s"""g AS (SELECT c_custkey, c_mktsegment, c_nationkey,
        |    CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#a'),
        |      1, 15)) AS BIGINT) % 100 AS ga,
        |    CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#b'),
@@ -3758,20 +3768,22 @@ object PipelineQueries {
        |    WHERE ga >= 30 AND ga < 40
        |  UNION ALL SELECT c_custkey + 10000000, c_mktsegment, c_nationkey
        |    FROM g WHERE ga >= 95),
-       |${applyStep("dim0", "b1", 100, "app1", "j1")},
+       |${scd2StepSql("dim0", "b1", 100, "app1", "j1")},
        |dim1 AS (SELECT * FROM app1),
        |b2 AS (SELECT c_custkey, c_mktsegment, c_nationkey + 1 AS c_nationkey
        |  FROM g WHERE gb < 20),
-       |${applyStep("(SELECT * FROM dim1 WHERE is_current)", "b2", 200,
+       |${scd2StepSql("(SELECT * FROM dim1 WHERE is_current)", "b2", 200,
           "app2", "j2")},
        |dim2 AS (SELECT * FROM dim1 WHERE NOT is_current
-       |  UNION ALL SELECT * FROM app2)
+       |  UNION ALL SELECT * FROM app2)""".stripMargin
+
+  val q125Sql: String =
+    s"""WITH $scd2CustomerDimCtes
        |SELECT is_current, (c_mktsegment LIKE '%#1') AS with_v1,
        |  COUNT(*) AS n_rows, COUNT(DISTINCT c_custkey) AS n_keys,
        |  CAST(SUM(valid_from) AS BIGINT) AS sum_from,
        |  CAST(SUM(COALESCE(valid_to, -1)) AS BIGINT) AS sum_to
        |FROM dim2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q126
   /** TIME-WEIGHTED AVERAGE (TWAP/step-function mean) of `value` per
@@ -4079,6 +4091,56 @@ object PipelineQueries {
        |  CAST(SUM(COALESCE(valid_to, -1)) AS BIGINT) AS sum_to
        |FROM dim3 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** TEMPORAL (point-in-time) DIMENSION JOIN — the query SCD2 history
+    * exists to answer: each fact joined to the dimension VERSION valid
+    * at its own event time, not today's. Because SCD2 versions
+    * partition each key's timeline, "the version whose interval
+    * contains t" equals "the latest valid_from ≤ t" — so the join is
+    * [[graft.operators.AsOf.joinAsOf]]'s union + per-key ordered
+    * window: ONE key shuffle, ZERO join operators, cost independent of
+    * how many versions precede each fact (a BETWEEN range join would
+    * fan out per overlapping version). Facts get deterministic times
+    * spread across the version epochs (`o_orderkey % 350`); census
+    * splits by which segment generation each fact saw. Oracle: the
+    * shared dim2 CTEs + the correlated LIMIT 1 lookup (q69's shape).
+    */
+  def q131TemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2CustomerDim(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        col("valid_from"))
+    val facts = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        pmod(col("o_orderkey"), lit(350L)).as("t"))
+    graft.operators.AsOf.joinAsOf(facts, dim, Seq("c_custkey"),
+        leftTs = "t", rightTs = "valid_from", tieCol = "valid_from",
+        payload = Seq("c_mktsegment", "c_nationkey"))
+      .groupBy(col("c_mktsegment").like("%#1").as("saw_v1"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_custs"),
+        sum(col("t")).as("sum_t"),
+        sum(col("c_nationkey")).as("sum_nat"))
+      .orderBy(col("saw_v1"))
+  }
+
+  val q131Sql: String =
+    s"""WITH $scd2CustomerDimCtes,
+       |f AS (SELECT o_orderkey, o_custkey AS c_custkey,
+       |    o_orderkey % 350 AS t FROM orders),
+       |m AS (SELECT f.c_custkey, f.t,
+       |  (SELECT d.c_mktsegment FROM dim2 d
+       |   WHERE d.c_custkey = f.c_custkey AND d.valid_from <= f.t
+       |   ORDER BY d.valid_from DESC LIMIT 1) AS c_mktsegment,
+       |  (SELECT d.c_nationkey FROM dim2 d
+       |   WHERE d.c_custkey = f.c_custkey AND d.valid_from <= f.t
+       |   ORDER BY d.valid_from DESC LIMIT 1) AS c_nationkey
+       |  FROM f)
+       |SELECT (c_mktsegment LIKE '%#1') AS saw_v1,
+       |  COUNT(*) AS n_orders, COUNT(DISTINCT c_custkey) AS n_custs,
+       |  CAST(SUM(t) AS BIGINT) AS sum_t,
+       |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -4173,7 +4235,8 @@ object PipelineQueries {
     "q127_cohort_retention" -> (q127CohortRetention _),
     "q128_pagerank" -> (q128Pagerank _),
     "q129_integrity" -> (q129Integrity _),
-    "q130_stream_scd2" -> (q130StreamScd2 _))
+    "q130_stream_scd2" -> (q130StreamScd2 _),
+    "q131_temporal_join" -> (q131TemporalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -4269,5 +4332,6 @@ object PipelineQueries {
     "q127_cohort_retention" -> q127Sql,
     "q128_pagerank" -> q128Sql,
     "q129_integrity" -> q129Sql,
-    "q130_stream_scd2" -> q130Sql)
+    "q130_stream_scd2" -> q130Sql,
+    "q131_temporal_join" -> q131Sql)
 }
