@@ -186,6 +186,55 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("scd2: random batch sequence ≡ driver-side interval fold") {
+    // independent model: per key, fold the batch sequence into a
+    // version list with the close/reopen/insert/no-op rules; the
+    // engine's exploded-join implementation must produce the exact
+    // same (key, attr, from, to, current) set after ANY sequence —
+    // including repeated no-ops and re-inserts of changed keys.
+    import spark.implicits._
+    val batchGen: Gen[Map[Long, Int]] = Gen.choose(0, 5).flatMap(n =>
+      Gen.mapOfN(n, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0, 2))))
+    val seqGen: Gen[List[Map[Long, Int]]] =
+      Gen.choose(1, 4).flatMap(Gen.listOfN(_, batchGen))
+    val p = Prop.forAll(seqGen) { batches =>
+      val initKeys = Seq(1L, 2L, 3L)
+      var table = graft.operators.Scd2.initial(
+        initKeys.map(k => (k, 0)).toDF("k", "a"), 0L)
+      // driver model: key -> list of (attr, from, to(-1=open))
+      var model = initKeys.map(k =>
+        k -> List((0, 0L, -1L))).toMap
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val asOf = (i + 1) * 100L
+        if (b.nonEmpty) {
+          table = graft.operators.Scd2.apply(table,
+            b.toSeq.map { case (k, a) => (k, a) }.toDF("k", "a"),
+            Seq("k"), Seq("a"), asOf)
+          model = b.foldLeft(model) { case (m, (k, a)) =>
+            m.get(k) match {
+              case None => m + (k -> List((a, asOf, -1L)))
+              case Some(vs) =>
+                val (open, closed) = vs.partition(_._3 == -1L)
+                val cur = open.head
+                if (cur._1 == a) m
+                else m + (k -> (closed ++ List(
+                  (cur._1, cur._2, asOf), (a, asOf, -1L))))
+            }
+          }
+        }
+      }
+      val got = table.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      val want = model.toSeq.flatMap { case (k, vs) =>
+        vs.map(v => (k, v._1, v._2, v._3))
+      }.toSet
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("setsim join: prefix filtering ≡ brute force at several thresholds") {
     // AllPairs completeness: J(a,b) ≥ t ⇒ the (L − ⌈tL⌉ + 1)-prefixes
     // under the (df, token) order intersect. Small vocab + short docs
