@@ -4141,6 +4141,43 @@ object PipelineQueries {
        |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  /** EXACT-k PER-GROUP RESERVOIR — uniform without replacement,
+    * deterministic, engine-portable: rank each row by its portable
+    * hash (folded to 2^50 so the TopKAgg double score stays exact;
+    * ties to the smaller id) and keep the k smallest per source. The
+    * q53/q66 family samples by RATE (expected size); this is the
+    * exact-count contract (eval sets, per-domain caps) — and it runs
+    * as the bounded aggregate, so the shuffle carries ≤ k rows per
+    * (group, task), never the group's row set. Oracle replays the
+    * identical (hash-fold, id) ranking with a window.
+    */
+  def q132Reservoir(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        pmod(Dedup.portableHash60(concat(col("doc_id").cast("string"),
+          lit("#rv"))), lit(1L << 50)).as("h"))
+    graft.operators.TopK.topKPerGroup(d, Seq("source"),
+        -col("h"), col("doc_id"), k = 100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("id")).as("sum_ids"),
+        sum((-col("score")).cast("long")).as("sum_h"))
+      .orderBy(col("source"))
+  }
+
+  val q132Sql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#rv'),
+      |      1, 15)) AS BIGINT) % 1125899906842624 AS h
+      |  FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY h, doc_id) AS rn FROM d)
+      |SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(h) AS BIGINT) AS sum_h
+      |FROM r WHERE rn <= 100 GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -4236,7 +4273,8 @@ object PipelineQueries {
     "q128_pagerank" -> (q128Pagerank _),
     "q129_integrity" -> (q129Integrity _),
     "q130_stream_scd2" -> (q130StreamScd2 _),
-    "q131_temporal_join" -> (q131TemporalJoin _))
+    "q131_temporal_join" -> (q131TemporalJoin _),
+    "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -4333,5 +4371,6 @@ object PipelineQueries {
     "q128_pagerank" -> q128Sql,
     "q129_integrity" -> q129Sql,
     "q130_stream_scd2" -> q130Sql,
-    "q131_temporal_join" -> q131Sql)
+    "q131_temporal_join" -> q131Sql,
+    "q132_reservoir" -> q132Sql)
 }
