@@ -515,6 +515,76 @@ object Relational {
       |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
 
   /** Registry consumed by SparkEntry. */
+  // ---------------------------------------------------------------- q133
+  /** UNPIVOT (melt) — the inverse reshape completing the q91 pivot:
+    * three per-flag measure columns fold into (measure, val) rows via
+    * Spark's native `unpivot` (an Expand, scan-local — no
+    * explode-of-structs UDF shape, no shuffle beyond the aggregate
+    * that feeds it). Exact decimal sums cast to double at the very
+    * end; oracle is the portable UNION ALL form.
+    */
+  def q133Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(dec2(col("l_discount"))).cast("double").as("sum_disc"))
+    a.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "val")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  val q133Sql: String =
+    """WITH a AS (SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, m AS measure, v AS val FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS m, sum_qty AS v FROM a
+      |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+      |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+  /** TIME-RANGE ROLLING WINDOW — each event's trailing-1-hour value
+    * sum per type (`RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW`
+    * over event-time micros): the sliding-window analytic q48 computes
+    * with tumbling streaming windows, here as the batch range frame.
+    * All integer (cents), so the rolling sums and their census are
+    * engine-exact; RANGE peers (equal timestamps) aggregate together
+    * by definition in both engines. One event_type shuffle + per-key
+    * sorted runs, no join — the q126 skew note applies.
+    */
+  def q134RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    e.withColumn("roll", sum(col("cents")).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("roll")).as("max_roll"),
+        min(col("roll")).as("min_roll"),
+        sum(col("roll")).as("sum_roll"))
+      .orderBy(col("event_type"))
+  }
+
+  val q134Sql: String =
+    """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT event_type, SUM(cents) OVER (PARTITION BY event_type
+      |    ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |    AS roll FROM e)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(MAX(roll) AS BIGINT) AS max_roll,
+      |  CAST(MIN(roll) AS BIGINT) AS min_roll,
+      |  CAST(SUM(roll) AS BIGINT) AS sum_roll
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_revenue" -> (q02FilterRevenue _),
@@ -535,7 +605,9 @@ object Relational {
     "q17_token_diff" -> (q17TokenDiff _),
     "q90_rollup" -> (q90Rollup _),
     "q91_pivot" -> (q91Pivot _),
-    "q94_cube" -> (q94Cube _))
+    "q94_cube" -> (q94Cube _),
+    "q133_unpivot" -> (q133Unpivot _),
+    "q134_rolling_window" -> (q134RollingWindow _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -557,5 +629,7 @@ object Relational {
     "q17_token_diff" -> q17Sql,
     "q90_rollup" -> q90Sql,
     "q91_pivot" -> q91Sql,
-    "q94_cube" -> q94Sql)
+    "q94_cube" -> q94Sql,
+    "q133_unpivot" -> q133Sql,
+    "q134_rolling_window" -> q134Sql)
 }
