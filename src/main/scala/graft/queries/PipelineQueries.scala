@@ -4178,7 +4178,60 @@ object PipelineQueries {
       |  CAST(SUM(h) AS BIGINT) AS sum_h
       |FROM r WHERE rn <= 100 GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+  /** Bigram-LM surprisal census ([[graft.text.LangModel]]): the
+    * perplexity-style LM quality gate of LLM data pipelines — train a
+    * bigram model on the corpus (two map-side-combined censuses),
+    * score every document by its summed integer-log2 conditional cost,
+    * and roll up per source with a mean-cost >= 4 novelty flag. All
+    * integer arithmetic (the q111 `length(bin(a div b)) - 1` log2), so
+    * raw scores hash-match; the oracle replays model training and
+    * scoring in staged CTEs.
+    */
+  def q135LmSurprisal(s: SparkSession, dir: String): DataFrame =
+    graft.text.LangModel.withBigramSurprisal(
+        t(s, dir, "documents"), "text", "doc_id", Seq("source"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("sum_bigrams"),
+        sum(col("surprisal")).as("sum_surprisal"),
+        max(col("mean_cost")).as("max_mean_cost"),
+        sum(when(col("mean_cost") >= 4L, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+
+  val q135Sql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |st AS (SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+      |  unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+      | FROM d),
+      |b2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM st GROUP BY w1, w2),
+      |u1 AS (SELECT w1, COUNT(*) AS cnt1 FROM
+      |  (SELECT unnest(tk) AS w1 FROM d) GROUP BY w1),
+      |m AS (SELECT b2.w1, b2.w2,
+      |  CAST(length(bin(cnt1 // cnt2)) - 1 AS BIGINT) AS cost
+      |  FROM b2 JOIN u1 ON b2.w1 = u1.w1),
+      |pd AS (SELECT st.doc_id, st.source, COUNT(*) AS n_bigrams,
+      |  SUM(cost) AS surprisal
+      |  FROM st JOIN m ON st.w1 = m.w1 AND st.w2 = m.w2
+      |  GROUP BY st.doc_id, st.source),
+      |fd AS (SELECT d.doc_id, d.source,
+      |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(pd.surprisal, 0) AS surprisal,
+      |  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+      |    THEN pd.surprisal // pd.n_bigrams ELSE 0 END AS mean_cost
+      |  FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+      |  CAST(SUM(surprisal) AS BIGINT) AS sum_surprisal,
+      |  CAST(MAX(mean_cost) AS BIGINT) AS max_mean_cost,
+      |  CAST(SUM(CASE WHEN mean_cost >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged
+      |FROM fd GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_lm_surprisal" -> (q135LmSurprisal _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
     "q32_near_dups" -> (q32NearDups _),
@@ -4277,6 +4330,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q135_lm_surprisal" -> q135Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_sig" -> q31Sql,
     "q32_near_dups" -> q32Sql,
