@@ -4230,7 +4230,64 @@ object PipelineQueries {
       |    AS n_flagged
       |FROM fd GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** ANN recall@k evaluation ([[Ann.lshRecallCensus]]): exact top-10
+    * (salted [[Ann.knnJoin]]) vs portable-LSH-bucket top-10 for a
+    * 1-in-25 probe sample, overlap census + integer recall percent.
+    * The eval query every index deployment runs before trusting the
+    * approximate path; the oracle replays both sides with the
+    * q40-proven fold cosine and the q41/q43 literal-weight bucket.
+    */
+  def q136AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    Ann.lshRecallCensus(e, "embedding", "vec_id",
+      pmod(col("vec_id"), lit(25L)) === 0L, k = 10, dim = dim, numPlanes = 4)
+  }
+
+  val q136Sql: String = {
+    def cos(x: String, p: String): String =
+      s"""(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum') /
+         |  (sqrt(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)), 'sum')) *
+         |   sqrt(list_aggregate(list_transform(range(1, len($p) + 1),
+         |    i -> CAST($p[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum'))))""".stripMargin
+    def proj(p: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH pr AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |sc AS (SELECT pid, e.vec_id AS nid, ${cos("e.embedding", "pe")} AS c
+       |  FROM embeddings e, pr WHERE e.vec_id <> pid),
+       |ex AS (SELECT pid, nid FROM (SELECT pid, nid,
+       |  ROW_NUMBER() OVER (PARTITION BY pid ORDER BY c DESC, nid ASC) AS rn
+       |  FROM sc) WHERE rn <= 10),
+       |bk AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+       |pbk AS (SELECT pr.pid, pr.pe, bk.bucket AS pbucket
+       |  FROM pr JOIN bk ON pr.pid = bk.vec_id),
+       |ac AS (SELECT pbk.pid, b.vec_id AS nid, ${cos("b.embedding", "pbk.pe")} AS c
+       |  FROM pbk JOIN bk b ON b.bucket = pbk.pbucket AND b.vec_id <> pbk.pid),
+       |ap AS (SELECT pid, nid FROM (SELECT pid, nid,
+       |  ROW_NUMBER() OVER (PARTITION BY pid ORDER BY c DESC, nid ASC) AS rn
+       |  FROM ac) WHERE rn <= 10),
+       |hits AS (SELECT COUNT(*) AS n_hits
+       |  FROM ex JOIN ap ON ex.pid = ap.pid AND ex.nid = ap.nid)
+       |SELECT (SELECT COUNT(*) FROM pr) AS n_probes,
+       |  (SELECT COUNT(*) FROM ex) AS n_exact,
+       |  (SELECT COUNT(*) FROM ap) AS n_approx,
+       |  (SELECT n_hits FROM hits) AS n_hits,
+       |  (SELECT (100 * n_hits) // (SELECT COUNT(*) FROM ex) FROM hits)
+       |    AS recall_pct""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_ann_recall" -> (q136AnnRecall _),
     "q135_lm_surprisal" -> (q135LmSurprisal _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_sig" -> (q31MinhashSig _),
@@ -4330,6 +4387,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q136_ann_recall" -> q136Sql,
     "q135_lm_surprisal" -> q135Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_sig" -> q31Sql,

@@ -386,6 +386,46 @@ object Ann {
         col("cosine"))
   }
 
+  /** Recall@k evaluation of the LSH index against exact brute force —
+    * the eval-harness query every ANN deployment runs on a probe
+    * sample before trusting the index. For each probe passing
+    * `probeGate`: the EXACT top-k ([[knnJoin]] — salted, provably
+    * exact) and the LSH top-k (candidates restricted to the probe's
+    * portable-LSH bucket, ranked by the same cosine through the
+    * bounded [[graft.operators.TopK.topKPerGroup]] aggregate), then a
+    * one-row census of the overlap: recall = n_hits / n_exact.
+    *
+    * Scale shape: probes are a gated sample (broadcast both sides);
+    * the exact side is the deliberate ground-truth scan
+    * (|probes| x |corpus|, the price of a recall measurement); the LSH
+    * side is a bucket equi-join touching |corpus| / 2^numPlanes rows
+    * per probe. Nothing shuffles the corpus by more than the bucket
+    * key; per-probe top-k state is bounded at ~4k entries.
+    */
+  def lshRecallCensus(df: DataFrame, embCol: String, idCol: String,
+      probeGate: Column, k: Int, dim: Int, numPlanes: Int = 4): DataFrame = {
+    val probes = df.filter(probeGate)
+      .select(col(idCol).as("__pid"), col(embCol).as("__pemb"))
+    val exact = knnJoin(df, embCol, idCol, probes, "__pid", "__pemb", k)
+      .select(col("__pid"), col(idCol).as("__nid"))
+    val bucketed = df.select(col(idCol), col(embCol),
+      lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
+    val pb = probes.withColumn("__pbucket",
+      lshBucketPortable(col("__pemb"), dim, numPlanes))
+    val approx = graft.operators.TopK.topKPerGroup(
+        bucketed.join(broadcast(pb),
+            col("__bucket") === col("__pbucket") && col(idCol) =!= col("__pid"))
+          .withColumn("__c", cosine(col(embCol), col("__pemb"))),
+        Seq("__pid"), col("__c"), col(idCol), k)
+      .select(col("__pid"), col("id").as("__nid"))
+    probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(exact.join(approx, Seq("__pid", "__nid"))
+        .agg(count(lit(1)).as("n_hits")))
+      .withColumn("recall_pct", expr("(100 * n_hits) div n_exact"))
+  }
+
   /** All-pairs near neighbors above a cosine threshold, LSH-bucketed:
     * the embedding analog of MinHash near-dup detection. Join is
     * per-bucket; at 100 TB this is the only tractable shape.

@@ -1238,6 +1238,34 @@ class PipelineSpec extends SparkSpec {
     assert(Ann.probeBuckets(0b10110L, 8, 2).length === 37)
   }
 
+  test("lshRecallCensus: invariants; colinear one-bucket corpus → 100%") {
+    val rnd = new scala.util.Random(13)
+    val embs = (0L until 200L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val r = Ann.lshRecallCensus(embs, "embedding", "vec_id",
+      pmod(col("vec_id"), lit(20L)) === 0L, k = 5, dim = 8, numPlanes = 3).head()
+    assert(r.getAs[Long]("n_probes") === 10L)
+    assert(r.getAs[Long]("n_exact") === 50L) // corpus >> k: k per probe
+    assert(r.getAs[Long]("n_approx") <= 50L)
+    assert(r.getAs[Long]("n_hits") <=
+      math.min(r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx")))
+    assert(r.getAs[Long]("recall_pct") ===
+      100L * r.getAs[Long]("n_hits") / r.getAs[Long]("n_exact"))
+    // positive-colinear corpus (power-of-two scalings of one vector):
+    // identical sign projections → one bucket holds everything, and all
+    // pair cosines are the SAME double → both sides rank purely by id,
+    // so bucket-restricted search is lossless: recall must be 100
+    val u = Seq(0.5f, -0.25f, 0.125f, 0.5f, -0.5f, 0.25f, -0.125f, 0.0625f)
+    val clones = (0L until 40L).map(i =>
+        (i, u.map(x => x * (1L << (i % 5)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val full = Ann.lshRecallCensus(clones, "embedding", "vec_id",
+      col("vec_id") < 4L, k = 5, dim = 8, numPlanes = 3).head()
+    assert(full.getAs[Long]("n_exact") === 20L)
+    assert(full.getAs[Long]("recall_pct") === 100L)
+  }
+
   test("IVF index: probing enough cells recovers the brute-force top-k") {
     val rnd = new scala.util.Random(7)
     val embs = (0L until 200L).map { i =>
