@@ -4286,7 +4286,43 @@ object PipelineQueries {
        |    AS recall_pct""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q137
+  /** Hard-negative mining ([[Ann.hardNegatives]]): for each 1-in-50
+    * anchor, the positive count at cosine >= 0.5 and the top-3 most
+    * similar below-threshold vectors — the contrastive-training pair
+    * miner (easy random negatives don't move a model; these do). Raw
+    * cosine doubles are portable via the q40-proven fold order; ties
+    * break on neighbor id.
+    */
+  def q137HardNegatives(s: SparkSession, dir: String): DataFrame =
+    Ann.hardNegatives(t(s, dir, "embeddings"), "embedding", "vec_id",
+      pmod(col("vec_id"), lit(50L)) === 0L, posThreshold = 0.5, k = 3)
+
+  val q137Sql: String = {
+    def dotExpr(a: String, b: String): String =
+      s"""list_aggregate(list_transform(range(1, len($a) + 1),
+         |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
+    s"""WITH p AS (SELECT vec_id AS anchor_id, embedding AS pemb
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |sc AS (SELECT p.anchor_id, e.vec_id AS neg_id,
+       |  ${dotExpr("e.embedding", "p.pemb")} /
+       |  (sqrt(${dotExpr("e.embedding", "e.embedding")}) *
+       |   sqrt(${dotExpr("p.pemb", "p.pemb")})) AS cosine
+       |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.anchor_id),
+       |np AS (SELECT anchor_id, COUNT(*) AS n_pos FROM sc
+       |  WHERE cosine >= 0.5 GROUP BY anchor_id),
+       |r AS (SELECT anchor_id, neg_id, cosine,
+       |  row_number() OVER (PARTITION BY anchor_id
+       |    ORDER BY cosine DESC, neg_id ASC) AS rank
+       |  FROM sc WHERE cosine < 0.5)
+       |SELECT r.anchor_id, r.rank, r.neg_id, r.cosine,
+       |  CAST(COALESCE(np.n_pos, 0) AS BIGINT) AS n_positives
+       |FROM r LEFT JOIN np ON r.anchor_id = np.anchor_id
+       |WHERE r.rank <= 3 ORDER BY r.anchor_id, r.rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_hard_negatives" -> (q137HardNegatives _),
     "q136_ann_recall" -> (q136AnnRecall _),
     "q135_lm_surprisal" -> (q135LmSurprisal _),
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -4387,6 +4423,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q137_hard_negatives" -> q137Sql,
     "q136_ann_recall" -> q136Sql,
     "q135_lm_surprisal" -> q135Sql,
     "q30_dedup_exact" -> q30Sql,

@@ -426,6 +426,39 @@ object Ann {
       .withColumn("recall_pct", expr("(100 * n_hits) div n_exact"))
   }
 
+  /** Contrastive-pair mining: for each anchor, the count of POSITIVES
+    * (cosine >= `posThreshold` — the near-duplicate/paraphrase set a
+    * contrastive loss treats as matches) and the top-`k` HARD NEGATIVES
+    * (the most similar vectors strictly below the threshold — the
+    * pairs that actually move an embedding model, vs easy random
+    * negatives). One broadcast-anchor scan computes every cosine;
+    * the positive census and the bounded per-anchor top-k
+    * ([[graft.operators.TopK.topKPerGroup]]) both fold map-side, and
+    * only per-anchor aggregates ever shuffle. Anchors are a gated
+    * sample; at corpus scale the scan is |anchors| x |corpus| — the
+    * honest price of exact mining; swap the scored scan for the LSH
+    * bucket join when approximate negatives suffice.
+    */
+  def hardNegatives(df: DataFrame, embCol: String, idCol: String,
+      anchorGate: Column, posThreshold: Double, k: Int): DataFrame = {
+    val anchors = df.filter(anchorGate)
+      .select(col(idCol).as("__pid"), col(embCol).as("__pemb"))
+    val scored = df.crossJoin(broadcast(anchors))
+      .filter(col(idCol) =!= col("__pid"))
+      .select(col("__pid"), col(idCol).as("__nid"),
+        cosine(col(embCol), col("__pemb")).as("__c"))
+    val pos = scored.filter(col("__c") >= posThreshold)
+      .groupBy(col("__pid")).agg(count(lit(1)).as("n_positives"))
+    val negs = graft.operators.TopK.topKPerGroup(
+      scored.filter(col("__c") < posThreshold),
+      Seq("__pid"), col("__c"), col("__nid"), k)
+    negs.join(pos, Seq("__pid"), "left")
+      .select(col("__pid").as("anchor_id"), col("rank"),
+        col("id").as("neg_id"), col("score").as("cosine"),
+        coalesce(col("n_positives"), lit(0L)).as("n_positives"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   /** All-pairs near neighbors above a cosine threshold, LSH-bucketed:
     * the embedding analog of MinHash near-dup detection. Join is
     * per-bucket; at 100 TB this is the only tractable shape.

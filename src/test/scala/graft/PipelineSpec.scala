@@ -1266,6 +1266,21 @@ class PipelineSpec extends SparkSpec {
     assert(full.getAs[Long]("recall_pct") === 100L)
   }
 
+  test("hardNegatives: positives excluded, negatives ranked by cosine") {
+    // anchor (1,0); cosines: id1 → 1.0 (positive at thr 0.9),
+    // id2=(3,4) → 0.6, id3=(0,1) → 0.0, id4=(-1,0) → -1.0
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(2f, 0f)), (2L, Seq(3f, 4f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = Ann.hardNegatives(vecs, "embedding", "vec_id",
+        col("vec_id") === 0L, posThreshold = 0.9, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, 1, 2L, 3.0 / 5.0, 1L),
+      (0L, 2, 3L, 0.0, 1L)))
+  }
+
   test("IVF index: probing enough cells recovers the brute-force top-k") {
     val rnd = new scala.util.Random(7)
     val embs = (0L until 200L).map { i =>
