@@ -4321,7 +4321,95 @@ object PipelineQueries {
        |WHERE r.rank <= 3 ORDER BY r.anchor_id, r.rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q138
+  /** Streaming drift monitor ([[StreamingOps.driftMonitorStream]]):
+    * documents arrive in 3 file-batches; each micro-batch's 256-bucket
+    * token histogram is chi-squared against the broadcast src0
+    * reference histogram, one drift row per chunk. Terms quantize to
+    * integers BEFORE the sum (order-free — raw double sums would be
+    * partitioning-dependent), so the streaming output hash-matches the
+    * batch SQL replay.
+    */
+  def q138StreamDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(3L)).as("chunk"))
+    val refRows = t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("source") === "src0")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("__t"))
+      .select(pmod(Dedup.portableHash60(col("__t")), lit(256L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val refTotal = refRows.map(_._2).sum
+    val tmp = java.nio.file.Files.createTempDirectory("q138").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (0 until 3).foreach { kk =>
+      val stage = s"$tmp/stage$kk"
+      docs.filter(col("chunk") === kk.toLong).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = StreamingOps.driftMonitorStream(stream, "text", "chunk",
+          refRows, refTotal) { (out, _) =>
+        out.collect().foreach(r =>
+          buf += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      }
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    import s.implicits._
+    buf.sortBy(_._1).toSeq
+      .toDF("chunk", "n_tokens", "n_buckets", "drift_q")
+  }
+
+  val q138Sql: String =
+    """WITH d AS (SELECT doc_id % 3 AS chunk, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT chunk, unnest(tk) AS token FROM d),
+      |bk AS (SELECT chunk,
+      |  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 256 AS bucket
+      |  FROM tok),
+      |hist AS (SELECT chunk, bucket, COUNT(*) AS n_b FROM bk
+      |  GROUP BY chunk, bucket),
+      |ct AS (SELECT chunk, SUM(n_b) AS tb, COUNT(*) AS n_buckets FROM hist
+      |  GROUP BY chunk),
+      |rtok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE text IS NOT NULL AND source = 'src0'),
+      |ref AS (SELECT
+      |  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 256 AS bucket,
+      |  COUNT(*) AS n_ref FROM rtok GROUP BY bucket),
+      |rt AS (SELECT SUM(n_ref) AS ta FROM ref),
+      |grid AS (SELECT ct.chunk, ct.tb, gs.bucket FROM ct
+      |  CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) gs),
+      |j AS (SELECT g.chunk, g.tb, g.bucket,
+      |  COALESCE(ref.n_ref, 0) AS n_ref, COALESCE(h.n_b, 0) AS n_b
+      |  FROM grid g LEFT JOIN ref ON ref.bucket = g.bucket
+      |  LEFT JOIN hist h ON h.chunk = g.chunk AND h.bucket = g.bucket),
+      |terms AS (SELECT chunk, tb,
+      |  CASE WHEN n_ref + n_b = 0 THEN 0 ELSE CAST(FLOOR(
+      |    CAST((n_ref * tb - n_b * ta) * (n_ref * tb - n_b * ta) AS DOUBLE)
+      |    / CAST((n_ref + n_b) * ta * tb AS DOUBLE) * 1000000) AS BIGINT)
+      |  END AS tq
+      |  FROM j, rt)
+      |SELECT ct.chunk, CAST(ct.tb AS BIGINT) AS n_tokens,
+      |  CAST(ct.n_buckets AS BIGINT) AS n_buckets,
+      |  CAST(s.drift_q AS BIGINT) AS drift_q
+      |FROM ct JOIN (SELECT chunk, SUM(tq) AS drift_q FROM terms
+      |  GROUP BY chunk) s ON s.chunk = ct.chunk
+      |ORDER BY ct.chunk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_stream_drift" -> (q138StreamDrift _),
     "q137_hard_negatives" -> (q137HardNegatives _),
     "q136_ann_recall" -> (q136AnnRecall _),
     "q135_lm_surprisal" -> (q135LmSurprisal _),
@@ -4423,6 +4511,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q138_stream_drift" -> q138Sql,
     "q137_hard_negatives" -> q137Sql,
     "q136_ann_recall" -> q136Sql,
     "q135_lm_surprisal" -> q135Sql,

@@ -162,6 +162,64 @@ object StreamingOps {
       } finally r.close()
     }.start()
 
+  /** Streaming distribution-drift monitor: each micro-batch's token
+    * stream is folded into a fixed `nBuckets`-bucket histogram (the
+    * q81 hash-bucket census) and compared against a broadcast REFERENCE
+    * histogram with the same two-sample chi-squared statistic, emitting
+    * one `(chunk, n_tokens, n_buckets, drift_q)` row per data-keyed
+    * chunk — the production guardrail that flags an upstream source
+    * going off-distribution while the corpus is still ingesting.
+    *
+    * Portability: each bucket's chi2 term is exact integer arithmetic
+    * cast to double once, quantized to `floor(term * 1e6)` BEFORE the
+    * per-chunk sum — an integer sum is order-free, so the engine's
+    * unordered aggregation hash-matches a SQL replay (raw double sums
+    * would be partitioning-dependent). State: NONE beyond the constant
+    * reference array — the monitor is embarrassingly parallel per
+    * batch; the histogram shuffle is <= nBuckets rows per chunk.
+    */
+  def driftMonitorStream(docs: DataFrame, textCol: String, chunkCol: String,
+      ref: Seq[(Long, Long)], refTotal: Long, nBuckets: Int = 256)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val hist = batch.filter(col(textCol).isNotNull)
+        .select(col(chunkCol).as("chunk"),
+          explode(graft.text.TextAnalysis.tokens(col(textCol))).as("__t"))
+        .select(col("chunk"),
+          pmod(graft.dedup.Dedup.portableHash60(col("__t")),
+            lit(nBuckets.toLong)).as("bucket"))
+        .groupBy(col("chunk"), col("bucket")).agg(count(lit(1)).as("n_b"))
+        .persist()
+      try {
+        val ct = hist.groupBy(col("chunk")).agg(
+          sum(col("n_b")).as("tb"), count(lit(1)).as("n_buckets"))
+        val refDf = ref.toDF("bucket", "n_ref")
+        val terms = ct.select(col("chunk"), col("tb"),
+            explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"))
+          .join(broadcast(refDf), Seq("bucket"), "left")
+          .join(hist, Seq("chunk", "bucket"), "left")
+          .select(col("chunk"), col("tb"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"))
+          .withColumn("tq",
+            when(col("n_ref") + col("n_b") === 0L, lit(0L)).otherwise(
+              floor(((col("n_ref") * col("tb") - col("n_b") * lit(refTotal))
+                * (col("n_ref") * col("tb") - col("n_b") * lit(refTotal)))
+                .cast("double")
+                / ((col("n_ref") + col("n_b")) * lit(refTotal) * col("tb"))
+                  .cast("double")
+                * lit(1000000.0)).cast("long")))
+        val out = terms.groupBy(col("chunk"), col("tb"))
+          .agg(sum(col("tq")).as("drift_q"))
+          .join(ct.select(col("chunk"), col("n_buckets")), Seq("chunk"))
+          .select(col("chunk"), col("tb").as("n_tokens"),
+            col("n_buckets"), col("drift_q"))
+        sink(out, id)
+      } finally hist.unpersist(false)
+    }.start()
+
   /** CDC apply: maintain a Hive-partitioned parquet table from a stream
     * of upserts. Each micro-batch is first resolved to its LATEST row
     * per key (highest `versionCol` — multi-version CDC batches are

@@ -194,6 +194,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor: reference-identical chunk drifts 0, disjoint > 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq("alpha beta gamma", "alpha delta", "beta beta")
+    // reference histogram exactly as the operator buckets tokens
+    val refRows = refDocs.toDF("text")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(org.apache.spark.sql.functions.pmod(
+        graft.dedup.Dedup.portableHash60(col("t")), lit(64L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "chunk")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingOps.driftMonitorStream(docs, "text", "chunk",
+        refRows, refRows.map(_._2).sum, nBuckets = 64) { (out, _) =>
+      got ++= out.collect().map(r => (r.getLong(0), r.getLong(3)))
+    }
+    try {
+      // chunk 0 IS the reference token stream → every bucket has
+      // n_b * ta == n_ref * tb exactly → chi2 identically zero
+      input.addData(refDocs.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, 0L) }: _*)
+      // chunk 1 shares no tokens with the reference → positive drift
+      input.addData((10L, "zeta zeta eta theta", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byChunk = got.toMap
+    assert(byChunk(0L) === 0L)
+    assert(byChunk(1L) > 0L)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
