@@ -4408,7 +4408,83 @@ object PipelineQueries {
       |  GROUP BY chunk) s ON s.chunk = ct.chunk
       |ORDER BY ct.chunk""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** Product-quantization ANN ([[graft.similarity.Pq]]): 2 subspaces
+    * x 4-centroid fixed-point codebooks (2 Lloyd iterations each),
+    * scan-local encoding, ADC top-40 shortlist for probe vec 0, exact
+    * integer rerank to top-10. EVERYTHING — training, codes, LUTs,
+    * ADC sums, rerank — is integer arithmetic, so the oracle replays
+    * the complete pipeline (both subspace trainings included) and
+    * hash-matches bit-for-bit; no other PQ implementation clears that
+    * bar. Scale: the query scans the m-long codes, not the embeddings.
+    */
+  def q139PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val model = graft.similarity.Pq.train(e, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 2)
+    val encoded = graft.similarity.Pq.encode(e, "embedding", model)
+    graft.similarity.Pq.adcTopK(encoded, "embedding", "vec_id", model,
+      probe, k = 10, overfetch = 4, excludeId = Some(0L))
+  }
+
+  val q139Sql: String = {
+    def intDist(a: String, b: String): String =
+      s"""list_aggregate(list_transform(range(1, len($a) + 1),
+         |    i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')""".stripMargin
+    // one fixed-point Lloyd step for subspace s: assignment under
+    // c{it-1}s{s}, floored-mean update → c{it}s{s} (the q124 replay)
+    def step(it: Int, s: Int, prev: String): String =
+      s"""d${it}s$s AS (SELECT q.vec_id, q.qv, c.cid,
+         |  ${intDist("q.qv", "c.cv")} AS dist
+         |  FROM qs$s q, $prev c),
+         |a${it}s$s AS (SELECT vec_id, qv, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM d${it}s$s) WHERE rn = 1),
+         |u${it}s$s AS (SELECT cid, UNNEST(range(1, len(qv) + 1)) AS i,
+         |    UNNEST(qv) AS x FROM a${it}s$s),
+         |m${it}s$s AS (SELECT cid, i, SUM(x) AS sv, COUNT(*) AS n
+         |  FROM u${it}s$s GROUP BY cid, i),
+         |n${it}s$s AS (SELECT cid, list(CAST((sv - ((sv % n) + n) % n) // n
+         |    AS BIGINT) ORDER BY i) AS cv
+         |  FROM m${it}s$s GROUP BY cid),
+         |c${it}s$s AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN n${it}s$s m ON p.cid = m.cid)""".stripMargin
+    def subspace(s: Int, lo: Int, hi: Int): String =
+      s"""qs$s AS (SELECT vec_id, qv[$lo:$hi] AS qv FROM q),
+         |c0s$s AS (SELECT vec_id AS cid, qv AS cv FROM qs$s
+         |  ORDER BY vec_id LIMIT 4),
+         |${step(1, s, s"c0s$s")},
+         |${step(2, s, s"c1s$s")},
+         |code$s AS (SELECT vec_id, cid AS code FROM (
+         |  SELECT q.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${intDist("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM qs$s q, c2s$s c) WHERE rn = 1),
+         |lut$s AS (SELECT c.cid, ${intDist("p.qv", "c.cv")} AS d
+         |  FROM c2s$s c, (SELECT qv FROM qs$s WHERE vec_id = 0) p),
+         |adc$s AS (SELECT code$s.vec_id, lut$s.d
+         |  FROM code$s JOIN lut$s ON code$s.code = lut$s.cid)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${subspace(0, 1, 32)},
+       |${subspace(1, 33, 64)},
+       |adc AS (SELECT a0.vec_id, a0.d + a1.d AS adc_q
+       |  FROM adc0 a0 JOIN adc1 a1 ON a0.vec_id = a1.vec_id),
+       |short AS (SELECT vec_id, adc_q FROM adc WHERE vec_id <> 0
+       |  ORDER BY adc_q, vec_id LIMIT 40),
+       |rer AS (SELECT s.vec_id, s.adc_q, ${intDist("q.qv", "pq.qv")} AS dist_q
+       |  FROM short s JOIN q ON q.vec_id = s.vec_id,
+       |    (SELECT qv FROM q WHERE vec_id = 0) pq)
+       |SELECT vec_id, CAST(adc_q AS BIGINT) AS adc_q,
+       |  CAST(dist_q AS BIGINT) AS dist_q
+       |FROM rer ORDER BY dist_q, vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_pq_ann" -> (q139PqAnn _),
     "q138_stream_drift" -> (q138StreamDrift _),
     "q137_hard_negatives" -> (q137HardNegatives _),
     "q136_ann_recall" -> (q136AnnRecall _),
@@ -4511,6 +4587,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q139_pq_ann" -> q139Sql,
     "q138_stream_drift" -> q138Sql,
     "q137_hard_negatives" -> q137Sql,
     "q136_ann_recall" -> q136Sql,

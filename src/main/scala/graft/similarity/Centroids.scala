@@ -127,6 +127,16 @@ object Centroids {
     */
   def lloyd(df: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int, scale: Long = 4096L): DataFrame = {
+    val q = df.withColumn("__q", quantizeVec(col(embCol), scale))
+    assignQuantized(q, "__q", lloydTrain(df, idCol, embCol, k, iters, scale))
+  }
+
+  /** The training loop of [[lloyd]] alone: returns the FINAL quantized
+    * centroids `(cid, vector)` without the assignment frame — the form
+    * product quantization ([[Pq]]) consumes per subspace.
+    */
+  def lloydTrain(df: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int, scale: Long = 4096L): Seq[(Long, Seq[Long])] = {
     require(k > 0 && iters >= 0, "k > 0, iters >= 0")
     val q = df.withColumn("__q", quantizeVec(col(embCol), scale))
     // dim from one row (bounded single-row job, limit-pushed)
@@ -152,7 +162,7 @@ object Centroids {
         (cid, updated.getOrElse(cid, old))
       }
     }
-    assignQuantized(q, "__q", cents)
+    cents
   }
 
   /** Deterministic seed centroids: the k rows with the smallest ids.

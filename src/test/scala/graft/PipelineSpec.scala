@@ -1266,6 +1266,37 @@ class PipelineSpec extends SparkSpec {
     assert(full.getAs[Long]("recall_pct") === 100L)
   }
 
+  test("PQ: codes drawn from codebooks; full-overfetch ADC = exact top-k") {
+    import graft.similarity.{Centroids, Pq}
+    val rnd = new scala.util.Random(7)
+    val embs = (0L until 120L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val probeV = embs.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val model = Pq.train(embs, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iters = 2)
+    assert(model.books.size === 2 && model.books.forall(_.size === 4))
+    val enc = Pq.encode(embs, "embedding", model)
+    (0 until 2).foreach { s =>
+      val ids = model.books(s).map(_._1).toSet
+      assert(enc.select(col(s"code_$s")).distinct()
+        .collect().map(_.getLong(0)).forall(ids.contains))
+    }
+    // when the shortlist spans the corpus, the rerank IS the exact
+    // integer search — codebook quality cannot matter
+    val got = Pq.adcTopK(enc, "embedding", "vec_id", model, probeV,
+        k = 5, overfetch = 24, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val pq = probeV.map(x => math.floor(x.toDouble * 4096).toLong).toSeq
+    val exact = embs.filter(col("vec_id") =!= 0L)
+      .withColumn("dist_q", Centroids.sqDistLong(
+        Centroids.quantizeVec(col("embedding"), 4096L), typedLit(pq)))
+      .orderBy(col("dist_q"), col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("dist_q")))
+    assert(got.toSeq === exact.toSeq)
+  }
+
   test("hardNegatives: positives excluded, negatives ranked by cosine") {
     // anchor (1,0); cosines: id1 → 1.0 (positive at thr 0.9),
     // id2=(3,4) → 0.6, id3=(0,1) → 0.0, id4=(-1,0) → -1.0
