@@ -587,4 +587,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.linesIterator.count(
       _.trim.startsWith("Arguments: hashpartitioning")) == 1, p)
   }
+
+  test("q135: LM scoring joins are hash equi-joins; no nested loop") {
+    val p = plan(PipelineQueries.q135LmSurprisal(spark, dir))
+    // model assembly (bigram x unigram) and stream scoring both key on
+    // token/bigram equality — at corpus scale nothing may nested-loop
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("q137: anchors broadcast to the corpus scan; top-k is the bounded aggregate") {
+    val p = plan(PipelineQueries.q137HardNegatives(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // gated anchors x corpus
+    assert(p.contains("ObjectHashAggregate"), p)     // TopKAgg, not a window
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q139: PQ encode + ADC are scan-local — codes via literal codebooks, no join") {
+    import graft.similarity.Pq
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val model = Pq.train(e, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 1)
+    val enc = Pq.encode(e, "embedding", model)
+    val pe = plan(enc)
+    assert(!pe.contains("Join"), pe)
+    assert(!pe.contains("Exchange"), pe) // pure projection over the scan
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val pq = plan(Pq.adcTopK(enc, "embedding", "vec_id", model, probe,
+      k = 10, excludeId = Some(0L)))
+    assert(!pq.contains("Join"), pq)
+    assert(pq.contains("TakeOrderedAndProject"), pq) // shortlist + rerank
+  }
 }
