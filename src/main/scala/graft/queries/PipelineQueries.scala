@@ -4483,7 +4483,73 @@ object PipelineQueries {
        |FROM rer ORDER BY dist_q, vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q140
+  /** Dataset card: the release-notes statistics table a training-data
+    * drop ships with — GROUPING SETS over (source, lang) rolling up
+    * doc counts, token totals/means, quality-gate pass rate, canonical
+    * duplicate share, and PII incidence in ONE job. Every fragment is a
+    * previously-proven portable form (q34 token counts, q108 canonical
+    * key, q52 PII counts, q119 grouping sets); the only shuffles are
+    * the narrow canonical-key census + join-back and the Expand
+    * aggregation — no row ever carries text past its scan.
+    */
+  def q140DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("nt", size(TextAnalysis.tokens(col("text"))))
+      .withColumn("ck", md5(TextAnalysis.canonicalize(col("text"))))
+      .withColumn("n_pii",
+        regexp_count(col("text"), lit(TextAnalysis.emailPattern))
+          + regexp_count(col("text"), lit(TextAnalysis.ipv4Pattern))
+          + regexp_count(col("text"), lit(TextAnalysis.phonePattern)))
+    val dup = d.groupBy(col("ck")).agg(count(lit(1)).as("n_ck"))
+    d.select(col("source"), col("lang"), col("nt"), col("ck"), col("n_pii"))
+      .join(dup, Seq("ck"))
+      .groupingSets(
+        Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+          Seq(col("lang")), Seq.empty),
+        col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("sum_tokens"),
+        sum(when(col("nt") >= 8, 1L).otherwise(0L)).as("n_gate_pass"),
+        sum(when(col("n_ck") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_pii_docs"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("sum_tokens"),
+        expr("sum_tokens div n_docs").as("mean_tokens"),
+        col("n_gate_pass"), col("n_dup_docs"), col("n_pii_docs"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q140Sql: String = {
+    def cnt(p: String): String = s"len(regexp_extract_all(text, '$p'))"
+    s"""WITH c AS (SELECT source, lang,
+       |  len(string_split(text, ' ')) AS nt,
+       |  md5(trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ck,
+       |  ${cnt(TextAnalysis.emailPattern)}
+       |    + ${cnt(TextAnalysis.ipv4Pattern)}
+       |    + ${cnt(TextAnalysis.phonePattern)} AS n_pii
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT ck, COUNT(*) AS n_ck FROM c GROUP BY ck),
+       |j AS (SELECT c.*, g.n_ck FROM c JOIN g ON c.ck = g.ck)
+       |SELECT COALESCE(source, 'ALL') AS source,
+       |  COALESCE(lang, 'ALL') AS lang,
+       |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(nt) // COUNT(*) AS BIGINT) AS mean_tokens,
+       |  CAST(SUM(CASE WHEN nt >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_gate_pass,
+       |  CAST(SUM(CASE WHEN n_ck > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pii_docs
+       |FROM j GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+       |ORDER BY source, lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_dataset_card" -> (q140DatasetCard _),
     "q139_pq_ann" -> (q139PqAnn _),
     "q138_stream_drift" -> (q138StreamDrift _),
     "q137_hard_negatives" -> (q137HardNegatives _),
@@ -4587,6 +4653,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q140_dataset_card" -> q140Sql,
     "q139_pq_ann" -> q139Sql,
     "q138_stream_drift" -> q138Sql,
     "q137_hard_negatives" -> q137Sql,
