@@ -760,6 +760,35 @@ object ScaleSmoke {
         .groupBy(col("c0"), (col("d") - col("c0")).as("off"))
         .agg(count(lit(1))).agg(count(lit(1))).collect()
     }
+    // bigram-LM train+score: two token-keyed censuses + one model join
+    // over the exploded stream — replicas have disjoint vocabularies so
+    // the model table grows m× too; everything stays keyed ⇒ ~linear
+    leg("lm surprisal")(corpus) { d =>
+      graft.text.LangModel.withBigramSurprisal(d, "text", "doc_id")
+        .agg(sum(col("surprisal")), sum(col("n_bigrams"))).collect()
+    }
+    // PQ full pipeline (train m=2/k=4/iters=1, encode, ADC top-10 +
+    // rerank): per-iteration literal-centroid scans + a scan-local
+    // encode + TakeOrdered query ⇒ ~linear, nothing quadratic
+    leg("pq train+query")(scaledEmb) { e =>
+      val probe = e.orderBy(col("vec_id")).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val model = graft.similarity.Pq.train(e, "vec_id", "embedding",
+        dim = 64, m = 2, k = 4, iters = 1)
+      val enc = graft.similarity.Pq.encode(e, "embedding", model)
+      graft.similarity.Pq.adcTopK(enc, "embedding", "vec_id", model,
+        probe, k = 10).collect()
+    }
+    // hard-negative mining at a FIXED anchor count (gate widens with
+    // m): one broadcast-anchor corpus scan + bounded top-k ⇒ ~linear
+    leg("hard negatives") { m => scaledEmb(m) } { e =>
+      val n = e.count()
+      val gateMod = math.max(1L, n / 20L)
+      graft.similarity.Ann.hardNegatives(e, "embedding", "vec_id",
+          pmod(col("vec_id"), lit(gateMod)) === 0L,
+          posThreshold = 0.5, k = 3)
+        .agg(count(lit(1)), sum(col("neg_id"))).collect()
+    }
     spark.stop()
   }
 }
