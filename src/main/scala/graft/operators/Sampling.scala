@@ -68,4 +68,47 @@ object Sampling {
       explode(when(copies >= 1, sequence(lit(1), copies))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** EXACT-total stratified sampling by the LARGEST-REMAINDER
+    * (Hamilton) apportionment: exactly `totalK` rows overall, each
+    * stratum's share proportional to its size — `floor(n_s·K/N)` seats
+    * plus one bonus seat to the largest remainders (ties to the
+    * lexicographically smaller stratum) — the eval-set construction
+    * rule when "exactly K examples, proportionally stratified" is the
+    * contract (per-stratum rates can't hit an exact total; per-stratum
+    * caps can't apportion one). Within a stratum rows are picked by
+    * the q132 reservoir rule: smallest (seeded portable hash, id).
+    *
+    * Scale shape: the strata census collects at one row per stratum
+    * (bounded — strata are domains/languages, not data); selection runs
+    * through the bounded [[graft.operators.TopKAgg]] at k = max quota,
+    * so the shuffle carries <= k rows per (stratum, task), never a
+    * stratum's row set; the quota filter joins a broadcast-sized table.
+    * Returns the kept rows as (stratumCol, id, rank, quota).
+    */
+  def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
+      totalK: Int, seed: Long = 42L): DataFrame = {
+    require(totalK > 0, "totalK must be positive")
+    import df.sparkSession.implicits._
+    val census = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val n = census.map(_._2).sum
+    val base = census.map { case (s, ns) =>
+      (s, ns * totalK / n, ns * totalK % n, ns)
+    }
+    val extras = (totalK - base.map(_._2).sum).toInt
+    val bonus = base.sortBy { case (s, _, rem, _) => (-rem, s) }
+      .take(extras).map(_._1).toSet
+    val quotas = base.map { case (s, q, _, ns) =>
+      (s, math.min(q + (if (bonus(s)) 1L else 0L), ns))
+    }
+    val qmax = quotas.map(_._2).max.toInt
+    val h = pmod(graft.dedup.Dedup.portableHash60(
+      concat(col(idCol).cast("string"), lit(s"#$seed"))), lit(1L << 50))
+    val ranked = TopK.topKPerGroup(df.withColumn("__h", h),
+      Seq(stratumCol), -col("__h"), col(idCol), math.max(qmax, 1))
+    ranked.join(broadcast(quotas.toDF(stratumCol, "quota")), Seq(stratumCol))
+      .filter(col("rank") <= col("quota"))
+      .select(col(stratumCol), col("id").as(idCol), col("rank"), col("quota"))
+  }
 }

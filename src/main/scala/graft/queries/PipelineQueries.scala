@@ -4548,7 +4548,50 @@ object PipelineQueries {
        |ORDER BY source, lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q141
+  /** Exact-total stratified sampling by largest-remainder apportionment
+    * ([[graft.operators.Sampling.quotaSample]]): exactly 137 documents,
+    * proportionally apportioned over sources with Hamilton bonus seats,
+    * rows picked per stratum by the q132 (hash, id) reservoir rule.
+    * The census checks the full kept set (ids summed) and the quota
+    * arithmetic; the oracle replays apportionment + ranking in SQL.
+    */
+  def q141QuotaSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.quotaSample(
+        t(s, dir, "documents"), "source", "doc_id", totalK = 137)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_kept"),
+        max(col("quota")).as("quota"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+
+  val q141Sql: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |t AS (SELECT SUM(n) AS nt, CAST(137 AS BIGINT) AS k FROM c),
+      |b AS (SELECT source, n, (n * k) // nt AS q0, (n * k) % nt AS rem
+      |  FROM c, t),
+      |e AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+      |    AS rr FROM b),
+      |q AS (SELECT source, n,
+      |  least(q0 + CASE WHEN rr <= (SELECT k FROM t)
+      |      - (SELECT SUM(q0) FROM b) THEN 1 ELSE 0 END, n) AS quota
+      |  FROM e),
+      |h AS (SELECT source, doc_id,
+      |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#42'),
+      |    1, 15)) AS BIGINT) % 1125899906842624 AS hv
+      |  FROM documents),
+      |r AS (SELECT source, doc_id, ROW_NUMBER() OVER (
+      |    PARTITION BY source ORDER BY hv, doc_id) AS rn FROM h),
+      |kept AS (SELECT r.source, r.doc_id FROM r
+      |  JOIN q ON r.source = q.source WHERE r.rn <= q.quota)
+      |SELECT q.source, CAST(COUNT(kept.doc_id) AS BIGINT) AS n_kept,
+      |  CAST(q.quota AS BIGINT) AS quota,
+      |  CAST(COALESCE(SUM(kept.doc_id), 0) AS BIGINT) AS sum_ids
+      |FROM q JOIN kept ON kept.source = q.source
+      |GROUP BY q.source, q.quota ORDER BY q.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_quota_sample" -> (q141QuotaSample _),
     "q140_dataset_card" -> (q140DatasetCard _),
     "q139_pq_ann" -> (q139PqAnn _),
     "q138_stream_drift" -> (q138StreamDrift _),
@@ -4653,6 +4696,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q141_quota_sample" -> q141Sql,
     "q140_dataset_card" -> q140Sql,
     "q139_pq_ann" -> q139Sql,
     "q138_stream_drift" -> q138Sql,

@@ -1266,6 +1266,25 @@ class PipelineSpec extends SparkSpec {
     assert(full.getAs[Long]("recall_pct") === 100L)
   }
 
+  test("quotaSample: Hamilton apportionment, exact total, bonus to largest remainder") {
+    import graft.operators.Sampling
+    // strata a:5 b:3 c:2, K=7 → floors 3/2/1 (remainders 5/1/4),
+    // one bonus seat → a gets it: quotas 4/2/1
+    val rows = (0 until 5).map(i => (s"a", i.toLong)) ++
+      (0 until 3).map(i => (s"b", 100L + i)) ++
+      (0 until 2).map(i => (s"c", 200L + i))
+    val df = rows.toDF("source", "doc_id")
+    val kept = Sampling.quotaSample(df, "source", "doc_id", totalK = 7)
+    val quotas = kept.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(quotas === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(kept.count() === 7L)
+    // exact-total contract holds on the fixture too
+    val fx = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    assert(Sampling.quotaSample(fx, "source", "doc_id", 137).count() === 137L)
+  }
+
   test("PQ: codes drawn from codebooks; full-overfetch ADC = exact top-k") {
     import graft.similarity.{Centroids, Pq}
     val rnd = new scala.util.Random(7)
