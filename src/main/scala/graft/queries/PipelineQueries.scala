@@ -4590,7 +4590,65 @@ object PipelineQueries {
       |FROM q JOIN kept ON kept.source = q.source
       |GROUP BY q.source, q.quota ORDER BY q.source""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Streaming incremental stats maintenance
+    * ([[StreamingOps.incrementalStatsStream]]): a per-source monoid
+    * stats table (docs / tokens / PII-doc counts) merged across 3
+    * document micro-batches — the corpus dashboard's materialized view,
+    * maintained without re-scanning history. The oracle is the
+    * ONE-SHOT census over all documents: incremental ≡ batch is
+    * exactly the property the operator must hold.
+    */
+  def q142StreamStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("source"))
+    val tmp = java.nio.file.Files.createTempDirectory("q142").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (0 until 3).foreach { kk =>
+      val stage = s"$tmp/stage$kk"
+      docs.filter(pmod(col("doc_id"), lit(3)) === kk).coalesce(1)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val table = s"$tmp/table"
+    val nPii = regexp_count(col("text"), lit(TextAnalysis.emailPattern)) +
+      regexp_count(col("text"), lit(TextAnalysis.ipv4Pattern)) +
+      regexp_count(col("text"), lit(TextAnalysis.phonePattern))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = StreamingOps.incrementalStatsStream(stream, "source", Seq(
+        "n_docs" -> count(lit(1)),
+        "sum_tokens" -> sum(size(TextAnalysis.tokens(col("text"))).cast("long")),
+        "n_pii_docs" -> sum(when(nPii > 0, 1L).otherwise(0L))), table)()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(table).orderBy(col("source"))
+  }
+
+  val q142Sql: String = {
+    def cnt(p: String): String = s"len(regexp_extract_all(text, '$p'))"
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(CASE WHEN ${cnt(TextAnalysis.emailPattern)}
+       |      + ${cnt(TextAnalysis.ipv4Pattern)}
+       |      + ${cnt(TextAnalysis.phonePattern)} > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_pii_docs
+       |FROM documents WHERE text IS NOT NULL
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_stream_stats" -> (q142StreamStats _),
     "q141_quota_sample" -> (q141QuotaSample _),
     "q140_dataset_card" -> (q140DatasetCard _),
     "q139_pq_ann" -> (q139PqAnn _),
@@ -4696,6 +4754,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q142_stream_stats" -> q142Sql,
     "q141_quota_sample" -> q141Sql,
     "q140_dataset_card" -> q140Sql,
     "q139_pq_ann" -> q139Sql,

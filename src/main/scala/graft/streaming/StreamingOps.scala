@@ -220,6 +220,58 @@ object StreamingOps {
       } finally hist.unpersist(false)
     }.start()
 
+  /** Incremental materialized aggregate: maintain a per-key stats
+    * table across micro-batches by merging each batch's census into
+    * the stored table — the incremental-rollup counterpart of
+    * [[upsertStream]] (which maintains ROWS; this maintains
+    * AGGREGATES, the "materialized view" a corpus dashboard reads
+    * without ever re-scanning the corpus). Every `aggs` entry must be
+    * a SUM-MERGEABLE (monoid) aggregate — counts and sums, not
+    * averages; derive ratios at read time.
+    *
+    * State is the aggregate table itself: one row per key, no state
+    * store, no watermark, re-bootstrap = drop the directory. The merge
+    * is a full-outer join of two aggregate-sized frames (broadcast
+    * scale); the merged result is MATERIALIZED (eager localCheckpoint)
+    * before overwriting its own read path — the [[graft.operators
+    * .Upsert.upsertPartitioned]] crash-window rule.
+    */
+  def incrementalStatsStream(docs: DataFrame, keyCol: String,
+      aggs: Seq[(String, org.apache.spark.sql.Column)], tableDir: String)(
+      onBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(aggs.nonEmpty, "need at least one aggregate")
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val census = batch.groupBy(col(keyCol))
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      val dir = new java.io.File(tableDir)
+      val hasState = dir.exists() && dir.listFiles() != null &&
+        dir.listFiles().exists(_.getName.endsWith(".parquet"))
+      val merged =
+        if (!hasState) census
+        else {
+          val names = aggs.map(_._1)
+          val old = spark.read.parquet(tableDir).select(
+            col(keyCol) +: names.map(n => col(n).as(s"__o_$n")): _*)
+          val neu = census.select(
+            col(keyCol) +: names.map(n => col(n).as(s"__b_$n")): _*)
+          old.join(neu, Seq(keyCol), "full_outer")
+            .select(col(keyCol) +: names.map(n =>
+              (coalesce(col(s"__o_$n"), lit(0L))
+                + coalesce(col(s"__b_$n"), lit(0L))).as(n)): _*)
+        }
+      val m = merged.localCheckpoint()
+      val pinned = m.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
+      try m.coalesce(1).write.mode("overwrite").parquet(tableDir)
+      finally pinned.foreach(_.unpersist(blocking = false))
+      onBatch(id)
+    }.start()
+  }
+
   /** CDC apply: maintain a Hive-partitioned parquet table from a stream
     * of upserts. Each micro-batch is first resolved to its LATEST row
     * per key (highest `versionCol` — multi-version CDC batches are

@@ -194,6 +194,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental stats: merged table equals one-shot census") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "source")
+    val table = java.nio.file.Files.createTempDirectory("istats").toString + "/t"
+    val q = StreamingOps.incrementalStatsStream(docs, "source", Seq(
+      "n_docs" -> count(lit(1)),
+      "sum_tokens" -> sum(org.apache.spark.sql.functions.size(
+        graft.text.TextAnalysis.tokens(col("text"))).cast("long"))), table)()
+    try {
+      input.addData((1L, "a b c", "s1"), (2L, "d e", "s2"))
+      q.processAllAvailable()
+      // batch 2 touches s1 (merge) and s3 (insert); s2 must carry over
+      input.addData((3L, "f", "s1"), (4L, "g h i j", "s3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(table).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("s1", 2L, 4L), ("s2", 1L, 2L), ("s3", 1L, 4L)))
+  }
+
   test("drift monitor: reference-identical chunk drifts 0, disjoint > 0") {
     implicit val sqlCtx = spark.sqlContext
     val refDocs = Seq("alpha beta gamma", "alpha delta", "beta beta")
