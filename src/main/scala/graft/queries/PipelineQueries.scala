@@ -4647,7 +4647,41 @@ object PipelineQueries {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q143
+  /** Per-type OLS trend ([[graft.operators.Regression.trendCensus]]):
+    * value-cents regressed on event-hour per event_type — exact BIGINT
+    * moments in one census, slope from the closed form in
+    * deterministic double, quantized. The "is this metric drifting per
+    * segment" analytics query as a single map-side-combined pass.
+    */
+  def q143TrendOls(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.trendCensus(
+        Tables.load(s, dir, "events"), Seq("event_type"),
+        expr("unix_micros(ts) div 3600000000"),
+        floor(col("value") * 100))
+      .orderBy(col("event_type"))
+
+  val q143Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  epoch_ns(ts) // 1000 // 3600000000 AS x,
+      |  CAST(FLOOR(value * 100) AS BIGINT) AS y FROM events),
+      |g AS (SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+      |  CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sum_xx
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n, sum_x, sum_y, sum_xy, sum_xx,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+      |      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) = 0 THEN NULL
+      |    ELSE CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+      |        - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+      |        - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) END AS slope_q
+      |FROM g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_trend_ols" -> (q143TrendOls _),
     "q142_stream_stats" -> (q142StreamStats _),
     "q141_quota_sample" -> (q141QuotaSample _),
     "q140_dataset_card" -> (q140DatasetCard _),
@@ -4754,6 +4788,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q143_trend_ols" -> q143Sql,
     "q142_stream_stats" -> q142Sql,
     "q141_quota_sample" -> q141Sql,
     "q140_dataset_card" -> q140Sql,

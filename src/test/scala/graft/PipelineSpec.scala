@@ -1266,6 +1266,21 @@ class PipelineSpec extends SparkSpec {
     assert(full.getAs[Long]("recall_pct") === 100L)
   }
 
+  test("trendCensus: exact slope on a perfect line; null on zero variance") {
+    import graft.operators.Regression
+    val pts = Seq(
+      ("up", 0L, 0L), ("up", 1L, 2L), ("up", 2L, 4L),    // slope exactly 2
+      ("down", 0L, 10L), ("down", 2L, 4L),               // slope -3
+      ("flatx", 5L, 1L), ("flatx", 5L, 9L))              // no x variance
+      .toDF("g", "x", "y")
+    val out = Regression.trendCensus(pts, Seq("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(r.fieldIndex("slope_q"))) None
+        else Some(r.getAs[Long]("slope_q")))).toMap
+    assert(out === Map("up" -> Some(2000000L),
+      "down" -> Some(-3000000L), "flatx" -> None))
+  }
+
   test("quotaSample: Hamilton apportionment, exact total, bonus to largest remainder") {
     import graft.operators.Sampling
     // strata a:5 b:3 c:2, K=7 → floors 3/2/1 (remainders 5/1/4),
