@@ -4680,7 +4680,75 @@ object PipelineQueries {
       |      * 1000000.0) AS BIGINT) END AS slope_q
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  /** Multi-probe LSH recall curve ([[Ann.lshRecallCurve]]): q136's
+    * recall census swept over probe widths 0/1/2 hyperplane flips in
+    * one pass — the recall-vs-cost operating-point table. Level sets
+    * nest by construction, so recall is monotone in probe width (the
+    * spec pins it); the oracle enumerates the same XOR masks.
+    */
+  def q144RecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    Ann.lshRecallCurve(e, "embedding", "vec_id",
+      pmod(col("vec_id"), lit(25L)) === 0L, k = 10, dim = dim,
+      numPlanes = 4, maxProbeBits = 2)
+  }
+
+  val q144Sql: String = {
+    def cos(x: String, p: String): String =
+      s"""(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum') /
+         |  (sqrt(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)), 'sum')) *
+         |   sqrt(list_aggregate(list_transform(range(1, len($p) + 1),
+         |    i -> CAST($p[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum'))))""".stripMargin
+    def proj(p: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val masks = Seq((0, 0), (1, 1), (2, 1), (4, 1), (8, 1),
+      (3, 2), (5, 2), (6, 2), (9, 2), (10, 2), (12, 2))
+      .map { case (m, d) => s"($m, $d)" }.mkString(", ")
+    s"""WITH pr AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |sc AS (SELECT pid, e.vec_id AS nid, ${cos("e.embedding", "pe")} AS c
+       |  FROM embeddings e, pr WHERE e.vec_id <> pid),
+       |ex AS (SELECT pid, nid FROM (SELECT pid, nid,
+       |  ROW_NUMBER() OVER (PARTITION BY pid ORDER BY c DESC, nid ASC) AS rn
+       |  FROM sc) WHERE rn <= 10),
+       |bk AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+       |pbk AS (SELECT pr.pid, pr.pe, bk.bucket AS pbucket
+       |  FROM pr JOIN bk ON pr.pid = bk.vec_id),
+       |mk AS (SELECT * FROM (VALUES $masks) AS t(mask, hd)),
+       |cand AS (SELECT pbk.pid, b.vec_id AS nid,
+       |  ${cos("b.embedding", "pbk.pe")} AS c, mk.hd
+       |  FROM pbk CROSS JOIN mk
+       |  JOIN bk b ON b.bucket = xor(pbk.pbucket, CAST(mk.mask AS BIGINT))
+       |  WHERE b.vec_id <> pbk.pid),
+       |lv AS (SELECT cand.pid, cand.nid, cand.c, gs.l FROM cand
+       |  JOIN (VALUES (0), (1), (2)) AS gs(l) ON gs.l >= cand.hd),
+       |ap AS (SELECT l, pid, nid FROM (SELECT l, pid, nid,
+       |  ROW_NUMBER() OVER (PARTITION BY l, pid ORDER BY c DESC, nid ASC)
+       |    AS rn FROM lv) WHERE rn <= 10),
+       |hits AS (SELECT l, COUNT(*) AS n_hits FROM ap
+       |  JOIN ex ON ap.pid = ex.pid AND ap.nid = ex.nid GROUP BY l),
+       |na AS (SELECT l, COUNT(*) AS n_approx FROM ap GROUP BY l)
+       |SELECT na.l AS probe_bits,
+       |  (SELECT COUNT(*) FROM pr) AS n_probes,
+       |  (SELECT COUNT(*) FROM ex) AS n_exact,
+       |  na.n_approx, COALESCE(hits.n_hits, 0) AS n_hits,
+       |  (100 * COALESCE(hits.n_hits, 0)) // (SELECT COUNT(*) FROM ex)
+       |    AS recall_pct
+       |FROM na LEFT JOIN hits ON na.l = hits.l ORDER BY na.l""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_recall_curve" -> (q144RecallCurve _),
     "q143_trend_ols" -> (q143TrendOls _),
     "q142_stream_stats" -> (q142StreamStats _),
     "q141_quota_sample" -> (q141QuotaSample _),
@@ -4788,6 +4856,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q144_recall_curve" -> q144Sql,
     "q143_trend_ols" -> q143Sql,
     "q142_stream_stats" -> q142Sql,
     "q141_quota_sample" -> q141Sql,

@@ -426,6 +426,58 @@ object Ann {
       .withColumn("recall_pct", expr("(100 * n_hits) div n_exact"))
   }
 
+  /** Multi-probe recall CURVE: [[lshRecallCensus]] swept over probe
+    * widths 0..`maxProbeBits` in ONE pass — the recall-vs-scan-cost
+    * trade-off table that picks an index's operating point. Candidates
+    * are generated once at the WIDEST probe level (probe bucket XOR
+    * every <= maxProbeBits-flip mask, an equi-join on the bucket key);
+    * each candidate carries its flip distance and replays into every
+    * level >= it (a scan-local explode), so level sets are nested by
+    * construction and recall is provably monotone in probe width.
+    * Per-(level, probe) top-k runs through the bounded aggregate.
+    * Output: one row per probe_bits with the overlap census vs the
+    * exact [[knnJoin]] ground truth.
+    */
+  def lshRecallCurve(df: DataFrame, embCol: String, idCol: String,
+      probeGate: Column, k: Int, dim: Int, numPlanes: Int = 4,
+      maxProbeBits: Int = 2): DataFrame = {
+    val probes = df.filter(probeGate)
+      .select(col(idCol).as("__pid"), col(embCol).as("__pemb"))
+    val exact = knnJoin(df, embCol, idCol, probes, "__pid", "__pemb", k)
+      .select(col("__pid"), col(idCol).as("__nid"))
+    val bucketed = df.select(col(idCol), col(embCol),
+      lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
+    val masks: Seq[(Long, Int)] = (0 to maxProbeBits).flatMap(d =>
+      (0 until numPlanes).combinations(d).map(c => (c.map(1L << _).sum, d)))
+    import df.sparkSession.implicits._
+    val pb = probes
+      .withColumn("__pbucket", lshBucketPortable(col("__pemb"), dim, numPlanes))
+      .crossJoin(broadcast(masks.toDF("__mask", "__hd")))
+      .select(col("__pid"), col("__pemb"),
+        col("__pbucket").bitwiseXOR(col("__mask")).as("__bucket"),
+        col("__hd"))
+    val cands = bucketed.join(broadcast(pb), Seq("__bucket"))
+      .filter(col(idCol) =!= col("__pid"))
+      .withColumn("__c", cosine(col(embCol), col("__pemb")))
+      .withColumn("probe_bits",
+        explode(sequence(col("__hd"), lit(maxProbeBits))))
+    val approx = graft.operators.TopK.topKPerGroup(cands,
+        Seq("probe_bits", "__pid"), col("__c"), col(idCol), k)
+      .select(col("probe_bits"), col("__pid"), col("id").as("__nid"))
+    val hits = approx.join(exact, Seq("__pid", "__nid"))
+      .groupBy(col("probe_bits")).agg(count(lit(1)).as("n_hits"))
+    val perLevel = approx.groupBy(col("probe_bits"))
+      .agg(count(lit(1)).as("n_approx"))
+    val nProbes = probes.count()
+    val nExact = exact.count()
+    perLevel.join(hits, Seq("probe_bits"), "left")
+      .select(col("probe_bits"),
+        lit(nProbes).as("n_probes"), lit(nExact).as("n_exact"),
+        col("n_approx"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_pct", expr("(100 * n_hits) div n_exact"))
+      .orderBy(col("probe_bits"))
+  }
+
   /** Contrastive-pair mining: for each anchor, the count of POSITIVES
     * (cosine >= `posThreshold` — the near-duplicate/paraphrase set a
     * contrastive loss treats as matches) and the top-`k` HARD NEGATIVES

@@ -1331,6 +1331,27 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq === exact.toSeq)
   }
 
+  test("lshRecallCurve: nested levels, monotone recall, widest ⊇ census") {
+    val rnd = new scala.util.Random(17)
+    val embs = (0L until 200L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val rows = Ann.lshRecallCurve(embs, "embedding", "vec_id",
+        pmod(col("vec_id"), lit(20L)) === 0L, k = 5, dim = 8,
+        numPlanes = 3, maxProbeBits = 2)
+      .orderBy("probe_bits").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    val recalls = rows.map(_.getAs[Long]("recall_pct")).toSeq
+    assert(recalls === recalls.sorted) // nested candidate sets
+    val approx = rows.map(_.getAs[Long]("n_approx")).toSeq
+    assert(approx === approx.sorted)
+    // level 0 must agree with the single-bucket census
+    val census = Ann.lshRecallCensus(embs, "embedding", "vec_id",
+      pmod(col("vec_id"), lit(20L)) === 0L, k = 5, dim = 8,
+      numPlanes = 3).head()
+    assert(rows.head.getAs[Long]("n_hits") === census.getAs[Long]("n_hits"))
+  }
+
   test("hardNegatives: positives excluded, negatives ranked by cosine") {
     // anchor (1,0); cosines: id1 → 1.0 (positive at thr 0.9),
     // id2=(3,4) → 0.6, id3=(0,1) → 0.0, id4=(-1,0) → -1.0
