@@ -4747,7 +4747,152 @@ object PipelineQueries {
        |FROM na LEFT JOIN hits ON na.l = hits.l ORDER BY na.l""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q145
+  /** Multi-touch attribution (position-based / U-shaped): credit each
+    * converting user's pre-conversion touches in integer BASIS POINTS
+    * — 40% first touch, 40% last, 20% split across middles with floor
+    * division and the remainder to the EARLIEST middles (so every
+    * journey's credit sums to exactly 10000, the spec invariant).
+    * One user-keyed shuffle: first-conversion argmin, touch ranking,
+    * credit arithmetic are all windows over that partitioning.
+    */
+  def q145Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.uShapedCredit(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us")),
+        "user_id", "event_id", "event_type", "us")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("credit_bp")).as("credit_bp"))
+      .orderBy(col("event_type"))
+
+  val q145Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  epoch_ns(ts) // 1000 AS us FROM events),
+      |cv AS (SELECT user_id, us AS c_us, event_id AS c_id FROM (
+      |  SELECT user_id, us, event_id, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |  FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+      |t AS (SELECT e.user_id, e.event_id, e.event_type, e.us FROM e
+      |  JOIN cv ON e.user_id = cv.user_id
+      |  WHERE e.event_type <> 'purchase' AND (e.us < cv.c_us
+      |    OR (e.us = cv.c_us AND e.event_id < cv.c_id))),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS r,
+      |  COUNT(*) OVER (PARTITION BY user_id) AS n FROM t),
+      |cr AS (SELECT event_type, user_id, CASE WHEN n = 1 THEN 10000
+      |  WHEN r = 1 OR r = n THEN 4000
+      |  ELSE 2000 // (n - 2)
+      |    + CASE WHEN r - 2 < 2000 % (n - 2) THEN 1 ELSE 0 END
+      |  END AS credit_bp FROM r)
+      |SELECT event_type, COUNT(*) AS n_touches,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(credit_bp) AS BIGINT) AS credit_bp
+      |FROM cr GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q146
+  /** Event-transition (Markov) census: per-user next-event pairs via
+    * one lead window, counted per (src, dst) with integer mean gap —
+    * the behavioral transition matrix behind journey analytics. One
+    * user-keyed shuffle, one census shuffle.
+    */
+  def q146Transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    ev.withColumn("nxt_type", lead(col("event_type"), 1).over(w))
+      .withColumn("nxt_us", lead(col("us"), 1).over(w))
+      .filter(col("nxt_type").isNotNull)
+      .select(col("event_type").as("src"), col("nxt_type").as("dst"),
+        expr("(nxt_us div 1000000) - (us div 1000000)").as("gap_s"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("sum_gap_s"))
+      .withColumn("mean_gap_s", expr("sum_gap_s div n"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val q146Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  epoch_ns(ts) // 1000 AS us FROM events),
+      |w AS (SELECT event_type AS src,
+      |  LEAD(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS dst,
+      |  LEAD(us) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS nxt_us, us FROM e),
+      |p AS (SELECT src, dst,
+      |  (nxt_us // 1000000) - (us // 1000000) AS gap_s
+      |  FROM w WHERE dst IS NOT NULL)
+      |SELECT src, dst, COUNT(*) AS n,
+      |  CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+      |  CAST(SUM(gap_s) // COUNT(*) AS BIGINT) AS mean_gap_s
+      |FROM p GROUP BY src, dst ORDER BY src, dst""".stripMargin
+
+  // ---------------------------------------------------------------- q147
+  /** Stream-stream LEFT OUTER interval join
+    * ([[StreamingOps.intervalJoinOuter]]): purchases with their
+    * lookback clicks, purchases with NO click emitting null on
+    * watermark expiry — the shape the inner q59 silently drops. The
+    * census cuts at max_ts − 2h (comfortably inside the 1h watermark)
+    * so it never depends on eviction edge semantics; the oracle
+    * replays the batch left join under the same cutoff.
+    */
+  def q147StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val maxUs = Tables.load(s, dir, "events")
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    val ev = StreamingOps.eventsStream(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val joined = StreamingOps.intervalJoinOuter(purchases, clicks,
+      "user_id", "p_ts", "c_ts", lookback = "30 minutes")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val result =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        StreamingOps.runToCompletionAppend(joined,
+          s"stream_oj_${dir.hashCode.abs}")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    result.filter(expr("unix_micros(p_ts)") < maxUs - 7200000000L)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_id").isNotNull, 1L).otherwise(0L)).as("n_matched_pairs"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        countDistinct(when(col("c_id").isNotNull, col("p_id")))
+          .as("n_purchases_matched"),
+        coalesce(sum(expr("(unix_micros(p_ts) div 1000000)" +
+          " - (unix_micros(c_ts) div 1000000)")), lit(0L)).as("sum_lag_sec"))
+  }
+
+  val q147Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_ns(ts) // 1000) AS m FROM events),
+      |p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000 AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, epoch_ns(ts) // 1000 AS c_us
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.p_id, p.p_us, c.c_id, c.c_us FROM p
+      |  LEFT JOIN c ON p.user_id = c.user_id
+      |    AND c.c_us >= p.p_us - 1800000000 AND c.c_us <= p.p_us),
+      |f AS (SELECT * FROM j, mx WHERE p_us < m - 7200000000)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN c_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_matched_pairs,
+      |  CAST(SUM(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched,
+      |  COUNT(DISTINCT CASE WHEN c_id IS NOT NULL THEN p_id END)
+      |    AS n_purchases_matched,
+      |  CAST(COALESCE(SUM((p_us // 1000000) - (c_us // 1000000)), 0)
+      |    AS BIGINT) AS sum_lag_sec
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_attribution" -> (q145Attribution _),
+    "q146_transitions" -> (q146Transitions _),
+    "q147_stream_outer_join" -> (q147StreamOuterJoin _),
     "q144_recall_curve" -> (q144RecallCurve _),
     "q143_trend_ols" -> (q143TrendOls _),
     "q142_stream_stats" -> (q142StreamStats _),
@@ -4856,6 +5001,9 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q145_attribution" -> q145Sql,
+    "q146_transitions" -> q146Sql,
+    "q147_stream_outer_join" -> q147Sql,
     "q144_recall_curve" -> q144Sql,
     "q143_trend_ols" -> q143Sql,
     "q142_stream_stats" -> q142Sql,

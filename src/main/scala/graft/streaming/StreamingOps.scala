@@ -398,6 +398,33 @@ object StreamingOps {
       .drop(s"__r_$key")
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]] but
+    * left rows with no right match within the lookback EMIT WITH NULLS
+    * once the watermark passes them — the "purchases that saw no click"
+    * stream, which an inner join silently drops. Outer emission is
+    * watermark-driven: a left row's null verdict is only safe when the
+    * right watermark has passed its timestamp, so the final
+    * `watermark` of the stream's tail never emits (census the result
+    * with an explicit time cutoff comfortably inside the watermark —
+    * see q147 — rather than relying on eviction edge semantics).
+    * State: both sides bounded by the watermark, same as the inner
+    * join; four state stores per shuffle partition.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(key, s"__r_$key")
+      .withWatermark(rightTs, watermark)
+    l.join(r,
+      col(key) === col(s"__r_$key") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs),
+      "left_outer")
+      .drop(s"__r_$key")
+  }
+
   /** Append-mode twin of [[runToCompletion]] for non-aggregating
     * stateful streams (joins, watermark-finalized output).
     */

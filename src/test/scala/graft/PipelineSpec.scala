@@ -1266,6 +1266,30 @@ class PipelineSpec extends SparkSpec {
     assert(full.getAs[Long]("recall_pct") === 100L)
   }
 
+  test("attribution: U-shaped integer credit sums to exactly 10000 per journey") {
+    import graft.operators.Attribution
+    // journeys: u1 has 5 touches (credits 4000,667,667,666,4000 — the
+    // 2000 middle pool floor-splits 666 with remainder 2 to the two
+    // EARLIEST middles), u2 has 1 touch (10000), u3 never converts;
+    // u1 also has a post-conversion touch that must not credit
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 11L, "click"), (1L, 12L, "view"),
+      (1L, 13L, "click"), (1L, 14L, "view"), (1L, 15L, "purchase"),
+      (1L, 16L, "click"),
+      (2L, 20L, "click"), (2L, 21L, "purchase"),
+      (3L, 30L, "view"))
+      .map { case (u, t, ty) => (u, t, ty, t * 1000000L) }
+      .toDF("user_id", "event_id", "event_type", "us")
+    val got = Attribution.uShapedCredit(ev,
+      "user_id", "event_id", "event_type", "us")
+    val perUser = got.groupBy("user_id").agg(sum(col("credit_bp")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perUser === Map(1L -> 10000L, 2L -> 10000L)) // u3 absent
+    val u1 = got.filter(col("user_id") === 1L).orderBy("r")
+      .collect().map(_.getAs[Long]("credit_bp")).toSeq
+    assert(u1 === Seq(4000L, 667L, 667L, 666L, 4000L))
+  }
+
   test("trendCensus: exact slope on a perfect line; null on zero variance") {
     import graft.operators.Regression
     val pts = Seq(

@@ -194,6 +194,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("outer interval join: unmatched left emits nulls after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = pIn.toDF().toDF("user_id", "p_ts", "p_id")
+    val clicks = cIn.toDF().toDF("user_id", "c_ts", "c_id")
+    val joined = StreamingOps.intervalJoinOuter(purchases, clicks,
+      "user_id", "p_ts", "c_ts", lookback = "10 minutes",
+      watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("oij_spec").start()
+    try {
+      // u1: click 5 min before purchase → match; u2: no click at all
+      cIn.addData((1L, ts("2024-01-01 10:00:00"), 100L))
+      pIn.addData((1L, ts("2024-01-01 10:05:00"), 200L),
+        (2L, ts("2024-01-01 10:05:00"), 201L))
+      q.processAllAvailable()
+      // advance both watermarks far past the purchases
+      cIn.addData((9L, ts("2024-01-01 12:00:00"), 900L))
+      pIn.addData((9L, ts("2024-01-01 12:00:00"), 901L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("oij_spec")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows.contains((200L, 100L))) // matched pair
+    assert(rows.contains((201L, -1L)))  // unmatched left emitted with null
+  }
+
   test("incremental stats: merged table equals one-shot census") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
