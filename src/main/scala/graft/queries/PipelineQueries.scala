@@ -4889,7 +4889,64 @@ object PipelineQueries {
       |    AS BIGINT) AS sum_lag_sec
       |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  /** Phrase search served FROM the positional index
+    * ([[graft.text.Search.phraseViaIndex]]): postings of the phrase
+    * terms joined on the document with shifted-position intersection —
+    * the serving path that reads only two terms' postings instead of
+    * scanning the corpus. The oracle is the CORPUS-SCAN formulation
+    * (q88's gram census): two different algorithms, one truth.
+    */
+  def q148PhraseViaIndex(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.text.Search.positionalIndex(
+      t(s, dir, "documents"), "text", "doc_id")
+    graft.text.Search.phraseViaIndex(idx, "doc_id",
+      phrase = Seq("value", "fast"), k = 15)
+  }
+
+  val q148Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id,
+      |    array_to_string(list_slice(tk, pos, pos + 1), ' ') AS gram
+      |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS pos
+      |        FROM d WHERE len(tk) >= 2))
+      |SELECT doc_id, COUNT(*) AS occurrences
+      |FROM g WHERE gram = 'value fast'
+      |GROUP BY doc_id ORDER BY occurrences DESC, doc_id LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------- q149
+  /** Apriori frequent token pairs ([[graft.text.Itemsets]]): pairs
+    * co-occurring in >= 20% of documents, pruned to frequent unigrams
+    * before the per-document quadratic step (anti-monotonicity), top-20
+    * by (support desc, pair asc). The oracle replays the census,
+    * pruning, and nested pair generation.
+    */
+  def q149FrequentPairs(s: SparkSession, dir: String): DataFrame =
+    graft.text.Itemsets.frequentPairs(t(s, dir, "documents"),
+      "text", "doc_id", minSupFrac = 0.2, k = 20)
+
+  val q149Sql: String =
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |ms AS (SELECT CAST(CEIL(0.2 * COUNT(*)) AS BIGINT) AS minsup FROM d),
+      |u AS (SELECT tok, COUNT(*) AS df FROM
+      |  (SELECT doc_id, unnest(tk) AS tok FROM d) GROUP BY tok),
+      |f AS (SELECT list(tok ORDER BY tok) AS fts FROM u, ms
+      |  WHERE df >= minsup),
+      |pt AS (SELECT doc_id, list_sort(list_intersect(tk, fts)) AS ft
+      |  FROM d, f),
+      |pairs AS (SELECT unnest(flatten(list_transform(
+      |    range(1, len(ft) + 1), i -> list_transform(
+      |      range(i + 1, len(ft) + 1), j -> ft[i] || '|' || ft[j]))))
+      |    AS pair FROM pt),
+      |pc AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+      |SELECT pair, n FROM pc, ms WHERE n >= minsup
+      |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_frequent_pairs" -> (q149FrequentPairs _),
+    "q148_phrase_via_index" -> (q148PhraseViaIndex _),
     "q145_attribution" -> (q145Attribution _),
     "q146_transitions" -> (q146Transitions _),
     "q147_stream_outer_join" -> (q147StreamOuterJoin _),
@@ -5001,6 +5058,8 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q149_frequent_pairs" -> q149Sql,
+    "q148_phrase_via_index" -> q148Sql,
     "q145_attribution" -> q145Sql,
     "q146_transitions" -> q146Sql,
     "q147_stream_outer_join" -> q147Sql,

@@ -76,6 +76,34 @@ object Search {
       .limit(k)
   }
 
+  /** Phrase search SERVED FROM the positional index — the other half
+    * of [[phraseTopK]]'s contract: the same answer, computed by
+    * intersecting the phrase terms' postings with position arithmetic
+    * (term i's positions shifted by −i; a phrase occurrence is a start
+    * position present in EVERY shifted list) instead of scanning the
+    * corpus. At serving scale this reads only the phrase's terms'
+    * postings (bucket-pruned when the index is persisted bucketed by
+    * term), joins them on the document key, and the intersection is
+    * scan-local array arithmetic. Handles repeated phrase terms
+    * (each occurrence slot gets its own shifted leg).
+    */
+  def phraseViaIndex(index: DataFrame, idCol: String, phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      index.filter(col("term") === t)
+        .select(col(idCol),
+          transform(col("positions"), p => p - i).as(s"__pos_$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, Seq(idCol)))
+    val inter = phrase.indices.map(i => col(s"__pos_$i"))
+      .reduce((a, b) => array_intersect(a, b))
+    joined.select(col(idCol), size(inter).cast("long").as("occurrences"))
+      .filter(col("occurrences") > 0)
+      .orderBy(col("occurrences").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Documents containing ALL query terms, ranked by summed term
     * frequency (descending, doc id ascending on ties), top `k`.
     * `terms` must be distinct.

@@ -143,4 +143,30 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(s(1L) > s(2L))
   }
+
+  test("phraseViaIndex agrees with the corpus-scan phrase search") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val idx = Search.positionalIndex(docs, "text", "doc_id")
+    for (phrase <- Seq(Seq("value", "fast"), Seq("table", "table"),
+        Seq("a", "a", "the"))) {
+      val scan = Search.phraseTopK(docs, "text", "doc_id", phrase, k = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val served = Search.phraseViaIndex(idx, "doc_id", phrase, k = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(served === scan, s"phrase $phrase")
+    }
+  }
+
+  test("frequentPairs: Apriori pruning and support counting by hand") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a c"), (4L, "b z"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Itemsets.frequentPairs(docs, "text", "doc_id",
+        minSupFrac = 0.5, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // dfs a:3 b:3 c:2 z:1, minSup 2 → F={a,b,c}; pair support
+    // a|b:2, a|c:2, b|c:1 → only the first two survive
+    assert(got === Seq(("a|b", 2L), ("a|c", 2L)))
+  }
 }
