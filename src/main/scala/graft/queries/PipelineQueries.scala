@@ -4429,39 +4429,48 @@ object PipelineQueries {
       probe, k = 10, overfetch = 4, excludeId = Some(0L))
   }
 
+  // Shared PQ oracle fragments (q139 / q150): integer distance, one
+  // fixed-point Lloyd step, and a full subspace (train → code → LUT).
+  private def pqIntDist(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a) + 1),
+       |    i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')""".stripMargin
+
+  // one fixed-point Lloyd step for subspace s: assignment under
+  // c{it-1}s{s}, floored-mean update → c{it}s{s} (the q124 replay)
+  private def pqStep(it: Int, s: Int, prev: String): String =
+    s"""d${it}s$s AS (SELECT q.vec_id, q.qv, c.cid,
+       |  ${pqIntDist("q.qv", "c.cv")} AS dist
+       |  FROM qs$s q, $prev c),
+       |a${it}s$s AS (SELECT vec_id, qv, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM d${it}s$s) WHERE rn = 1),
+       |u${it}s$s AS (SELECT cid, UNNEST(range(1, len(qv) + 1)) AS i,
+       |    UNNEST(qv) AS x FROM a${it}s$s),
+       |m${it}s$s AS (SELECT cid, i, SUM(x) AS sv, COUNT(*) AS n
+       |  FROM u${it}s$s GROUP BY cid, i),
+       |n${it}s$s AS (SELECT cid, list(CAST((sv - ((sv % n) + n) % n) // n
+       |    AS BIGINT) ORDER BY i) AS cv
+       |  FROM m${it}s$s GROUP BY cid),
+       |c${it}s$s AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN n${it}s$s m ON p.cid = m.cid)""".stripMargin
+
+  // train (2 Lloyd steps) + encode one subspace: qs{s}, c2s{s}, code{s}
+  private def pqTrainEncode(s: Int, lo: Int, hi: Int): String =
+    s"""qs$s AS (SELECT vec_id, qv[$lo:$hi] AS qv FROM q),
+       |c0s$s AS (SELECT vec_id AS cid, qv AS cv FROM qs$s
+       |  ORDER BY vec_id LIMIT 4),
+       |${pqStep(1, s, s"c0s$s")},
+       |${pqStep(2, s, s"c1s$s")},
+       |code$s AS (SELECT vec_id, cid AS code FROM (
+       |  SELECT q.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${pqIntDist("q.qv", "c.cv")}, c.cid) AS rn
+       |  FROM qs$s q, c2s$s c) WHERE rn = 1)""".stripMargin
+
   val q139Sql: String = {
-    def intDist(a: String, b: String): String =
-      s"""list_aggregate(list_transform(range(1, len($a) + 1),
-         |    i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')""".stripMargin
-    // one fixed-point Lloyd step for subspace s: assignment under
-    // c{it-1}s{s}, floored-mean update → c{it}s{s} (the q124 replay)
-    def step(it: Int, s: Int, prev: String): String =
-      s"""d${it}s$s AS (SELECT q.vec_id, q.qv, c.cid,
-         |  ${intDist("q.qv", "c.cv")} AS dist
-         |  FROM qs$s q, $prev c),
-         |a${it}s$s AS (SELECT vec_id, qv, cid FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY dist, cid) AS rn FROM d${it}s$s) WHERE rn = 1),
-         |u${it}s$s AS (SELECT cid, UNNEST(range(1, len(qv) + 1)) AS i,
-         |    UNNEST(qv) AS x FROM a${it}s$s),
-         |m${it}s$s AS (SELECT cid, i, SUM(x) AS sv, COUNT(*) AS n
-         |  FROM u${it}s$s GROUP BY cid, i),
-         |n${it}s$s AS (SELECT cid, list(CAST((sv - ((sv % n) + n) % n) // n
-         |    AS BIGINT) ORDER BY i) AS cv
-         |  FROM m${it}s$s GROUP BY cid),
-         |c${it}s$s AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
-         |  FROM $prev p LEFT JOIN n${it}s$s m ON p.cid = m.cid)""".stripMargin
+    def intDist(a: String, b: String): String = pqIntDist(a, b)
     def subspace(s: Int, lo: Int, hi: Int): String =
-      s"""qs$s AS (SELECT vec_id, qv[$lo:$hi] AS qv FROM q),
-         |c0s$s AS (SELECT vec_id AS cid, qv AS cv FROM qs$s
-         |  ORDER BY vec_id LIMIT 4),
-         |${step(1, s, s"c0s$s")},
-         |${step(2, s, s"c1s$s")},
-         |code$s AS (SELECT vec_id, cid AS code FROM (
-         |  SELECT q.vec_id, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${intDist("q.qv", "c.cv")}, c.cid) AS rn
-         |  FROM qs$s q, c2s$s c) WHERE rn = 1),
+      s"""${pqTrainEncode(s, lo, hi)},
          |lut$s AS (SELECT c.cid, ${intDist("p.qv", "c.cv")} AS d
          |  FROM c2s$s c, (SELECT qv FROM qs$s WHERE vec_id = 0) p),
          |adc$s AS (SELECT code$s.vec_id, lut$s.d
@@ -4944,7 +4953,57 @@ object PipelineQueries {
       |SELECT pair, n FROM pc, ms WHERE n >= minsup
       |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** Streaming ANN-index maintenance: PQ codebooks trained once
+    * (frozen literals), then embeddings STREAM through the scan-local
+    * [[graft.similarity.Pq.encode]] projection into an append-only
+    * codes table — the "index stays fresh while the corpus ingests"
+    * path, exactly-once via the checkpointed parquet sink, no
+    * foreachBatch and no state store (encoding is stateless). Census:
+    * the (code_0, code_1) cell histogram; the oracle replays training
+    * + encoding over the full table (incremental ≡ batch again).
+    */
+  def q150StreamIndexMaint(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = graft.similarity.Pq.train(e, "vec_id", "embedding",
+      dim = 64, m = 2, k = 4, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("q150").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (0 until 3).foreach { kk =>
+      val stage = s"$tmp/stage$kk"
+      e.filter(pmod(col("vec_id"), lit(3)) === kk).coalesce(1)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
+    }
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val enc = graft.similarity.Pq.encode(stream, "embedding", model)
+      .select(col("vec_id"), col("code_0"), col("code_1"))
+    val codes = StreamingOps.runToParquet(enc, s"$tmp/codes", s"$tmp/ckpt")
+    codes.groupBy(col("code_0"), col("code_1"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("code_0"), col("code_1"))
+  }
+
+  val q150Sql: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${pqTrainEncode(0, 1, 32)},
+       |${pqTrainEncode(1, 33, 64)},
+       |j AS (SELECT c0.vec_id, c0.code AS code_0, c1.code AS code_1
+       |  FROM code0 c0 JOIN code1 c1 ON c0.vec_id = c1.vec_id)
+       |SELECT code_0, code_1, COUNT(*) AS n, MIN(vec_id) AS min_vec
+       |FROM j GROUP BY code_0, code_1 ORDER BY code_0, code_1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_stream_index_maint" -> (q150StreamIndexMaint _),
     "q149_frequent_pairs" -> (q149FrequentPairs _),
     "q148_phrase_via_index" -> (q148PhraseViaIndex _),
     "q145_attribution" -> (q145Attribution _),
@@ -5058,6 +5117,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q150_stream_index_maint" -> q150Sql,
     "q149_frequent_pairs" -> q149Sql,
     "q148_phrase_via_index" -> q148Sql,
     "q145_attribution" -> q145Sql,
