@@ -621,4 +621,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!pq.contains("Join"), pq)
     assert(pq.contains("TakeOrderedAndProject"), pq) // shortlist + rerank
   }
+
+  test("q145/q146: journey analytics shuffle once on the user key, no nested loop") {
+    val p5 = plan(PipelineQueries.q145Attribution(spark, dir))
+    assert(!p5.contains("CartesianProduct"), p5)
+    assert(!p5.contains("BroadcastNestedLoopJoin"), p5)
+    assert(p5.contains("Window"), p5)
+    val p6 = plan(PipelineQueries.q146Transitions(spark, dir))
+    assert(!p6.contains("Join"), p6) // lead window + census only
+    assert(p6.contains("Window"), p6)
+  }
+
+  test("q148: served phrase search joins postings hash-wise, never nested-loop") {
+    val p = plan(PipelineQueries.q148PhraseViaIndex(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q149: pair generation is scan-local — literal frequent set, no join") {
+    val p = plan(PipelineQueries.q149FrequentPairs(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the per-doc pair explode
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
