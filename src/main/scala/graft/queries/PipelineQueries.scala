@@ -5002,7 +5002,75 @@ object PipelineQueries {
        |SELECT code_0, code_1, COUNT(*) AS n, MIN(vec_id) AS min_vec
        |FROM j GROUP BY code_0, code_1 ORDER BY code_0, code_1""".stripMargin
 
+  // ---------------------------------------------------------------- q151
+  /** Contrastive POSITIVES — the other half of q137's miner: embedding
+    * near-dup pairs (q43's portable-LSH blocking + cosine >= 0.4
+    * verify) closed into components ([[graft.dedup.Components]]), then
+    * each cluster emits star pairs (min-id anchor, member) — the
+    * positive training pairs a paraphrase/near-dup cluster yields.
+    * Oracle: q43's pair replay + q68's recursive closure.
+    */
+  def q151ContrastivePositives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val b = e.select(col("vec_id"), col("embedding"),
+      Ann.lshBucketPortable(col("embedding"), dim, numPlanes = 4).as("bucket"))
+      .cache()
+    val a1 = b.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b1 = b.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val edges = a1.join(b1,
+        col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .filter(Ann.cosine(col("emb_a"), col("emb_b")) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val mapping =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.dedup.Components.connectedComponents(edges)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        b.unpersist()
+      }
+    mapping.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("anchor_id"), col("id").as("pos_id"))
+      .orderBy(col("anchor_id"), col("pos_id"))
+  }
+
+  val q151Sql: String = {
+    def cos(x: String, p: String): String =
+      s"""(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum') /
+         |  (sqrt(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)), 'sum')) *
+         |   sqrt(list_aggregate(list_transform(range(1, len($p) + 1),
+         |    i -> CAST($p[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum'))))""".stripMargin
+    def proj(p: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding, ($bucket) AS bucket
+       |  FROM embeddings),
+       |ver AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.embedding", "b.embedding")} >= 0.4),
+       |sym AS (SELECT ia AS a, ib AS b FROM ver
+       |  UNION SELECT ib AS a, ia AS b FROM ver),
+       |reach(a, b) AS (SELECT a, b FROM sym
+       |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+       |rp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS rep
+       |  FROM reach GROUP BY a)
+       |SELECT rep AS anchor_id, vec_id AS pos_id FROM rp
+       |WHERE vec_id <> rep ORDER BY anchor_id, pos_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_contrastive_positives" -> (q151ContrastivePositives _),
     "q150_stream_index_maint" -> (q150StreamIndexMaint _),
     "q149_frequent_pairs" -> (q149FrequentPairs _),
     "q148_phrase_via_index" -> (q148PhraseViaIndex _),
@@ -5117,6 +5185,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q151_contrastive_positives" -> q151Sql,
     "q150_stream_index_maint" -> q150Sql,
     "q149_frequent_pairs" -> q149Sql,
     "q148_phrase_via_index" -> q148Sql,
