@@ -21,13 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Itemsets {
 
-  /** Sorted distinct frequent tokens of one document (the literal
-    * frequent set folds into the plan; `array_sort` canonicalizes so
-    * pair order is engine-independent).
-    */
-  private def prunedTokens(tk: Column, frequent: Seq[String]): Column =
-    array_sort(array_intersect(array_distinct(tk), typedLit(frequent)))
-
   /** All `a|b` pairs (a < b lexicographically) of a sorted array. */
   private def pairArray(fts: Column): Column =
     flatten(transform(fts, (x, i) =>
@@ -38,6 +31,15 @@ object Itemsets {
     * token pair with support >= `minSup`, top `k` by (support desc,
     * pair asc). `minSupFrac` expresses support as a document fraction
     * so the threshold is SF-stable: `minSup = ceil(frac * nDocs)`.
+    *
+    * The Apriori pruning is a broadcast SEMI-JOIN of the exploded
+    * token stream against the frequent-unigram table — a real hash
+    * probe per token. (A literal-array `array_intersect` was measured
+    * quadratic: Spark rebuilds the |F|-element set PER ROW, and |F|
+    * itself grows with the corpus at fixed support fraction — 51.8x
+    * cost at 16x growth in the ScaleSmoke leg; the semi-join form is
+    * the 100 TB shape and keeps the frequent set distributed, no
+    * driver collect anywhere.)
     */
   def frequentPairs(df: DataFrame, textCol: String, idCol: String,
       minSupFrac: Double, k: Int): DataFrame = {
@@ -46,12 +48,12 @@ object Itemsets {
         array_distinct(TextAnalysis.tokens(col(textCol))).as("__tk"))
     val nDocs = d.count()
     val minSup = math.ceil(minSupFrac * nDocs).toLong
-    val frequent = d.select(explode(col("__tk")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minSup)
-      .collect().map(_.getString(0)).toSeq.sorted
-    d.select(explode(pairArray(prunedTokens(col("__tk"), frequent)))
-        .as("pair"))
+    val toks = d.select(col(idCol), explode(col("__tk")).as("tok"))
+    val frequent = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minSup).select(col("tok"))
+    val pruned = toks.join(broadcast(frequent), Seq("tok"), "left_semi")
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("tok"))).as("__ft"))
+    pruned.select(explode(pairArray(col("__ft"))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSup)
       .orderBy(col("n").desc, col("pair").asc)

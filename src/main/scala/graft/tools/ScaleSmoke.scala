@@ -789,6 +789,39 @@ object ScaleSmoke {
           posThreshold = 0.5, k = 3)
         .agg(count(lit(1)), sum(col("neg_id"))).collect()
     }
+    // journey analytics: attribution credit + transition census — one
+    // user-keyed window shuffle each; m× users keeps journey length
+    // constant ⇒ ~linear
+    def scaledEventsJ(m: Int): DataFrame = {
+      graft.sources.Tables.load(spark, sfDir, "events")
+        .crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .select((col("event_id") * m + col("__rep")).as("event_id"),
+          col("ts"), (col("user_id") * m + col("__rep")).as("user_id"),
+          col("event_type"))
+        .repartition(32).cache()
+    }
+    leg("attribution credit")(scaledEventsJ) { e =>
+      graft.operators.Attribution.uShapedCredit(
+          e.select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us")),
+          "user_id", "event_id", "event_type", "us")
+        .agg(sum(col("credit_bp")), count(lit(1))).collect()
+    }
+    // replica-suffixed tokens divide every df by m — hold the PER-
+    // REPLICA support constant (0.2/m) so the frequent set and the
+    // per-document pair work stay fixed while the corpus grows m×
+    if (on("frequent pairs")) {
+      val ts = mults.map { m =>
+        val d = corpus(m); d.count()
+        def run(): Unit = graft.text.Itemsets.frequentPairs(
+            d, "text", "doc_id", minSupFrac = 0.2 / m, k = 20)
+          .agg(count(lit(1)), sum(col("n"))).collect()
+        run(); val t = time(run()); spark.catalog.clearCache(); t
+      }
+      println(f"${"frequent pairs"}%-22s " +
+        ts.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${ts.last / ts.head}%5.1f")
+    }
     spark.stop()
   }
 }

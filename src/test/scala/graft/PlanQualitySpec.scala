@@ -638,9 +638,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q149: pair generation is scan-local — literal frequent set, no join") {
+  test("q149: Apriori pruning is a broadcast hash SEMI-join, pairs explode scan-local") {
     val p = plan(PipelineQueries.q149FrequentPairs(spark, dir))
-    assert(!p.contains("Join"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Generate"), p) // the per-doc pair explode
     assert(p.contains("TakeOrderedAndProject"), p)
   }
