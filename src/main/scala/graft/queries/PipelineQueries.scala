@@ -5069,7 +5069,147 @@ object PipelineQueries {
        |WHERE vec_id <> rep ORDER BY anchor_id, pos_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q152
+  /** ORC round-trip: documents written as ORC and read back through a
+    * filtered census — the other columnar format Spark ships in-box
+    * (ORC scans support predicate pushdown and column pruning exactly
+    * like parquet; the plan pin asserts the filter reaches the ORC
+    * scan). Oracle: the same census over the parquet source — format
+    * round-trips must be value-neutral.
+    */
+  def q152OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q152").toString
+    t(s, dir, "documents").write.mode("overwrite").orc(s"$tmp/docs")
+    s.read.orc(s"$tmp/docs")
+      .filter(col("n_chars") >= 100L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+  }
+
+  val q152Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc
+      |FROM documents WHERE n_chars >= 100
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q153
+  /** Weighted moving average (telemetry smoothing): per event_type,
+    * the 8/4/2/1-weighted mean of the current + previous 3 values in
+    * integer cents, integer-divided by the REALIZED weight sum so
+    * series heads are exact — lag windows with literal integer
+    * weights, one type-keyed shuffle, nothing sequential. Censused
+    * per type (the smoothed stream itself is data-sized).
+    */
+  def q153WeightedMa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val lags = Seq(8L -> 0, 4L -> 1, 2L -> 2, 1L -> 3)
+    val num = lags.map { case (wt, l) =>
+      coalesce(lag(col("cents"), l).over(w) * wt, lit(0L))
+    }.reduce(_ + _)
+    val den = lags.map { case (wt, l) =>
+      when(lag(col("cents"), l).over(w).isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.withColumn("__n", num).withColumn("__d", den)
+      .withColumn("wma", expr("__n div __d"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("wma")).as("sum_wma"),
+        min(col("wma")).as("min_wma"), max(col("wma")).as("max_wma"))
+      .orderBy(col("event_type"))
+  }
+
+  val q153Sql: String =
+    """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) // 1000 AS us,
+      |  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+      |l AS (SELECT event_type, event_id, us, cents,
+      |  LAG(cents, 1) OVER w AS c1, LAG(cents, 2) OVER w AS c2,
+      |  LAG(cents, 3) OVER w AS c3
+      |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+      |m AS (SELECT event_type,
+      |  (8 * cents + COALESCE(4 * c1, 0) + COALESCE(2 * c2, 0)
+      |    + COALESCE(1 * c3, 0))
+      |  // (8 + CASE WHEN c1 IS NULL THEN 0 ELSE 4 END
+      |    + CASE WHEN c2 IS NULL THEN 0 ELSE 2 END
+      |    + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END) AS wma FROM l)
+      |SELECT event_type, COUNT(*) AS n, CAST(SUM(wma) AS BIGINT) AS sum_wma,
+      |  MIN(wma) AS min_wma, MAX(wma) AS max_wma
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Query-vector construction shared by q154's engine and oracle
+    * sides: the hashing-trick embedding (64 md5 buckets, term counts).
+    */
+  private val ragTerms = Seq("table", "scan", "fast", "join", "merge", "dup")
+  private val ragBuckets = 64
+  private[queries] val ragQueryVec: Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val qv = Array.fill(ragBuckets)(0L)
+    ragTerms.foreach { t =>
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      qv((java.lang.Long.parseLong(hex.substring(0, 15), 16) % ragBuckets).toInt) += 1L
+    }
+    qv.toSeq
+  }
+
+  // ---------------------------------------------------------------- q154
+  /** RAG retrieval capstone: the serving pipeline as ONE query —
+    * sliding-window chunking ([[graft.text.Chunking]], the q84 shape)
+    * → hashing-trick chunk embedding (64 md5 buckets; the classic
+    * feature-hashing vectorizer, integer counts so the dot product is
+    * exact) → query-vector scoring as a scan-local literal-array fold
+    * (score = Σ qv[bucket(token)], which IS the sparse dot product) →
+    * top-10 chunks by (score, doc, chunk). No shuffle before the
+    * TakeOrdered; the chunk explode pipelines inside the scan.
+    */
+  def q154RagRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.text.Chunking.chunk(
+      t(s, dir, "documents"), "text", "doc_id", chunkSize = 32, stride = 24)
+    val score = aggregate(
+      transform(TextAnalysis.tokens(col("chunk_text")),
+        tkn => element_at(typedLit(ragQueryVec),
+          (pmod(Dedup.portableHash60(tkn), lit(ragBuckets.toLong)) + 1L)
+            .cast("int"))),
+      lit(0L), (acc, v) => acc + v)
+    chunks.withColumn("score", score)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+      .limit(10)
+      .select(col("doc_id"), col("chunk_idx"), col("score"))
+  }
+
+  val q154Sql: String = {
+    val qvLit = ragQueryVec.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, tk, len(tk) AS n,
+       |  unnest(generate_series(0, CASE WHEN len(tk) <= 32 THEN 0
+       |    ELSE (len(tk) - 32 + 23) // 24 END)) AS chunk_idx FROM d),
+       |s AS (SELECT doc_id, chunk_idx, chunk_idx * 24 + 1 AS chunk_start,
+       |  least(chunk_idx * 24 + 32, n) AS chunk_end, tk FROM c),
+       |qvl AS (SELECT $qvLit AS qv),
+       |ct AS (SELECT doc_id, chunk_idx,
+       |  unnest(list_slice(tk, chunk_start, chunk_end)) AS tok FROM s),
+       |sc AS (SELECT doc_id, chunk_idx,
+       |  SUM(qv[CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+       |    % 64 AS INT) + 1]) AS score
+       |  FROM ct, qvl GROUP BY doc_id, chunk_idx)
+       |SELECT doc_id, chunk_idx, CAST(score AS BIGINT) AS score FROM sc
+       |WHERE score > 0
+       |ORDER BY score DESC, doc_id, chunk_idx LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_rag_retrieval" -> (q154RagRetrieval _),
+    "q153_weighted_ma" -> (q153WeightedMa _),
+    "q152_orc_roundtrip" -> (q152OrcRoundtrip _),
     "q151_contrastive_positives" -> (q151ContrastivePositives _),
     "q150_stream_index_maint" -> (q150StreamIndexMaint _),
     "q149_frequent_pairs" -> (q149FrequentPairs _),
@@ -5185,6 +5325,9 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q154_rag_retrieval" -> q154Sql,
+    "q153_weighted_ma" -> q153Sql,
+    "q152_orc_roundtrip" -> q152Sql,
     "q151_contrastive_positives" -> q151Sql,
     "q150_stream_index_maint" -> q150Sql,
     "q149_frequent_pairs" -> q149Sql,

@@ -638,6 +638,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q152: the census filter reaches the ORC scan") {
+    val p = plan(PipelineQueries.q152OrcRoundtrip(spark, dir))
+    assert(p.contains("Scan orc"), p)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(n_chars,100)"), p)
+  }
+
+  test("q154: RAG retrieval is scan-local — chunk explode + literal-vector fold + TakeOrdered") {
+    val p = plan(PipelineQueries.q154RagRetrieval(spark, dir))
+    assert(!p.contains("Join"), p)
+    // the single Exchange is the OPT-IN load fan-out (single-file
+    // fixture → spread before the explode); no shuffle follows it
+    assert(p.linesIterator.count(_.trim.startsWith("Arguments: roundrobin")) <= 1, p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q149: Apriori pruning is a broadcast hash SEMI-join, pairs explode scan-local") {
     val p = plan(PipelineQueries.q149FrequentPairs(spark, dir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
