@@ -5206,7 +5206,73 @@ object PipelineQueries {
        |ORDER BY score DESC, doc_id, chunk_idx LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q155
+  /** Bag set operators, explicitly: customers active in 1995
+    * INTERSECT / EXCEPT those active in 1996 (distinct semantics, the
+    * SQL standard's), censused. Spark plans these as hash semi/anti
+    * joins over the distinct sets — worth having as named operators in
+    * the catalog, not only as the join shapes that imply them.
+    */
+  def q155SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    def active(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    val a = active(1995)
+    val b = active(1996)
+    a.intersect(b).agg(count(lit(1)).as("n_both"))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_1995")))
+      .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_1996")))
+  }
+
+  val q155Sql: String =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |  WHERE EXTRACT(year FROM o_orderdate) = 1995),
+      |b AS (SELECT o_custkey FROM orders
+      |  WHERE EXTRACT(year FROM o_orderdate) = 1996)
+      |SELECT
+      |  (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+      |    AS n_both,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+      |    AS n_only_1995,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+      |    AS n_only_1996""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+  /** Null-aware NOT IN — SQL's three-valued-logic corner: a NOT IN
+    * subquery containing a NULL matches NOTHING (every comparison is
+    * UNKNOWN), while the same subquery without the NULL anti-joins
+    * normally. Both legs censused side by side; engines that "fix"
+    * NOT IN into a plain anti join get the first leg wrong.
+    */
+  def q156NotIn(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.createOrReplaceTempView("q156_orders")
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    c.createOrReplaceTempView("q156_bld")
+    s.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM q156_orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM q156_bld)) AS n_not_building,
+        |  (SELECT COUNT(*) FROM q156_orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM q156_bld
+        |     UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null
+        |""".stripMargin)
+  }
+
+  val q156Sql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+      |    AS n_not_building,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |     UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_set_ops" -> (q155SetOps _),
+    "q156_not_in" -> (q156NotIn _),
     "q154_rag_retrieval" -> (q154RagRetrieval _),
     "q153_weighted_ma" -> (q153WeightedMa _),
     "q152_orc_roundtrip" -> (q152OrcRoundtrip _),
@@ -5325,6 +5391,8 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q155_set_ops" -> q155Sql,
+    "q156_not_in" -> q156Sql,
     "q154_rag_retrieval" -> q154Sql,
     "q153_weighted_ma" -> q153Sql,
     "q152_orc_roundtrip" -> q152Sql,
