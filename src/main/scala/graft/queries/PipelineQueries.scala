@@ -5270,7 +5270,42 @@ object PipelineQueries {
       |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       |     UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  /** Reproducibility manifest: per training shard (the q74 hash-shard
+    * rule), row count + ORDER-FREE content checksum — `bit_xor` of the
+    * 60-bit content hashes plus their sum, both partitioning-invariant
+    * integer folds, so two independently-produced copies of a dataset
+    * release can be compared shard by shard without any sorting. The
+    * artifact every dataset card links next to the stats table.
+    */
+  def q157ShardManifest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(pmod(Dedup.portableHash60(concat(col("doc_id").cast("string"),
+          lit("#shard"))), lit(8L)).as("shard"),
+        Dedup.portableHash60(col("text")).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("xor_h"),
+        // modular sum (mod 2^32): order-free and overflow-safe up to
+        // 2^31 rows per shard; xor + mod-sum together make collisions
+        // on BOTH checksums practically impossible
+        pmod(sum(pmod(col("h"), lit(4294967296L))), lit(4294967296L))
+          .as("sum_h"))
+      .orderBy(col("shard"))
+
+  val q157Sql: String =
+    """WITH d AS (SELECT
+      |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#shard'),
+      |    1, 15)) AS BIGINT) % 8 AS shard,
+      |  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(bit_xor(h) AS BIGINT) AS xor_h,
+      |  CAST(SUM(h % 4294967296) % 4294967296 AS BIGINT) AS sum_h
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_shard_manifest" -> (q157ShardManifest _),
     "q155_set_ops" -> (q155SetOps _),
     "q156_not_in" -> (q156NotIn _),
     "q154_rag_retrieval" -> (q154RagRetrieval _),
@@ -5391,6 +5426,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q157_shard_manifest" -> q157Sql,
     "q155_set_ops" -> q155Sql,
     "q156_not_in" -> q156Sql,
     "q154_rag_retrieval" -> q154Sql,
