@@ -5304,7 +5304,103 @@ object PipelineQueries {
       |  CAST(SUM(h % 4294967296) % 4294967296 AS BIGINT) AS sum_h
       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Shared roundtrip census: per source, counts + a modular content
+    * checksum over the text — any format round-trip must reproduce it
+    * byte-for-byte (the q157 checksum rule).
+    */
+  private def roundtripCensus(d: DataFrame): DataFrame =
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(col("n_chars")).as("sum_chars"),
+        pmod(sum(pmod(Dedup.portableHash60(coalesce(col("text"),
+            lit("<NULL>"))), lit(4294967296L))), lit(4294967296L))
+          .as("sum_h"))
+      .orderBy(col("source"))
+
+  private val roundtripCensusSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_text,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CAST(('0x' || substr(md5(COALESCE(text, '<NULL>')), 1, 15))
+      |      AS BIGINT) % 4294967296) % 4294967296 AS BIGINT) AS sum_h
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+  /** CSV sink/source round-trip (S2/S1 as one query): documents written
+    * with header + quoting, re-read under an EXPLICIT schema (never
+    * inferSchema at scale — one extra full read just to guess types),
+    * content-checksummed per source against the parquet original.
+    */
+  def q158CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("q158").toString
+    d.write.mode("overwrite").option("header", "true").csv(s"$tmp/docs")
+    roundtripCensus(
+      s.read.option("header", "true").schema(d.schema).csv(s"$tmp/docs"))
+  }
+
+  val q158Sql: String = roundtripCensusSql
+
+  // ---------------------------------------------------------------- q159
+  /** JSON-lines sink/source round-trip: same contract as q158 through
+    * the self-describing format (nulls survive natively; schema still
+    * explicit on read).
+    */
+  def q159JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("q159").toString
+    d.write.mode("overwrite").json(s"$tmp/docs")
+    roundtripCensus(s.read.schema(d.schema).json(s"$tmp/docs"))
+  }
+
+  val q159Sql: String = roundtripCensusSql
+
+  // ---------------------------------------------------------------- q160
+  /** `binaryFile` source → multimodal decode: the synthesized PNGs are
+    * written as REAL FILES, ingested through Spark's binary-file
+    * source (path, length, content — the production shape for media
+    * lakes), the media id parsed from the filename, and the decoded
+    * pixel census must equal q44's in-memory path — proving the
+    * file-ingestion route is content-identical. (Files land on local
+    * tmp here; at scale the same code points at a DFS directory.)
+    */
+  def q160BinarySource(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val media = Multimodal.synthesizePngs(ids, "doc_id", w = 8, h = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("q160").toString
+    media.select(col("media_id"), col("content"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp/img-${r.getLong(0)}.png"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    val bin = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(tmp)
+      .select(regexp_extract(col("path"), "img-(\\d+)\\.png", 1)
+        .cast("long").as("media_id"), col("content"))
+    Multimodal.decodeImageStats(bin).agg(
+      count(lit(1)).as("n_images"),
+      sum(col("width").cast("long")).as("sum_width"),
+      sum(col("height").cast("long")).as("sum_height"),
+      sum(col("sum_red")).as("sum_red"),
+      sum(col("sum_green")).as("sum_green"),
+      sum(col("sum_blue")).as("sum_blue"))
+  }
+
+  val q160Sql: String = q44Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_csv_roundtrip" -> (q158CsvRoundtrip _),
+    "q159_json_roundtrip" -> (q159JsonRoundtrip _),
+    "q160_binary_source" -> (q160BinarySource _),
     "q157_shard_manifest" -> (q157ShardManifest _),
     "q155_set_ops" -> (q155SetOps _),
     "q156_not_in" -> (q156NotIn _),
@@ -5426,6 +5522,9 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q158_csv_roundtrip" -> q158Sql,
+    "q159_json_roundtrip" -> q159Sql,
+    "q160_binary_source" -> q160Sql,
     "q157_shard_manifest" -> q157Sql,
     "q155_set_ops" -> q155Sql,
     "q156_not_in" -> q156Sql,
