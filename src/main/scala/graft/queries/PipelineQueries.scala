@@ -5397,7 +5397,61 @@ object PipelineQueries {
 
   val q160Sql: String = q44Sql
 
+  // ---------------------------------------------------------------- q161
+  /** Checkpoint recovery / exactly-once: a filtered projection stream
+    * runs over chunk 0, is STOPPED (simulated crash), two more chunks
+    * land, and a NEW query resumes from the same checkpoint into the
+    * same sink — the recovered output must equal the one-shot batch
+    * census, no row lost, no row doubled. This is the operational
+    * property every production stream leans on; the oracle is the
+    * batch replay.
+    */
+  def q161StreamRecovery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val tmp = java.nio.file.Files.createTempDirectory("q161").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(kk: Int): Unit = {
+      val stage = s"$tmp/stage$kk"
+      docs.filter(pmod(col("doc_id"), lit(3)) === kk).coalesce(1)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$in/chunk-$kk.parquet"))
+    }
+    def run(): Unit = {
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val q = stream.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(0)
+    run() // processes chunk 0, then "crashes"
+    land(1); land(2)
+    run() // recovery: resumes from the checkpoint, drains chunks 1-2
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+  }
+
+  val q161Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents WHERE text IS NOT NULL
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_stream_recovery" -> (q161StreamRecovery _),
     "q158_csv_roundtrip" -> (q158CsvRoundtrip _),
     "q159_json_roundtrip" -> (q159JsonRoundtrip _),
     "q160_binary_source" -> (q160BinarySource _),
@@ -5522,6 +5576,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q161_stream_recovery" -> q161Sql,
     "q158_csv_roundtrip" -> q158Sql,
     "q159_json_roundtrip" -> q159Sql,
     "q160_binary_source" -> q160Sql,
