@@ -85,6 +85,14 @@ object Sampling {
     * so the shuffle carries <= k rows per (stratum, task), never a
     * stratum's row set; the quota filter joins a broadcast-sized table.
     * Returns the kept rows as (stratumCol, id, rank, quota).
+    *
+    * Saturation contract: a stratum's quota is capped at its size; a
+    * bonus seat landing on a saturated stratum is NOT redistributed
+    * (capacity-constrained apportionment is a different algorithm), so
+    * the exact-K guarantee holds when no stratum saturates — true
+    * whenever K is small relative to the smallest stratum, the eval-
+    * sampling regime this operator exists for. Callers needing K under
+    * saturation should pre-drop strata smaller than their share.
     */
   def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
       totalK: Int, seed: Long = 42L): DataFrame = {
