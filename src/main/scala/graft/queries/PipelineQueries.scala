@@ -5450,7 +5450,55 @@ object PipelineQueries {
       |FROM documents WHERE text IS NOT NULL
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** Forward fill (gap-fill) — the time-series staple: a deterministic
+    * third of readings is masked null, then LAST_VALUE IGNORE NULLS
+    * over the per-type ordered window carries the most recent
+    * observation forward (leading nulls stay null). Censused per type
+    * with the q157 modular checksum over the filled series.
+    */
+  def q162ForwardFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("long"))
+          .otherwise(floor(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("filled", last(col("cents"), ignoreNulls = true).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents").isNull && col("filled").isNotNull, 1L)
+          .otherwise(0L)).as("n_filled"),
+        sum(when(col("filled").isNull, 1L).otherwise(0L)).as("n_leading_null"),
+        pmod(sum(pmod(coalesce(col("filled"), lit(0L)), lit(4294967296L))),
+          lit(4294967296L)).as("sum_filled_mod"))
+      .orderBy(col("event_type"))
+  }
+
+  val q162Sql: String =
+    """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) // 1000 AS us,
+      |  CASE WHEN event_id % 3 = 0 THEN NULL
+      |    ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+      |  FROM events),
+      |f AS (SELECT event_type, cents,
+      |  LAST_VALUE(cents IGNORE NULLS) OVER (PARTITION BY event_type
+      |    ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN cents IS NULL AND filled IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+      |  CAST(SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_leading_null,
+      |  CAST(SUM(COALESCE(filled, 0) % 4294967296) % 4294967296 AS BIGINT)
+      |    AS sum_filled_mod
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_forward_fill" -> (q162ForwardFill _),
     "q161_stream_recovery" -> (q161StreamRecovery _),
     "q158_csv_roundtrip" -> (q158CsvRoundtrip _),
     "q159_json_roundtrip" -> (q159JsonRoundtrip _),
@@ -5576,6 +5624,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q162_forward_fill" -> q162Sql,
     "q161_stream_recovery" -> q161Sql,
     "q158_csv_roundtrip" -> q158Sql,
     "q159_json_roundtrip" -> q159Sql,
