@@ -44,4 +44,34 @@ object Regression {
       when(den === 0.0, lit(null).cast("long"))
         .otherwise(floor(num / den * lit(quant.toDouble)).cast("long")))
   }
+
+  /** Per-group Pearson correlation under the same exact-moments rule:
+    * six BIGINT moments in one census, `r = (nΣxy − ΣxΣy) /
+    * sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))` in deterministic double,
+    * quantized to `floor(r · quant)`; null when either side has zero
+    * variance. Same one-shuffle scale shape as [[trendCensus]].
+    */
+  def corrCensus(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column, quant: Long = 1000000L): DataFrame = {
+    val g = df
+      .select(groupCols.map(col) :+ x.cast("long").as("__x")
+        :+ y.cast("long").as("__y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sum_x"), sum(col("__y")).as("sum_y"),
+        sum(col("__x") * col("__y")).as("sum_xy"),
+        sum(col("__x") * col("__x")).as("sum_xx"),
+        sum(col("__y") * col("__y")).as("sum_yy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sum_xy").cast("double") -
+      col("sum_x").cast("double") * col("sum_y").cast("double")
+    val dx = nd * col("sum_xx").cast("double") -
+      col("sum_x").cast("double") * col("sum_x").cast("double")
+    val dy = nd * col("sum_yy").cast("double") -
+      col("sum_y").cast("double") * col("sum_y").cast("double")
+    g.withColumn("corr_q",
+      when(dx <= 0.0 || dy <= 0.0, lit(null).cast("long"))
+        .otherwise(floor(num / sqrt(dx * dy) * lit(quant.toDouble))
+          .cast("long")))
+  }
 }

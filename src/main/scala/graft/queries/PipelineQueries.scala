@@ -5497,7 +5497,46 @@ object PipelineQueries {
       |    AS sum_filled_mod
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q163
+  /** Per-type Pearson correlation ([[graft.operators.Regression
+    * .corrCensus]]) between value-cents and hour-of-day — exact BIGINT
+    * moments, deterministic-double closed form, quantized; null on
+    * zero variance. The segment-level "are these two metrics related"
+    * census in one map-side-combined pass.
+    */
+  def q163CorrCensus(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.corrCensus(
+        Tables.load(s, dir, "events"), Seq("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24"),
+        floor(col("value") * 100))
+      .orderBy(col("event_type"))
+
+  val q163Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  (epoch_ns(ts) // 1000 // 3600000000) % 24 AS x,
+      |  CAST(FLOOR(value * 100) AS BIGINT) AS y FROM events),
+      |g AS (SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+      |  CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+      |  CAST(SUM(y * y) AS BIGINT) AS sum_yy
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+      |      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) <= 0
+      |    OR CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+      |      - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE) <= 0 THEN NULL
+      |  ELSE CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+      |      - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+      |        - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+      |        - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+      |    * 1000000.0) AS BIGINT) END AS corr_q
+      |FROM g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_corr_census" -> (q163CorrCensus _),
     "q162_forward_fill" -> (q162ForwardFill _),
     "q161_stream_recovery" -> (q161StreamRecovery _),
     "q158_csv_roundtrip" -> (q158CsvRoundtrip _),
@@ -5624,6 +5663,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q163_corr_census" -> q163Sql,
     "q162_forward_fill" -> q162Sql,
     "q161_stream_recovery" -> q161Sql,
     "q158_csv_roundtrip" -> q158Sql,

@@ -1305,6 +1305,21 @@ class PipelineSpec extends SparkSpec {
       "down" -> Some(-3000000L), "flatx" -> None))
   }
 
+  test("corrCensus: exact ±1 on perfect lines; null on zero variance") {
+    import graft.operators.Regression
+    val pts = Seq(
+      ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),     // r = +1 exactly
+      ("down", 1L, -1L), ("down", 2L, -2L), ("down", 3L, -3L), // r = -1
+      ("flat", 4L, 1L), ("flat", 4L, 9L))                 // zero x variance
+      .toDF("g", "x", "y")
+    val out = Regression.corrCensus(pts, Seq("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(r.fieldIndex("corr_q"))) None
+        else Some(r.getAs[Long]("corr_q")))).toMap
+    assert(out === Map("up" -> Some(1000000L),
+      "down" -> Some(-1000000L), "flat" -> None))
+  }
+
   test("quotaSample: Hamilton apportionment, exact total, bonus to largest remainder") {
     import graft.operators.Sampling
     // strata a:5 b:3 c:2, K=7 → floors 3/2/1 (remainders 5/1/4),
