@@ -5535,7 +5535,37 @@ object PipelineQueries {
       |    * 1000000.0) AS BIGINT) END AS corr_q
       |FROM g ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+  /** EXACT rolling distinct — 7-day rolling unique users per day, the
+    * metric sliding windows cannot express with an aggregate (distinct
+    * does not decompose): each DISTINCT (user, activity-day) pair
+    * replays into the <= 7 target days whose window covers it (a
+    * scan-local sequence explode), then one COUNT DISTINCT per target
+    * day. Cost: 7x the distinct-pair stream — linear, no per-day
+    * rescan, no quadratic day x day join; the HLL sketch union is the
+    * approximate swap when 7x is too much.
+    */
+  def q164RollingDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6L)).as("target_day"))
+      .groupBy(col("target_day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .orderBy(col("target_day"))
+
+  val q164Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |  epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+      |x AS (SELECT user_id, day + d AS target_day FROM a,
+      |  unnest(range(0, 7)) AS t(d))
+      |SELECT target_day, COUNT(DISTINCT user_id) AS n_users_7d
+      |FROM x GROUP BY target_day ORDER BY target_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_rolling_distinct" -> (q164RollingDistinct _),
     "q163_corr_census" -> (q163CorrCensus _),
     "q162_forward_fill" -> (q162ForwardFill _),
     "q161_stream_recovery" -> (q161StreamRecovery _),
@@ -5663,6 +5693,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q164_rolling_distinct" -> q164Sql,
     "q163_corr_census" -> q163Sql,
     "q162_forward_fill" -> q162Sql,
     "q161_stream_recovery" -> q161Sql,
