@@ -5564,7 +5564,108 @@ object PipelineQueries {
       |SELECT target_day, COUNT(DISTINCT user_id) AS n_users_7d
       |FROM x GROUP BY target_day ORDER BY target_day""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+  /** Trailing-window anomaly detection: each day's event count scored
+    * against its OWN type's previous 7 observed days (z-score from
+    * exact integer trailing sums, deterministic double closed form,
+    * quantized) — the ops alert behind "this source's volume just
+    * spiked". Non-scorable days (fewer than 2 trailing, zero
+    * variance) are censused, not silently dropped.
+    */
+  def q165AnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val scored = daily
+      .withColumn("tn", count(col("c")).over(w))
+      .withColumn("ts", sum(col("c")).over(w))
+      .withColumn("tss", sum(col("c") * col("c")).over(w))
+    val tn = col("tn").cast("double")
+    val vn = (tn * col("tss").cast("double")
+      - col("ts").cast("double") * col("ts").cast("double")) /
+      (tn * (tn - 1.0))
+    val z = (col("c").cast("double") - col("ts").cast("double") / tn) /
+      sqrt(vn)
+    scored.withColumn("z_q",
+        when(col("tn") < 2 || vn <= 0.0, lit(null).cast("long"))
+          .otherwise(floor(z * 1000000.0).cast("long")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("z_q").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(abs(col("z_q")) >= 2000000L, 1L).otherwise(0L))
+          .as("n_anomalous"),
+        min(col("z_q")).as("min_z_q"), max(col("z_q")).as("max_z_q"))
+      .orderBy(col("event_type"))
+  }
+
+  val q165Sql: String =
+    """WITH daily AS (SELECT event_type,
+      |  epoch_ns(ts) // 1000 // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, day, c,
+      |  COUNT(c) OVER w AS tn, SUM(c) OVER w AS ts, SUM(c * c) OVER w AS tss
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT event_type,
+      |  CASE WHEN tn < 2 OR (CAST(tn AS DOUBLE) * CAST(tss AS DOUBLE)
+      |      - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE))
+      |      / (CAST(tn AS DOUBLE) * (CAST(tn AS DOUBLE) - 1.0)) <= 0
+      |    THEN NULL
+      |    ELSE CAST(FLOOR((CAST(c AS DOUBLE) - CAST(ts AS DOUBLE)
+      |        / CAST(tn AS DOUBLE))
+      |      / sqrt((CAST(tn AS DOUBLE) * CAST(tss AS DOUBLE)
+      |          - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE))
+      |        / (CAST(tn AS DOUBLE) * (CAST(tn AS DOUBLE) - 1.0)))
+      |      * 1000000.0) AS BIGINT) END AS z_q
+      |  FROM t)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  CAST(SUM(CASE WHEN z_q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_scored,
+      |  CAST(SUM(CASE WHEN abs(z_q) >= 2000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_anomalous,
+      |  MIN(z_q) AS min_z_q, MAX(z_q) AS max_z_q
+      |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  /** Schema evolution: an old shard written WITHOUT `n_chars` and a
+    * new shard WITH it, unioned by name with missing columns nulled
+    * (`unionByName(allowMissingColumns)`) — the read path every
+    * long-lived lake needs when a column is added mid-corpus. Census
+    * proves old rows surface with nulls and new rows keep values.
+    */
+  def q166SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("q166").toString
+    d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    s.read.parquet(s"$tmp/v1")
+      .unionByName(s.read.parquet(s"$tmp/v2"), allowMissingColumns = true)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_old_rows"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_new"))
+      .orderBy(col("source"))
+  }
+
+  val q166Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_old_rows,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS sum_chars_new
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_anomaly_zscore" -> (q165AnomalyZscore _),
+    "q166_schema_evolution" -> (q166SchemaEvolution _),
     "q164_rolling_distinct" -> (q164RollingDistinct _),
     "q163_corr_census" -> (q163CorrCensus _),
     "q162_forward_fill" -> (q162ForwardFill _),
@@ -5693,6 +5794,8 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q165_anomaly_zscore" -> q165Sql,
+    "q166_schema_evolution" -> q166Sql,
     "q164_rolling_distinct" -> q164Sql,
     "q163_corr_census" -> q163Sql,
     "q162_forward_fill" -> q162Sql,
