@@ -43,6 +43,18 @@ class LangModelSpec extends SparkSpec {
     assert(out === Seq((9L, 3L, 2L)))
   }
 
+  test("explicit self-model scoring equals the implicit training path") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val self = LangModel.withBigramSurprisal(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explicitModel = LangModel.bigramModel(docs, "text")
+    val ext = LangModel.withBigramSurprisal(docs, "text", "doc_id",
+        model = Some(explicitModel))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(self === ext)
+  }
+
   test("costs are non-negative for every corpus bigram (c2 <= c1)") {
     val docs = graft.sources.Tables.load(spark,
       "/root/testdata/sf0.001", "documents")

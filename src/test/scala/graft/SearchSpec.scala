@@ -158,6 +158,26 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("frequentPairs: anti-monotonicity — pair support <= min unigram df") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val dfs = docs.filter(col("text").isNotNull)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array_distinct(
+          graft.text.TextAnalysis.tokens(col("text")))).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = graft.text.Itemsets.frequentPairs(docs, "text", "doc_id",
+        minSupFrac = 0.2, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (p, n) =>
+      val Array(a, b) = p.split("\\|", 2)
+      assert(n <= math.min(dfs(a), dfs(b)), s"pair $p support $n")
+    }
+  }
+
   test("frequentPairs: Apriori pruning and support counting by hand") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a c"), (4L, "b z"))
