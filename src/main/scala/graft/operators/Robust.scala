@@ -49,4 +49,40 @@ object Robust {
 
   /** Integer cents from a 2-decimal double column (portable scaling). */
   def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Winsorized census: values clipped at the exact per-group `lo`/`hi`
+    * percentiles — the outlier-TAMING complement of
+    * [[madOutlierCensus]] (which flags; winsorizing keeps the row but
+    * bounds its leverage, the robust-mean recipe). Same broadcast
+    * rejoin shape: two percentile aggregations, scalars broadcast
+    * back, one census.
+    *
+    * Portability: restrict `lo`/`hi` to DYADIC fractions (0.25, 0.75,
+    * 0.5 — binary-exact): the interpolation position `p·(n−1)` and
+    * weight are then exact dyadic rationals over integer inputs, so
+    * BOTH interpolation formulas engines use (`a + (b−a)·f` and
+    * `a·(1−f) + b·f`) evaluate exactly and agree, and the winsorized
+    * sum — dyadic values — is order-free. A 0.1/0.9 clip would put a
+    * non-dyadic factor into the interpolation and lose the guarantee.
+    */
+  def winsorizedCensus(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.25, hi: Double = 0.75): DataFrame = {
+    require(lo < hi && lo >= 0 && hi <= 1, "need 0 <= lo < hi <= 1")
+    val base = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val th = base.groupBy(col(groupCol))
+      .agg(expr(s"percentile(__v, ${lo}D)").as("__plo"),
+        expr(s"percentile(__v, ${hi}D)").as("__phi"))
+    base.join(broadcast(th), groupCol)
+      .withColumn("__w", greatest(col("__plo"),
+        least(col("__phi"), col("__v").cast("double"))))
+      .groupBy(col(groupCol))
+      .agg(first(col("__plo")).as("p_lo"),
+        first(col("__phi")).as("p_hi"),
+        count(lit(1)).as("n"),
+        sum(when(col("__v").cast("double") < col("__plo"), 1L)
+          .otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("__v").cast("double") > col("__phi"), 1L)
+          .otherwise(0L)).as("n_clip_hi"),
+        sum(col("__w")).as("sum_winsorized"))
+  }
 }

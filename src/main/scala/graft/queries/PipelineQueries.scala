@@ -5663,7 +5663,38 @@ object PipelineQueries {
       |    AS BIGINT) AS sum_chars_new
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  /** Winsorized census ([[graft.operators.Robust.winsorizedCensus]]):
+    * per-type value-cents clipped at the exact quartiles — the
+    * outlier-taming robust mean next to q122's outlier flagging.
+    * Dyadic percentiles keep the interpolation and the clipped sum
+    * bit-exact cross-engine (see the operator's scaladoc).
+    */
+  def q167Winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Robust.winsorizedCensus(
+        Tables.load(s, dir, "events")
+          .withColumn("cents", graft.operators.Robust.cents(col("value"))),
+        "event_type", "cents")
+      .orderBy(col("event_type"))
+
+  val q167Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |t AS (SELECT event_type, quantile_cont(cents, 0.25) AS plo,
+      |  quantile_cont(cents, 0.75) AS phi FROM e GROUP BY event_type)
+      |SELECT e.event_type, MIN(t.plo) AS p_lo, MIN(t.phi) AS p_hi,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN CAST(e.cents AS DOUBLE) < t.plo
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |  CAST(SUM(CASE WHEN CAST(e.cents AS DOUBLE) > t.phi
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      |  SUM(greatest(t.plo, least(t.phi, CAST(e.cents AS DOUBLE))))
+      |    AS sum_winsorized
+      |FROM e JOIN t USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_winsorize" -> (q167Winsorize _),
     "q165_anomaly_zscore" -> (q165AnomalyZscore _),
     "q166_schema_evolution" -> (q166SchemaEvolution _),
     "q164_rolling_distinct" -> (q164RollingDistinct _),
@@ -5794,6 +5825,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q167_winsorize" -> q167Sql,
     "q165_anomaly_zscore" -> q165Sql,
     "q166_schema_evolution" -> q166Sql,
     "q164_rolling_distinct" -> q164Sql,
