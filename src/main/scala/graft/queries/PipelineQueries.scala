@@ -5693,7 +5693,40 @@ object PipelineQueries {
       |FROM e JOIN t USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** Statistical MODE per group with a deterministic tie-break (ties
+    * to the smallest value): value-counts census, then a pure argmax
+    * aggregate — `max(struct(n, -cents))` picks highest count / lowest
+    * cents without a window, so the per-group state is one struct and
+    * the shuffle stays two map-side-combined passes.
+    */
+  def q168Mode(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("cents", graft.operators.Robust.cents(col("value")))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n"), (-col("cents")).as("nc"))).as("__m"),
+        count(lit(1)).as("n_distinct_values"))
+      .select(col("event_type"), (-col("__m.nc")).as("mode_cents"),
+        col("__m.n").as("mode_n"), col("n_distinct_values"))
+      .orderBy(col("event_type"))
+
+  val q168Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |c AS (SELECT event_type, cents, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |r AS (SELECT event_type, cents, n, ROW_NUMBER() OVER (
+      |  PARTITION BY event_type ORDER BY n DESC, cents ASC) AS rn FROM c),
+      |d AS (SELECT event_type, COUNT(*) AS n_distinct_values FROM c
+      |  GROUP BY event_type)
+      |SELECT r.event_type, r.cents AS mode_cents, r.n AS mode_n,
+      |  d.n_distinct_values
+      |FROM r JOIN d ON r.event_type = d.event_type
+      |WHERE r.rn = 1 ORDER BY r.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_mode" -> (q168Mode _),
     "q167_winsorize" -> (q167Winsorize _),
     "q165_anomaly_zscore" -> (q165AnomalyZscore _),
     "q166_schema_evolution" -> (q166SchemaEvolution _),
@@ -5825,6 +5858,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q168_mode" -> q168Sql,
     "q167_winsorize" -> q167Sql,
     "q165_anomaly_zscore" -> q165Sql,
     "q166_schema_evolution" -> q166Sql,
