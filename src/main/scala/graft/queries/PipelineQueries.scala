@@ -5725,7 +5725,33 @@ object PipelineQueries {
       |FROM r JOIN d ON r.event_type = d.event_type
       |WHERE r.rn = 1 ORDER BY r.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q169
+  /** Ordered string aggregation (LISTAGG): per region, the
+    * comma-joined ordered nation list — the report-formatting
+    * aggregate. Engine: `array_join(array_sort(collect_list))` — the
+    * collect is bounded (a dimension's members), the sort is
+    * per-group-local, deterministic; the fingerprint column keeps
+    * arbitrarily long strings hash-comparable.
+    */
+  def q169StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "nation")
+      .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+      .withColumn("nations_md5", md5(col("nations")))
+      .orderBy(col("r_name"))
+
+  val q169Sql: String =
+    """SELECT r.r_name, COUNT(*) AS n_nations,
+      |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+      |  md5(string_agg(n.n_name, ',' ORDER BY n.n_name)) AS nations_md5
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_string_agg" -> (q169StringAgg _),
     "q168_mode" -> (q168Mode _),
     "q167_winsorize" -> (q167Winsorize _),
     "q165_anomaly_zscore" -> (q165AnomalyZscore _),
@@ -5858,6 +5884,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q169_string_agg" -> q169Sql,
     "q168_mode" -> q168Sql,
     "q167_winsorize" -> q167Sql,
     "q165_anomaly_zscore" -> q165Sql,
