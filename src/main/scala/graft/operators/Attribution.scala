@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * going to the EARLIEST middles, so every journey's credit sums to
   * EXACTLY 10000 (the invariant the spec pins; float credit schemes
   * can't make that guarantee, and an integer one is engine-portable).
-  * A single-touch journey takes all 10000.
+  * A single-touch journey takes all 10000; a 2-touch journey
+  * degenerates to 50/50 (5000 each — there is no middle pool to
+  * distribute, so the standard U-shape folds the 20% back into the
+  * endpoints).
   *
   * Scale shape: one user-keyed shuffle carries the first-conversion
   * argmin (a pure aggregate — min over a (ts, id) struct), the touch
@@ -42,6 +45,7 @@ object Attribution {
       .orderBy(col(usCol), col(idCol))
     val credit =
       when(col("n") === 1, lit(10000L))
+        .when(col("n") === 2, lit(5000L))
         .when(col("r") === 1 || col("r") === col("n"), lit(4000L))
         .otherwise(expr("2000 div (n - 2)")
           + when(col("r") - 2 < expr("2000 % (n - 2)"), 1L).otherwise(0L))

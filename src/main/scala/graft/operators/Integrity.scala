@@ -25,12 +25,13 @@ object Integrity {
   def uniqueKey(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(when(col("n") > 1, col("n"))), lit(0L)).as("n_bad"),
-        sum(col("n")).as("n_total"))
+        coalesce(sum(col("n")), lit(0L)).as("n_total"))
       .select(lit(name).as("check"), col("n_bad"), col("n_total"))
 
   /** Null (or NaN-free for doubles handled upstream) violations. */
   def notNull(df: DataFrame, name: String, column: String): DataFrame =
-    df.agg(sum(when(col(column).isNull, 1L).otherwise(0L)).as("n_bad"),
+    df.agg(coalesce(sum(when(col(column).isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_bad"),
         count(lit(1)).as("n_total"))
       .select(lit(name).as("check"), col("n_bad"), col("n_total"))
 
@@ -50,8 +51,9 @@ object Integrity {
   /** Values outside an accepted literal domain (nulls not counted). */
   def accepted(df: DataFrame, name: String, column: String,
       domain: Seq[String]): DataFrame =
-    df.agg(sum(when(col(column).isNotNull &&
-          !col(column).isInCollection(domain), 1L).otherwise(0L)).as("n_bad"),
+    df.agg(coalesce(sum(when(col(column).isNotNull &&
+          !col(column).isInCollection(domain), 1L).otherwise(0L)),
+          lit(0L)).as("n_bad"),
         count(lit(1)).as("n_total"))
       .select(lit(name).as("check"), col("n_bad"), col("n_total"))
 

@@ -61,9 +61,16 @@ object Robust {
     * 0.5 — binary-exact): the interpolation position `p·(n−1)` and
     * weight are then exact dyadic rationals over integer inputs, so
     * BOTH interpolation formulas engines use (`a + (b−a)·f` and
-    * `a·(1−f) + b·f`) evaluate exactly and agree, and the winsorized
-    * sum — dyadic values — is order-free. A 0.1/0.9 clip would put a
-    * non-dyadic factor into the interpolation and lose the guarantee.
+    * `a·(1−f) + b·f`) evaluate exactly and agree. A 0.1/0.9 clip
+    * would put a non-dyadic factor into the interpolation and lose
+    * the guarantee.
+    *
+    * The clipped sum is reported as `sum_winsorized_q` in QUARTER
+    * units: each winsorized value is a quarter-integer, so `4·__w` is
+    * an exact integer representable in double, and the LONG sum is
+    * order-free with 2^63 headroom — a double SUM of the raw quarters
+    * would only stay exact while the running total is below ~2^51
+    * quarter-units, a bound a 100 TB aggregate can cross.
     */
   def winsorizedCensus(df: DataFrame, groupCol: String, valueCol: String,
       lo: Double = 0.25, hi: Double = 0.75): DataFrame = {
@@ -83,6 +90,6 @@ object Robust {
           .otherwise(0L)).as("n_clip_lo"),
         sum(when(col("__v").cast("double") > col("__phi"), 1L)
           .otherwise(0L)).as("n_clip_hi"),
-        sum(col("__w")).as("sum_winsorized"))
+        sum((col("__w") * 4).cast("long")).as("sum_winsorized_q"))
   }
 }

@@ -4761,7 +4761,8 @@ object PipelineQueries {
     * converting user's pre-conversion touches in integer BASIS POINTS
     * — 40% first touch, 40% last, 20% split across middles with floor
     * division and the remainder to the EARLIEST middles (so every
-    * journey's credit sums to exactly 10000, the spec invariant).
+    * journey's credit sums to exactly 10000, the spec invariant;
+    * 2-touch journeys degenerate to 50/50 = 5000 each).
     * One user-keyed shuffle: first-conversion argmin, touch ranking,
     * credit arithmetic are all windows over that partitioning.
     */
@@ -4792,6 +4793,7 @@ object PipelineQueries {
       |    ORDER BY us, event_id) AS r,
       |  COUNT(*) OVER (PARTITION BY user_id) AS n FROM t),
       |cr AS (SELECT event_type, user_id, CASE WHEN n = 1 THEN 10000
+      |  WHEN n = 2 THEN 5000
       |  WHEN r = 1 OR r = n THEN 4000
       |  ELSE 2000 // (n - 2)
       |    + CASE WHEN r - 2 < 2000 % (n - 2) THEN 1 ELSE 0 END
@@ -5493,7 +5495,8 @@ object PipelineQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
       |  CAST(SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_leading_null,
-      |  CAST(SUM(COALESCE(filled, 0) % 4294967296) % 4294967296 AS BIGINT)
+      |  CAST(SUM(((COALESCE(filled, 0) % 4294967296) + 4294967296)
+      |    % 4294967296) % 4294967296 AS BIGINT)
       |    AS sum_filled_mod
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -5688,8 +5691,9 @@ object PipelineQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
       |  CAST(SUM(CASE WHEN CAST(e.cents AS DOUBLE) > t.phi
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
-      |  SUM(greatest(t.plo, least(t.phi, CAST(e.cents AS DOUBLE))))
-      |    AS sum_winsorized
+      |  CAST(SUM(CAST(greatest(t.plo, least(t.phi,
+      |    CAST(e.cents AS DOUBLE))) * 4 AS BIGINT)) AS BIGINT)
+      |    AS sum_winsorized_q
       |FROM e JOIN t USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 

@@ -272,6 +272,27 @@ object StreamingOps {
     }.start()
   }
 
+  /** Latest row per key at the highest `versionCol`, with a FULLY
+    * deterministic winner: ties on (key, version) — legal in CDC
+    * batches that replay or double-deliver — are broken by descending
+    * order over every remaining column, so the resolved row is a pure
+    * function of the batch CONTENTS, never of partition arrival order.
+    * (A version-only ordering would let two equal-(key, version) rows
+    * pick a nondeterministic winner and break the replay/oracle
+    * contract the table maintenance is built around.)
+    */
+  private def latestPerKey(batch: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    val tieBreak = batch.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == versionCol)
+      .map(col(_).desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc +: tieBreak: _*)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** CDC apply: maintain a Hive-partitioned parquet table from a stream
     * of upserts. Each micro-batch is first resolved to its LATEST row
     * per key (highest `versionCol` — multi-version CDC batches are
@@ -287,10 +308,7 @@ object StreamingOps {
       partCol: String, versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        val latest = latestPerKey(batch, keys, versionCol)
         val exists = {
           val p = new org.apache.hadoop.fs.Path(tableDir)
           p.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
@@ -327,10 +345,7 @@ object StreamingOps {
     changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        val latest = latestPerKey(batch, keys, versionCol)
         val asOf = batch.agg(max(col(versionCol))).head().getLong(0)
         val exists = {
           val p = new org.apache.hadoop.fs.Path(tableDir)

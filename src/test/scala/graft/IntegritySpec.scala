@@ -29,6 +29,21 @@ class IntegritySpec extends SparkSpec {
     assert((dRow.getLong(1), dRow.getLong(2)) === ((1L, 4L)))
   }
 
+  test("every check reports n_bad = 0 (not NULL) on an empty table") {
+    // sum(when(...)) over zero rows is null — a gate evaluating
+    // n_bad == 0 would misbehave unless every check coalesces
+    val emptyS = Seq.empty[String].toDF("v")
+    val emptyL = Seq.empty[Long].toDF("k")
+    for (r <- Seq(
+        uniqueKey(emptyL, "pk", Seq("k")).collect()(0),
+        notNull(emptyS, "nn", "v").collect()(0),
+        accepted(emptyS, "dom", "v", Seq("x")).collect()(0),
+        foreignKey(emptyL, "fk", "k", Seq(1L).toDF("id"), "id")
+          .collect()(0))) {
+      assert(!r.isNullAt(1) && r.getLong(1) === 0L && r.getLong(2) === 0L)
+    }
+  }
+
   test("suite unions one row per check, ordered by name") {
     val df = Seq(1L, 1L).toDF("k")
     val out = suite(Seq(

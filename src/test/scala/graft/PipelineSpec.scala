@@ -1277,17 +1277,23 @@ class PipelineSpec extends SparkSpec {
       (1L, 13L, "click"), (1L, 14L, "view"), (1L, 15L, "purchase"),
       (1L, 16L, "click"),
       (2L, 20L, "click"), (2L, 21L, "purchase"),
-      (3L, 30L, "view"))
+      (3L, 30L, "view"),
+      (4L, 40L, "view"), (4L, 41L, "click"), (4L, 42L, "purchase"))
       .map { case (u, t, ty) => (u, t, ty, t * 1000000L) }
       .toDF("user_id", "event_id", "event_type", "us")
     val got = Attribution.uShapedCredit(ev,
       "user_id", "event_id", "event_type", "us")
     val perUser = got.groupBy("user_id").agg(sum(col("credit_bp")).as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(perUser === Map(1L -> 10000L, 2L -> 10000L)) // u3 absent
+    // u3 absent; u4 (the n=2 degenerate journey) must ALSO sum to
+    // 10000 — the U-shape folds the middle pool into the endpoints
+    assert(perUser === Map(1L -> 10000L, 2L -> 10000L, 4L -> 10000L))
     val u1 = got.filter(col("user_id") === 1L).orderBy("r")
       .collect().map(_.getAs[Long]("credit_bp")).toSeq
     assert(u1 === Seq(4000L, 667L, 667L, 666L, 4000L))
+    val u4 = got.filter(col("user_id") === 4L).orderBy("r")
+      .collect().map(_.getAs[Long]("credit_bp")).toSeq
+    assert(u4 === Seq(5000L, 5000L)) // 50/50, not 4000+4000=8000
   }
 
   test("trendCensus: exact slope on a perfect line; null on zero variance") {
