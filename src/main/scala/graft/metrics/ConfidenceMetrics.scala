@@ -25,14 +25,23 @@ object ConfidenceMetrics {
     *                     saliency columns (`featureCols`) + a
     *                     `confidence` column (predicted-class score)
     */
+  /** @param foldCols columns hashed into the deterministic fold
+    *                  assignment; defaults to `featureCols`, but when
+    *                  feature tuples repeat heavily (few distinct
+    *                  saliency profiles) that can leave folds empty —
+    *                  pass the pair-id columns for balanced row-level
+    *                  folds (the reference's ShuffleSplit semantics).
+    */
   def confidenceIndication(
       explanations: DataFrame,
       featureCols: Seq[String],
       nFolds: Int = 5,
-      seed: Long = 42L): ConfidenceResult = {
+      seed: Long = 42L,
+      foldCols: Seq[String] = Nil): ConfidenceResult = {
 
+    val fc = if (foldCols.isEmpty) featureCols else foldCols
     val withFold = explanations.withColumn("__fold",
-      pmod(xxhash64(featureCols.map(col) :+ lit(seed): _*), lit(nFolds)))
+      pmod(xxhash64(fc.map(col) :+ lit(seed): _*), lit(nFolds)))
       .cache()
     try {
       val maes = (0 until nFolds).map { f =>

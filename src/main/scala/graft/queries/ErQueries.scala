@@ -363,6 +363,93 @@ object ErQueries {
       .orderBy(col("method"), col("attribute"))
   }
 
+  // ------------------------------------------- q170-q171 (metric goldens)
+  /** Labeled pair table over the SF-invariant fixture: all 625
+    * nation×nation pairs, ground truth = same region. The fixed input
+    * for the A13/A14 explanation-quality metric goldens — every number
+    * downstream is a deterministic function of these rows.
+    */
+  private def goldenLabeledPairs(s: SparkSession, dir: String): DataFrame = {
+    val schema = graft.schema.PairSchema.default
+    val src = goldenSource(s, dir)
+    schema.renameWithPrefix(src, schema.lprefix)
+      .crossJoin(schema.renameWithPrefix(src, schema.rprefix))
+      .withColumn("label",
+        when(col("ltable_region") === col("rtable_region"), 1).otherwise(0))
+  }
+
+  private val goldenAttrs = Seq("name", "region", "grp")
+
+  /** Deterministic per-pair, per-attribute saliency (long form): the
+    * token cosine of the attribute's two sides — the stand-in ranking
+    * that exercises A13's per-row ablation path without the explainer
+    * in the loop (ties break attribute-asc inside the metric).
+    */
+  private def goldenSaliencyLong(pairs: DataFrame): DataFrame =
+    goldenAttrs.flatMap { a =>
+      Seq("ltable_", "rtable_").map { side =>
+        pairs.select(col("ltable_id"), col("rtable_id"),
+          lit(side + a).as("attribute"),
+          graft.functions.TextSim.tokenCosine(
+            col("ltable_" + a), col("rtable_" + a)).as("score"))
+      }
+    }.reduce(_ unionByName _)
+
+  /** A13 faithfulness AUC ([[graft.metrics.SaliencyMetrics
+    * .faithfulnessAucPerRow]], reference metrics/saliency.py:138-173) on
+    * the SF-invariant fixture: per-pair top-k ablation at each
+    * threshold, F1 re-evaluation under TokenCosineModel, trapezoid AUC.
+    * Every stage is count/hash arithmetic — the resulting doubles are
+    * frozen constants and the oracle is a VALUES literal
+    * ([[GoldenMetrics.faithfulnessSql]]), closing the last spec-only §2
+    * row pair (A13/A14) with a driver hash check.
+    */
+  def q170GoldenFaithfulness(s: SparkSession, dir: String): DataFrame = {
+    val pairs = goldenLabeledPairs(s, dir)
+    val attrs = goldenAttrs.flatMap(a => Seq("ltable_" + a, "rtable_" + a))
+    val model = TokenCosineModel()
+    val (scores, auc) = graft.metrics.SaliencyMetrics.faithfulnessAucPerRow(
+      pairs, goldenSaliencyLong(pairs), model.predict, attrs)
+    val rows = ("auc", auc) +:
+      graft.metrics.SaliencyMetrics.defaultThresholds.zip(scores)
+        .map { case (t, f) => (s"f1@$t", f) }
+    import s.implicits._
+    rows.toDF("metric", "value").orderBy(col("metric"))
+  }
+
+  /** A14 confidence indication ([[graft.metrics.ConfidenceMetrics]],
+    * reference metrics/saliency.py:16-135) on the SF-invariant fixture:
+    * per-attribute saliency features → model confidence, 5-fold
+    * deterministic-hash CV, MLlib MinMaxScaler+LinearRegression. The
+    * input is pinned to ONE partition in (ltable_id, rtable_id) order so
+    * the normal-equation aggregation order — and therefore every last
+    * bit of the fit — is reproducible; outputs are quantized to 1e-9
+    * (`*_q` longs) so the frozen oracle is robust to any future
+    * last-ulp drift in MLlib internals while still checking 9 digits.
+    */
+  def q171GoldenConfidence(s: SparkSession, dir: String): DataFrame = {
+    val pairs = goldenLabeledPairs(s, dir)
+    val feats = goldenAttrs.map(a => "sal_" + a)
+    val explanations = goldenAttrs.foldLeft(
+        TokenCosineModel().predict(pairs)) { (df, a) =>
+        df.withColumn("sal_" + a, graft.functions.TextSim.tokenCosine(
+          col("ltable_" + a), col("rtable_" + a)))
+      }
+      .withColumn("confidence",
+        greatest(col("match_score"), col("nomatch_score")))
+      .select((feats.map(col) :+ col("confidence") :+ col("ltable_id")
+        :+ col("rtable_id")): _*)
+      .repartition(1)
+      .sortWithinPartitions(col("ltable_id"), col("rtable_id"))
+    val r = graft.metrics.ConfidenceMetrics.confidenceIndication(
+      explanations, feats, foldCols = Seq("ltable_id", "rtable_id"))
+    def q(v: Double): Long = math.round(v * 1e9)
+    val rows = Seq(("mean_mae_q", q(r.meanMae)), ("max_err_q", q(r.maxError))) ++
+      r.foldMaes.zipWithIndex.map { case (m, i) => (s"fold${i}_mae_q", q(m)) }
+    import s.implicits._
+    rows.toDF("metric", "value_q").orderBy(col("metric"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -376,7 +463,9 @@ object ErQueries {
     "q60_certa_saliency_golden" -> (q60GoldenSaliency _),
     "q61_certa_pss_golden" -> (q61GoldenPss _),
     "q62_certa_triangles_golden" -> (q62GoldenTriangles _),
-    "q63_baseline_saliency_golden" -> (q63GoldenBaselines _))
+    "q63_baseline_saliency_golden" -> (q63GoldenBaselines _),
+    "q170_faithfulness_golden" -> (q170GoldenFaithfulness _),
+    "q171_confidence_golden" -> (q171GoldenConfidence _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
@@ -391,5 +480,7 @@ object ErQueries {
     "q60_certa_saliency_golden" -> GoldenExplainer.saliencySql,
     "q61_certa_pss_golden" -> GoldenExplainer.pssSql,
     "q62_certa_triangles_golden" -> GoldenExplainer.trianglesSql,
-    "q63_baseline_saliency_golden" -> GoldenExplainer.baselinesSql)
+    "q63_baseline_saliency_golden" -> GoldenExplainer.baselinesSql,
+    "q170_faithfulness_golden" -> GoldenMetrics.faithfulnessSql,
+    "q171_confidence_golden" -> GoldenMetrics.confidenceSql)
 }

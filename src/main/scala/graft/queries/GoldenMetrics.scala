@@ -1,0 +1,52 @@
+package graft.queries
+
+/** Frozen golden outputs of the A13/A14 explanation-quality metrics on
+  * the SF-invariant nation⋈region fixture (see
+  * [[ErQueries.goldenLabeledPairs]]) — the q60-q63 recipe applied to
+  * the last two spec-only §2 rows. A13's numbers are pure count/hash
+  * arithmetic (exact doubles); A14's come through an MLlib
+  * MinMaxScaler+LinearRegression fit pinned to a deterministic
+  * single-partition row order and quantized to 1e-9 longs.
+  *
+  * Regenerate DELIBERATELY with `sbt "runMain graft.tools.GoldenGen"`,
+  * which asserts the three SF dirs produce identical rows before
+  * printing the new constants.
+  */
+object GoldenMetrics {
+
+  // generated 2026-08-14 by GoldenGen; identical across sf0.001/0.01/0.1
+  val faithfulness: Seq[(String, Double)] = Seq(
+    ("auc", 0.32956190510933375),
+    ("f1@0.1", 0.628140703517588),
+    ("f1@0.2", 0.6842105263157895),
+    ("f1@0.33", 0.6842105263157895),
+    ("f1@0.5", 0.33333333333333337),
+    ("f1@0.7", 0.2758620689655173),
+    ("f1@0.9", 0.0))
+
+  val confidence: Seq[(String, Long)] = Seq(
+    ("fold0_mae_q", 68966529L),
+    ("fold1_mae_q", 61497729L),
+    ("fold2_mae_q", 60756467L),
+    ("fold3_mae_q", 60023265L),
+    ("fold4_mae_q", 61528710L),
+    ("max_err_q", 68966529L),
+    ("mean_mae_q", 62554540L))
+
+  // string-literal cast: DuckDB parses a bare numeric literal through
+  // DECIMAL, which can land one ULP off the Scala double; a quoted
+  // string goes through strtod and round-trips exactly
+  private def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  val faithfulnessSql: String =
+    faithfulness.map { case (m, v) => s"(${q(m)}, ${d(v)})" }
+      .mkString("SELECT * FROM (VALUES ", ", ",
+        ") t(metric, value) ORDER BY metric")
+
+  val confidenceSql: String =
+    confidence.map { case (m, v) =>
+        s"(${q(m)}, CAST($v AS BIGINT))" }
+      .mkString("SELECT * FROM (VALUES ", ", ",
+        ") t(metric, value_q) ORDER BY metric")
+}

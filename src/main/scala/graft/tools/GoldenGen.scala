@@ -49,6 +49,20 @@ object GoldenGen {
       require(got == bpeAll.head._2,
         s"BPE SF-invariance violated at $d:\n$got\nvs\n${bpeAll.head._2}")
     }
+    // q170/q171 A13/A14 metric goldens (nation⋈region, SF-invariant)
+    def metricsOf(dir: String): (Seq[(String, Double)], Seq[(String, Long)]) = {
+      val faith = ErQueries.q170GoldenFaithfulness(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val conf = ErQueries.q171GoldenConfidence(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      (faith, conf)
+    }
+    val metricsAll = dirs.map(d => d -> metricsOf(d))
+    metricsAll.tail.foreach { case (d, got) =>
+      require(got == metricsAll.head._2,
+        s"metric SF-invariance violated at $d:\n$got\nvs\n${metricsAll.head._2}")
+    }
+
     println("// identical across " + dirs.mkString(", "))
     def lit(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
     println("  val saliency: Seq[(String, Double)] = Seq(")
@@ -64,6 +78,12 @@ object GoldenGen {
     println("  val q96Golden: Seq[(Int, String, String, String, Long)] = Seq(")
     println(bpeAll.head._2.map { case (r, a, b, m, c) =>
       s"    ($r, ${lit(a)}, ${lit(b)}, ${lit(m)}, ${c}L)" }.mkString(",\n") + ")")
+    println("  val faithfulness: Seq[(String, Double)] = Seq(")
+    println(metricsAll.head._2._1.map { case (m, v) =>
+      s"    (${lit(m)}, $v)" }.mkString(",\n") + ")")
+    println("  val confidence: Seq[(String, Long)] = Seq(")
+    println(metricsAll.head._2._2.map { case (m, v) =>
+      s"    (${lit(m)}, ${v}L)" }.mkString(",\n") + ")")
 
     // Per-SF frozen constants for the bench-scale live explainer
     // (q25-q28 on `part`). These are NOT SF-invariant — the support /
