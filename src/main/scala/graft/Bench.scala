@@ -33,6 +33,33 @@ object Bench {
         .groupBy("n_regionkey").count().count()
     } catch { case _: Throwable => () }
 
+    // Per-query task-metric split (executor CPU vs run vs GC time):
+    // wall-clock alone cannot distinguish "the code got slower" from
+    // "the host was busy" — the round-5/6 q47/q57/q58 ambiguity. With
+    // cpu ≈ prior rounds but wall inflated, the delta is scheduler/IO
+    // wait (host contention); cpu inflated too means a real
+    // regression. Flushed via the listener bus before each reading.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            cpuNs.addAndGet(m.executorCpuTime)
+            runMs.addAndGet(m.executorRunTime)
+            gcMs.addAndGet(m.jvmGCTime)
+            ()
+          }
+        }
+      })
+    def metricSnapshot(): (Double, Double, Double) = {
+      org.apache.spark.GraftCoreBridge.flushListenerBus(spark.sparkContext)
+      (cpuNs.get / 1e9, runMs.get / 1e3, gcMs.get / 1e3)
+    }
+
     // Each query runs THREE times and records the min: the bench host
     // shows intermittent external contention (round-3's recording was
     // inflated up to 17× by it), and a query's first executions also pay
@@ -41,8 +68,10 @@ object Bench {
     // 9.2/7.8/1.7/1.8 s in one JVM). Min-of-3 measures the code, not
     // the JIT or the neighbor; all raw runs are emitted for
     // transparency.
+    final case class Run(wall: Double, cpu: Double, taskRun: Double,
+      gc: Double, failure: Option[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
+      def once(): Run = {
         // isolate cache state per run: earlier queries' persisted frames
         // otherwise squeeze the heap and turn later timings into
         // eviction noise; the explanation memo resets so a repeated q25
@@ -50,6 +79,7 @@ object Bench {
         spark.catalog.clearCache()
         if (name == "q25_certa_saliency")
           graft.queries.ErQueries.resetExplanationMemo()
+        val (cpu0, run0, gc0) = metricSnapshot()
         val t0 = System.nanoTime()
         // a crashing query must NOT look like a fast passing one: record
         // the failure and surface it in the JSON + on stderr
@@ -58,20 +88,25 @@ object Bench {
             System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
             Some(name)
         }
-        ((System.nanoTime() - t0) / 1e9, failure)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (cpu1, run1, gc1) = metricSnapshot()
+        Run(wall, cpu1 - cpu0, run1 - run0, gc1 - gc0, failure)
       }
-      val (t1, f1) = once()
-      val (t2, f2) = once()
-      val (t3, f3) = once()
-      (name, Seq(t1, t2, t3).min, Seq(t1, t2, t3), f1.orElse(f2).orElse(f3))
+      val runs = Seq(once(), once(), once())
+      val best = runs.minBy(_.wall)
+      (name, best, runs, runs.flatMap(_.failure).headOption)
     }
-    def obj(f: ((String, Double, Seq[Double], Option[String])) => Double): String =
+    def obj(f: ((String, Run, Seq[Run], Option[String])) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = obj(_._2)
-    val runs = (0 until 3).map(i => obj(_._3(i))).mkString("[", ",", "]")
+    val qs = obj(_._2.wall)
+    // task-metric split of the SAME run the headline number comes from
+    val cpu = obj(_._2.cpu)
+    val taskRun = obj(_._2.taskRun)
+    val gc = obj(_._2.gc)
+    val runs = (0 until 3).map(i => obj(_._3(i).wall)).mkString("[", ",", "]")
     val failures = results.flatMap(_._4).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failures":$failures,"sf":"$sfDir"}""")
+    val total = results.map(_._2.wall).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpu,"task_run_sec":$taskRun,"gc_sec":$gc,"runs":$runs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

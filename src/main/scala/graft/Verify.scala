@@ -23,6 +23,13 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // frozen-golden freshness: if the driver regenerated the fixture
+    // content the goldens bind to, say so ONCE and loudly instead of
+    // letting the golden queries go hash-red inscrutably
+    graft.queries.GoldenFixture.staleness(spark, sfDir).foreach { msg =>
+      System.err.println(s"[verify] GOLDEN FIXTURE STALE: $msg — " +
+        "regenerate constants with `runMain graft.tools.GoldenGen`")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -78,6 +78,13 @@ object GoldenGen {
     println("  val q96Golden: Seq[(Int, String, String, String, Long)] = Seq(")
     println(bpeAll.head._2.map { case (r, a, b, m, c) =>
       s"    ($r, ${lit(a)}, ${lit(b)}, ${lit(m)}, ${c}L)" }.mkString(",\n") + ")")
+    println("  val frozen: Map[String, Seq[(String, Long)]] = Map(")
+    println(dirs.map { d =>
+      val sfTag = d.split("/").last
+      val hs = graft.queries.GoldenFixture.hashes(spark, d)
+        .map { case (t, h) => s"(${lit(t)}, ${h}L)" }.mkString(", ")
+      s"""    "$sfTag" -> Seq($hs)"""
+    }.mkString(",\n") + ")")
     println("  val faithfulness: Seq[(String, Double)] = Seq(")
     println(metricsAll.head._2._1.map { case (m, v) =>
       s"    (${lit(m)}, $v)" }.mkString(",\n") + ")")
