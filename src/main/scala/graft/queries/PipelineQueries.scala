@@ -2324,7 +2324,11 @@ object PipelineQueries {
     * replays in SQL: hot docs end at their last u-revision, everything
     * else at its one v-revision.
     */
-  def q99StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+  /** q99's CDC maintenance flow, returning the maintained table's path
+    * (shared with q172, which compacts the fragmentation this flow
+    * leaves behind).
+    */
+  private def cdcMaintainedTable(s: SparkSession, dir: String): String = {
     // plain load (see q98): batch staging + per-batch merges are
     // IO-shaped; the fanned scan only multiplies file counts here
     val docs = Tables.load(s, dir, "documents")
@@ -2363,6 +2367,11 @@ object PipelineQueries {
         stream, table, Seq("doc_id"), "source", "version")
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    table
+  }
+
+  def q99StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val table = cdcMaintainedTable(s, dir)
     s.read.parquet(table).agg(
       count(lit(1)).as("n_rows"),
       sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L))
@@ -5754,7 +5763,69 @@ object PipelineQueries {
       |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  /** Small-file compaction end-to-end ([[graft.operators.Compact]]):
+    * run q99's CDC maintenance (three micro-batch merges leave each
+    * touched source partition as a directory of per-task small files),
+    * compact every partition directory in place, and prove the
+    * contract both ways — the census is IDENTICAL to q99's replayable
+    * oracle (compaction moves bytes, never rows), and the layout
+    * assertions hold (exactly one file per partition afterwards at
+    * this volume, and the file count did not grow). At 100 TB this is
+    * exactly the documented per-partition-directory maintenance mode:
+    * each partition compacts as an independent unit, so the driver
+    * loop parallelizes trivially and closed partitions never rewrite
+    * twice.
+    */
+  def q172Compaction(s: SparkSession, dir: String): DataFrame = {
+    val table = cdcMaintainedTable(s, dir)
+    def parquetCount(d: java.io.File): Int =
+      d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val partDirs = new java.io.File(table).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("source="))
+      .sortBy(_.getName)
+    val filesBefore = partDirs.map(parquetCount).sum
+    partDirs.foreach { d =>
+      graft.operators.Compact.compact(s, d.getPath, 128L * 1024 * 1024)
+    }
+    val filesAfter = partDirs.map(parquetCount).sum
+    s.read.parquet(table).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L))
+        .as("n_hot"),
+      sum(col("version").cast("long")).as("sum_version"),
+      sum(pmod(Dedup.portableHash60(
+          concat(col("doc_id").cast("string"), lit("|"),
+            coalesce(col("text"), lit("<null>")))),
+        lit(1000003L))).as("content_hash_sum"),
+      lit(partDirs.length).cast("long").as("n_partitions"),
+      lit(if (filesAfter == partDirs.length) 1L else 0L)
+        .as("one_file_per_partition"),
+      lit(if (filesAfter <= filesBefore) 1L else 0L)
+        .as("files_not_increased"))
+  }
+
+  val q172Sql: String =
+    """WITH fin AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN text || ' u2'
+      |       ELSE text || ' v' || CAST(doc_id % 3 AS VARCHAR) END AS text
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hot,
+      |  (SELECT CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 21
+      |    ELSE (doc_id % 3) * 10 END) AS BIGINT) FROM documents)
+      |    AS sum_version,
+      |  CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+      |    COALESCE(text, '<null>')), 1, 15)) AS BIGINT) % 1000003) AS BIGINT)
+      |    AS content_hash_sum,
+      |  (SELECT COUNT(DISTINCT source) FROM documents) AS n_partitions,
+      |  CAST(1 AS BIGINT) AS one_file_per_partition,
+      |  CAST(1 AS BIGINT) AS files_not_increased
+      |FROM fin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_compaction" -> (q172Compaction _),
     "q169_string_agg" -> (q169StringAgg _),
     "q168_mode" -> (q168Mode _),
     "q167_winsorize" -> (q167Winsorize _),
@@ -5888,6 +5959,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q172_compaction" -> q172Sql,
     "q169_string_agg" -> q169Sql,
     "q168_mode" -> q168Sql,
     "q167_winsorize" -> q167Sql,
