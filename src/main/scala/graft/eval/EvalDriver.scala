@@ -113,7 +113,7 @@ object EvalDriver {
       parallelism: Int = 1,
       schema: PairSchema = PairSchema.default,
       candidateGen: graft.candidates.CandidateGenerator =
-        graft.candidates.CrossJoinGenerator): DataFrame = {
+        graft.candidates.AutoSelect): DataFrame = {
 
     val spark = lsource.sparkSession
     import spark.implicits._
@@ -195,7 +195,7 @@ object EvalDriver {
       parallelism: Int = 1,
       schema: PairSchema = PairSchema.default,
       candidateGen: graft.candidates.CandidateGenerator =
-        graft.candidates.CrossJoinGenerator): DataFrame = {
+        graft.candidates.AutoSelect): DataFrame = {
 
     val spark = lsource.sparkSession
     import spark.implicits._

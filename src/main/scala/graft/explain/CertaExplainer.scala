@@ -32,11 +32,20 @@ final case class Explanation(
   * DataFrame program. No per-triangle driver loops anywhere.
   */
 /** @param candidateGen J3 strategy for the support search (SURVEY §4):
-  *   the default [[graft.candidates.CrossJoinGenerator]] is the
-  *   reference-exact full-source scan per explanation;
-  *   [[graft.candidates.LshBlockingGenerator]] prunes that scan to
-  *   minhash-band collisions — the 100 TB shape for positive-support
-  *   hunting; [[graft.candidates.SampleGenerator]] bounds it.
+  *   the default [[graft.candidates.AutoSelect]] resolves cost-based at
+  *   the first `explain` call — the reference-exact
+  *   [[graft.candidates.CrossJoinGenerator]] full-source scan for a
+  *   single explanation under a cheap column-program scorer, the
+  *   prekeyed [[graft.candidates.LshBlockingGenerator]] when the scorer
+  *   is expensive or `expectedBatch ≥ 2` (the measured
+  *   [[graft.candidates.CandidateGenerator.auto]] trade);
+  *   [[graft.candidates.SampleGenerator]] bounds it explicitly.
+  * @param expectedBatch how many explanations this instance is expected
+  *   to serve over the same sources — the amortization signal the
+  *   cost-based resolution needs (a library cannot observe future
+  *   calls). Callers looping explanations should pass their batch size
+  *   (or use [[graft.eval.EvalDriver]], which does) and `close()` the
+  *   explainer when done to release any prekeyed band caches.
   */
 class CertaExplainer(
     lsource: DataFrame,
@@ -44,9 +53,30 @@ class CertaExplainer(
     schema: PairSchema = PairSchema.default,
     seed: Long = 42L,
     candidateGen: graft.candidates.CandidateGenerator =
-      graft.candidates.CrossJoinGenerator) extends Serializable {
+      graft.candidates.AutoSelect,
+    expectedBatch: Int = 1) extends Serializable with AutoCloseable {
 
   private val spark: SparkSession = lsource.sparkSession
+
+  // lazy cost-based resolution of AutoSelect, shared by every explain
+  // call on this instance; the Selection owns any prekeyed caches and
+  // close() releases them (no-op for the cross path / explicit gens)
+  @transient private var selection: graft.candidates.CandidateGenerator.Selection = null
+  private def resolvedGen(model: ERModel): graft.candidates.CandidateGenerator =
+    candidateGen match {
+      case graft.candidates.AutoSelect =>
+        synchronized {
+          if (selection == null)
+            selection = graft.candidates.CandidateGenerator.auto(
+              Seq(lsource, rsource), expectedBatch, model.costlyScorer)
+          selection.generator
+        }
+      case g => g
+    }
+
+  override def close(): Unit = synchronized {
+    if (selection != null) { selection.close(); selection = null }
+  }
 
   /** Tag the Spark jobs of one explainer stage (shows up in listeners /
     * the UI; stage-level attribution is how the 100 TB tuning loop
@@ -112,6 +142,7 @@ class CertaExplainer(
       discardBad: Boolean,
       cached: DataFrame => DataFrame): Explanation = {
 
+    val gen = resolvedGen(model)
     val lAttrs = lRecord.columns.filter(_ != "id").toIndexedSeq
     val rAttrs = rRecord.columns.filter(_ != "id").toIndexedSeq
     val attrLength =
@@ -127,7 +158,7 @@ class CertaExplainer(
     val (_, neighborhood0) = staged("support search")(Candidates.support(
       lRecord, rRecord, lsource, rsource, pc, model, numTriangles,
       maxPredict, useLeft, useRight, seed = seed, schema = schema,
-      gen = candidateGen))
+      gen = gen))
     if (neighborhood0.columns.isEmpty) return emptyExplanation()
 
     // G2 fallback (reference local_explain.py:51-60): when support is
@@ -152,7 +183,7 @@ class CertaExplainer(
         val (_, support2) = staged("augmented support search")(Candidates.support(
           lRecord, rRecord, genFromR, genFromL, pc, model, numTriangles,
           maxPredict, useLeft, useRight, seed = seed, schema = schema,
-          gen = candidateGen))
+          gen = gen))
         if (support2.columns.nonEmpty && support2.count() > 0) {
           neighborhood = neighborhood0.unionByName(support2)
           extendedL = lsource.unionByName(genFromR)

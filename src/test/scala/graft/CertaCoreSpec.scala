@@ -180,6 +180,34 @@ class CertaCoreSpec extends SparkSpec {
     assert(result.triangles.count() > 0)
   }
 
+  test("AutoSelect default resolves per the cost rule with identical outputs") {
+    import graft.candidates.{CrossJoinGenerator, LshBlockingGenerator}
+    val model = TokenCosineModel()
+    def fingerprint(e: graft.explain.Explanation): (Seq[(String, Double)], Seq[(String, Double)]) = (
+      e.saliency.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq.sorted,
+      e.pss.collect().map(r => (r.getAs[String]("attrSet"), r.getAs[Double]("pos"))).toSeq.sorted)
+    // expectedBatch = 1, cheap scorer → the AutoSelect default IS the
+    // reference-exact cross scan
+    val auto1 = new CertaExplainer(lsource, rsource)
+    val cross = new CertaExplainer(lsource, rsource,
+      candidateGen = CrossJoinGenerator)
+    try assert(
+      fingerprint(auto1.explain(rec(lsource, 0), rec(rsource, 0), model, numTriangles = 6)) ===
+      fingerprint(cross.explain(rec(lsource, 0), rec(rsource, 0), model, numTriangles = 6)))
+    finally auto1.close()
+    // expectedBatch ≥ 2 → AutoSelect resolves to the prekeyed blocked
+    // path; on this fixture (every support record shares tokens with
+    // the probe) blocking is lossless, so outputs are identical to the
+    // per-call blocked generator — and close() releases the band caches
+    val autoBatch = new CertaExplainer(lsource, rsource, expectedBatch = 8)
+    val blocked = new CertaExplainer(lsource, rsource,
+      candidateGen = LshBlockingGenerator())
+    try assert(
+      fingerprint(autoBatch.explain(rec(lsource, 0), rec(rsource, 2), model, numTriangles = 6)) ===
+      fingerprint(blocked.explain(rec(lsource, 0), rec(rsource, 2), model, numTriangles = 6)))
+    finally autoBatch.close()
+  }
+
   test("end-to-end explain on a matched pair") {
     val model = TokenCosineModel()
     val explainer = new CertaExplainer(lsource, rsource)
