@@ -386,6 +386,42 @@ object Ann {
         col("cosine"))
   }
 
+  /** Approximate kNN GRAPH — every node's top-k same-cell neighbors —
+    * at corpus scale: [[knnJoin]] broadcasts its probes, so using it
+    * for a full graph is an n² corpus scan per corpus; here the corpus
+    * self-joins ONCE on density-sized LSH cells
+    * ([[SemDedup.autoPlanes]] keeps the mean cell ~`targetCell`
+    * vectors, so per-cell pairwise work stays constant as n grows) and
+    * each node's neighbors reduce through the bounded
+    * [[graft.operators.TopK]] aggregate — no hot-node window, shuffle
+    * ≤ k rows per (node, map task). Output (src, rank, dst, cosine),
+    * rank 1-based by (cosine DESC, dst ASC). Recall follows the cell
+    * structure (the SemDeDup trade): same-cell neighbors only — the
+    * edge set a kNN-graph PageRank or SemDeDup-style clustering
+    * consumes, not an exact kNN (use [[knnJoin]] for exactness on a
+    * bounded probe set).
+    */
+  def knnGraph(df: DataFrame, embCol: String, idCol: String, k: Int,
+      numPlanes: Int = 0, targetCell: Int = 128): DataFrame = {
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else SemDedup.autoPlanes(df.count(), targetCell)
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val b = df.select(col(idCol), col(embCol),
+      lshBucketPortable(col(embCol), dim, planes).as("__bucket"))
+    val scored = b.select(col("__bucket"), col(idCol).as("__src"),
+        col(embCol).as("__ea"))
+      .join(b.select(col("__bucket").as("__bucket_b"),
+          col(idCol).as("__dst"), col(embCol).as("__eb")),
+        col("__bucket") === col("__bucket_b") && col("__src") =!= col("__dst"))
+      .select(col("__src"), col("__dst"),
+        cosine(col("__ea"), col("__eb")).as("cosine"))
+    graft.operators.TopK.topKPerGroup(scored, Seq("__src"),
+        col("cosine"), col("__dst"), k)
+      .select(col("__src").as("src"), col("rank"), col("id").as("dst"),
+        col("score").as("cosine"))
+  }
+
   /** Recall@k evaluation of the LSH index against exact brute force —
     * the eval-harness query every ANN deployment runs on a probe
     * sample before trusting the index. For each probe passing

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-7 measurement: explainer concurrency at the reference
+  * eval-loop scale (eval.py:69 explains hundreds of rows). Runs
+  * EvalDriver.evalCf over 100 pairs at parallelism 1 vs 8 under a
+  * FAIR-scheduled pool (EvalDriver.parMap already tags its jobs with
+  * the `graft-eval` pool; this tool supplies the FAIR allocation so
+  * concurrent explanation job-streams share executors instead of
+  * queueing FIFO), asserts the outputs are identical, and prints the
+  * speedup — the job-stream-contention probe the 32-pair ScaleSmoke
+  * leg is too small for.
+  */
+object EvalConcurrency {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nPairs = args.headOption.map(_.toInt).getOrElse(100)
+
+    val alloc = java.nio.file.Files.createTempFile("fairpools", ".xml")
+    java.nio.file.Files.writeString(alloc,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="graft-eval">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>""".stripMargin)
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", alloc.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val part = graft.sources.Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        col("p_brand").as("brand"), col("p_type").as("ptype"),
+        col("p_size").cast("string").as("psize"))
+      .repartition(32).cache()
+    part.count()
+    val ids = part.select(col("id")).orderBy(col("id")).limit(nPairs)
+      .as[Long].collect().toSeq
+    val pairs = ids.map(i => (i, i, 1)).toDF("ltable_id", "rtable_id", "label")
+    val model = graft.matcher.TokenCosineModel()
+
+    def run(par: Int): (Double, Seq[String]) = {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"evalconc_$par").toString
+      val t0 = System.nanoTime()
+      val df = graft.eval.EvalDriver.evalCf(part, part, pairs, model, out,
+        numTriangles = 10, maxRows = nPairs, parallelism = par)
+      val rows = df.drop("latencySec").collect().map(_.toString).toSeq.sorted
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val (t1, r1) = run(1)
+    val (t8, r8) = run(8)
+    require(r1 == r8, "parallel eval outputs diverged")
+    println(f"[evalconc] $nPairs pairs (FAIR pool): par1 $t1%7.1fs  " +
+      f"par8 $t8%7.1fs  speedup ${t1 / t8}%5.2fx  outputs identical")
+    spark.stop()
+  }
+}

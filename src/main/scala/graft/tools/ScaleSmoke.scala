@@ -807,6 +807,100 @@ object ScaleSmoke {
           "user_id", "event_id", "event_type", "us")
         .agg(sum(col("credit_bp")), count(lit(1))).collect()
     }
+    // round-7 legs (round-6 additions that skipped ScaleSmoke) --------
+
+    // kNN-GRAPH PageRank on a REAL edge set: the edge build is the
+    // expensive stage, so it runs through the scale path —
+    // Ann.knnGraph's density-sized LSH cells (per-cell pairwise work
+    // ~constant as n grows) + bounded top-k — then 2 PR iterations
+    // over those edges. Expect ~linear; the ring-edge leg above only
+    // measured the PR loop.
+    leg("knn-graph pagerank")(scaledEmb) { e =>
+      val edges = graft.similarity.Ann.knnGraph(e, "embedding", "vec_id",
+          k = 3)
+        .select(col("src"), col("dst"))
+      graft.graph.PageRank.rankInt(edges, iters = 2)
+        .agg(sum(col("pr")), count(lit(1))).collect()
+    }
+    // q146 transition census: one user-keyed lead window + one (src,
+    // dst) census; m× users at constant journey length ⇒ ~linear
+    leg("transition census")(scaledEventsJ) { e =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      e.select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type"), col("nxt"))
+        .agg(count(lit(1))).agg(count(lit(1))).collect()
+    }
+    // q164 rolling 7-day distinct: distinct (user, day) then an
+    // explode to the ≤7 covered days — row volume 7× the distinct set,
+    // never a per-day rescan ⇒ ~linear
+    leg("rolling distinct")(scaledEventsJ) { e =>
+      e.select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6L)).as("td"))
+        .groupBy(col("td"))
+        .agg(countDistinct(col("user_id"))).agg(count(lit(1))).collect()
+    }
+    // q130's maintenance loop at m×: SCD2 table bootstrapped to disk,
+    // then 2 change batches each applied and rewritten through parquet
+    // (the stream's per-batch cost IS this read→apply→write cycle);
+    // per-cycle work is one full-outer join on the open set ⇒ ~linear
+    leg("scd2 stream replay") { m =>
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .select((col("c_custkey") * m + col("__rep")).as("c_custkey"),
+          concat(col("c_mktsegment"), col("__rep")).as("c_mktsegment"),
+          col("c_nationkey"))
+        .repartition(32).cache()
+    } { c =>
+      val tmp = java.nio.file.Files.createTempDirectory("smoke-scd2").toString
+      graft.operators.Scd2.initial(c, 0L).write.parquet(s"$tmp/t0")
+      var cur = s"$tmp/t0"
+      (1 to 2).foreach { i =>
+        val b = c.filter(pmod(Dedup.portableHash60(
+            col("c_custkey").cast("string")), lit(100L)) < 30)
+          .select(col("c_custkey"),
+            concat(col("c_mktsegment"), lit(s"#$i")).as("c_mktsegment"),
+            col("c_nationkey"))
+        val next = graft.operators.Scd2.apply(spark.read.parquet(cur), b,
+          Seq("c_custkey"), Seq("c_mktsegment", "c_nationkey"), i * 100L)
+        next.write.parquet(s"$tmp/t$i")
+        cur = s"$tmp/t$i"
+      }
+      spark.read.parquet(cur).agg(count(lit(1))).collect()
+    }
+    // q150's maintenance core at m×: PQ codebook trained ONCE on the
+    // base corpus (the index's standing model), then each m× delta
+    // encodes scan-locally against the literal codebook and appends —
+    // per-batch cost tracks the delta scan ⇒ ~linear
+    if (on("pq maintenance")) {
+      val model = graft.similarity.Pq.train(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64, m = 2, k = 4, iters = 1)
+      val ts = mults.map { m =>
+        val e = scaledEmb(m); e.count()
+        val tmp = java.nio.file.Files.createTempDirectory("smoke-pq").toString
+        def run(): Unit = {
+          graft.similarity.Pq.encode(e, "embedding", model)
+            .select(col("vec_id"), col("code_0"), col("code_1"))
+            .write.mode("append").parquet(s"$tmp/codes")
+        }
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"pq maintenance"}%-22s " +
+        ts.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${ts.last / ts.head}%5.1f")
+    }
+
     // replica-suffixed tokens divide every df by m — hold the PER-
     // REPLICA support constant (0.2/m) so the frequent set and the
     // per-document pair work stay fixed while the corpus grows m×

@@ -694,6 +694,34 @@ class PipelineSpec extends SparkSpec {
     assert(twoPhase.size === 4 * 5)
   }
 
+  test("knnGraph: cell-local edges equal brute force when cells are lossless") {
+    // positive scalings of one direction share every hyperplane sign →
+    // one family per LSH cell, so the bucketed graph loses nothing and
+    // must equal the brute-force per-node top-k within each family
+    val u = Seq(0.5f, -0.25f, 0.125f, 0.5f, -0.5f, 0.25f, -0.125f, 0.0625f)
+    val embs = (0L until 6L).map { i =>
+      val sign = if (i < 3) 1f else -1f
+      (i, u.map(x => x * sign * (1 << (i % 3).toInt).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Ann.knnGraph(embs, "embedding", "vec_id", k = 2, numPlanes = 1)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // flat reference over the SAME family structure with the SAME
+    // cosine expression (identical doubles → identical tie behavior)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst").asc)
+    val a = embs.select(col("vec_id").as("src"), col("embedding").as("ea"))
+    val b = embs.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+    val flat = a.join(b,
+        (col("src") < 3) === (col("dst") < 3) && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), Ann.cosine(col("ea"), col("eb")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === flat)
+    assert(got.map(_._1) === (0L until 6L).toSet) // every node has edges
+  }
+
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
     val rnd = new scala.util.Random(19)
     val embs = Seq.tabulate(50)(i =>
