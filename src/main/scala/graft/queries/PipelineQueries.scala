@@ -3891,8 +3891,9 @@ object PipelineQueries {
     * the PR loop is fixed-point floor arithmetic, so 2 unrolled
     * iterations replay bit-for-bit in SQL. The edge build here is the
     * brute-force quantized scan (fine at catalog scale); at corpus
-    * scale it swaps for the salted two-phase kNN join (q82) or the
-    * LSH/IVF generators (q41/q42) — the PR loop is generator-agnostic.
+    * scale it swaps for [[Ann.knnGraph]]'s density-sized cell build
+    * (q173, ScaleSmoke-measured 11.1x at 16x growth) — the PR loop is
+    * generator-agnostic.
     */
   def q128Pagerank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -5824,7 +5825,52 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS files_not_increased
       |FROM fin""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** Approximate kNN GRAPH ([[Ann.knnGraph]]) — the corpus-scale edge
+    * build behind q128's PageRank and SemDeDup-style clustering: every
+    * vector's top-3 same-cell neighbors under the PORTABLE 4-plane LSH
+    * cells (pinned plane count so the oracle replays the exact cell
+    * structure, the q76 rule; production uses the AutoPlanes default).
+    * The per-node top-k reduces through the bounded TopK aggregate —
+    * never a hot-node window — and the full (src, rank, dst, cosine)
+    * edge table hash-checks against a DuckDB replay of bucket
+    * assignment + same-cell pairs + windowed top-3 (the q41 bucket
+    * arithmetic and the q82 left-to-right cosine).
+    */
+  def q173KnnGraph(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Ann.knnGraph(t(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 3, numPlanes = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("src"), col("rank"))
+
+  val q173Sql: String = {
+    def dotExpr(a: String, b: String): String =
+      s"""list_aggregate(list_transform(range(1, len($a) + 1),
+         |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
+    def proj(p: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, ($bucket) AS bucket
+       |  FROM embeddings),
+       |sc AS (SELECT a.vec_id AS src, c.vec_id AS dst,
+       |  ${dotExpr("a.embedding", "c.embedding")} /
+       |  (sqrt(${dotExpr("a.embedding", "a.embedding")}) *
+       |   sqrt(${dotExpr("c.embedding", "c.embedding")})) AS cosine
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |r AS (SELECT src, dst, cosine, row_number() OVER (
+       |    PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+       |  FROM sc)
+       |SELECT src, rank, dst, cosine FROM r WHERE rank <= 3
+       |ORDER BY src, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_knn_graph" -> (q173KnnGraph _),
     "q172_compaction" -> (q172Compaction _),
     "q169_string_agg" -> (q169StringAgg _),
     "q168_mode" -> (q168Mode _),
@@ -5959,6 +6005,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q173_knn_graph" -> q173Sql,
     "q172_compaction" -> q172Sql,
     "q169_string_agg" -> q169Sql,
     "q168_mode" -> q168Sql,
