@@ -85,17 +85,32 @@ object CandidateGenerator {
     * scorer itself is the expensive side (external/MLlib inference —
     * pruning model calls dominates the sketch cost even one-off).
     *
+    * Blocking additionally requires a corpus WORTH pruning: below
+    * `minCorpusForBlocking` rows (one count per source, paid once per
+    * selection) the full scan is cheap by definition while blocking's
+    * recall loss is at its worst — a handful of records easily shares
+    * no minhash band with the probe, and an explanation built on an
+    * empty support set explains nothing. Small corpora therefore
+    * always take the reference-exact cross scan.
+    *
     * @param batchSize    number of explanations that will share the
     *                     selection
     * @param costlyScorer [[graft.matcher.ERModel.costlyScorer]] of the
     *                     model the search will score with
+    * @param minCorpusForBlocking smallest per-source row count at
+    *                     which blocking is considered (0 disables the
+    *                     gate — the raw cost-trade logic)
     */
   def auto(sources: Seq[DataFrame], batchSize: Int,
-      costlyScorer: Boolean): Selection =
-    if (batchSize >= 2 || costlyScorer) {
+      costlyScorer: Boolean,
+      minCorpusForBlocking: Long = 4096L): Selection = {
+    def bigEnough: Boolean = minCorpusForBlocking <= 0 ||
+      sources.forall(_.count() >= minCorpusForBlocking)
+    if ((batchSize >= 2 || costlyScorer) && bigEnough) {
       val handle = LshBlockingGenerator.forBatch(sources)
       new Selection(handle.generator, Some(handle))
     } else new Selection(CrossJoinGenerator, None)
+  }
 }
 
 /** Reference-exact J3: the probe replicates against every source record

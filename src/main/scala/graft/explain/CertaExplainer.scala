@@ -37,8 +37,10 @@ final case class Explanation(
   *   [[graft.candidates.CrossJoinGenerator]] full-source scan for a
   *   single explanation under a cheap column-program scorer, the
   *   prekeyed [[graft.candidates.LshBlockingGenerator]] when the scorer
-  *   is expensive or `expectedBatch ≥ 2` (the measured
-  *   [[graft.candidates.CandidateGenerator.auto]] trade);
+  *   is expensive or `expectedBatch ≥ 2` AND the sources clear `auto`'s
+  *   corpus-size gate (small corpora always cross-scan — cheap by
+  *   definition, and blocking's recall loss there can empty the
+  *   support set);
   *   [[graft.candidates.SampleGenerator]] bounds it explicitly.
   * @param expectedBatch how many explanations this instance is expected
   *   to serve over the same sources — the amortization signal the

@@ -177,17 +177,26 @@ class InvariantsSpec extends SparkSpec {
 
   test("AutoSelect picks cross for one cheap call, prekeyed for a batch") {
     import graft.candidates.{AutoSelect, CandidateGenerator, CrossJoinGenerator}
-    // the selection logic itself (the ScaleSmoke-measured trade)
+    // the selection logic itself (the ScaleSmoke-measured trade);
+    // gate disabled so the fixture-sized sources exercise it
     val single = CandidateGenerator.auto(Seq(lsource, rsource), 1,
-      costlyScorer = false)
+      costlyScorer = false, minCorpusForBlocking = 0)
     assert(!single.isPrekeyed && (single.generator eq CrossJoinGenerator))
     single.close() // no-op for the cross path
     val batch = CandidateGenerator.auto(Seq(lsource, rsource), 2,
-      costlyScorer = false)
+      costlyScorer = false, minCorpusForBlocking = 0)
     try assert(batch.isPrekeyed) finally batch.close()
     val costly = CandidateGenerator.auto(Seq(lsource, rsource), 1,
-      costlyScorer = true)
+      costlyScorer = true, minCorpusForBlocking = 0)
     try assert(costly.isPrekeyed) finally costly.close()
+    // the DEFAULT size gate: a corpus this small is never blocked —
+    // the scan is cheap by definition and blocking's recall loss on a
+    // handful of records can empty the support set (the MatcherSpec
+    // MLP fixture would explain nothing)
+    val gated = CandidateGenerator.auto(Seq(lsource, rsource), 8,
+      costlyScorer = true)
+    assert(!gated.isPrekeyed && (gated.generator eq CrossJoinGenerator))
+    gated.close()
     // costlyScorer is carried by the model type
     assert(!TokenCosineModel().costlyScorer)
     assert(new graft.matcher.ExternalBatchScorer(
@@ -206,15 +215,24 @@ class InvariantsSpec extends SparkSpec {
     }
     val one = Seq((0L, 0L, 1)).toDF("ltable_id", "rtable_id", "label")
     assert(run(AutoSelect, one, 1) === run(CrossJoinGenerator, one, 1))
+    // on this under-gate fixture AutoSelect resolves to cross even for
+    // a batch (the size gate above) — outputs must equal the cross loop
     val two = Seq((0L, 0L, 1), (1L, 2L, 0))
       .toDF("ltable_id", "rtable_id", "label")
+    assert(run(AutoSelect, two, 2) === run(CrossJoinGenerator, two, 2))
+    // the blocked regime end-to-end: gate disabled, prekeyed selection
+    // resolved exactly as EvalDriver would at corpus scale; outputs
+    // must match the per-call blocked generator's
+    val sel = CandidateGenerator.auto(Seq(lsource, rsource), 2,
+      costlyScorer = false, minCorpusForBlocking = 0)
+    val autoBlocked = try run(sel.generator, two, 2) finally sel.close()
     val manual = graft.candidates.LshBlockingGenerator.forBatch(
       Seq(lsource, rsource))
     // NOTE: manual prekeyed matches frames by reference identity, and
-    // lsource/rsource are defs — AutoSelect re-keys internally, so only
-    // output equality (not cache sharing) is asserted here
+    // lsource/rsource are defs — the selection re-keys internally, so
+    // only output equality (not cache sharing) is asserted here
     val expected = try run(manual.generator, two, 2) finally manual.close()
-    assert(run(AutoSelect, two, 2) === expected)
+    assert(autoBlocked === expected)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
