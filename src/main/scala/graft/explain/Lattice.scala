@@ -64,6 +64,12 @@ object Lattice {
     * (columns: triangle, alteredAttributes, match_score) — group by
     * triangle, collect the (attrSet, score) pairs, assemble on the
     * driver (lattices are debug artifacts of ≤ 2^attrs elements).
+    *
+    * Entries sort by their "a/b"-joined set label before assembly:
+    * `collect_list` order is partition-arrival order, and a debug
+    * artifact whose dot output changes between identical runs is
+    * useless as a replay/diff surface (the q174 golden pins the
+    * sorted form).
     */
   def fromPredictions(predictions: DataFrame,
       originalScore: Double, allAttributes: Set[String]): Seq[Lattice] = {
@@ -72,11 +78,11 @@ object Lattice {
       .agg(collect_list(struct(col("alteredAttributes"), col("match_score")))
         .as("entries"))
       .collect()
-    grouped.toIndexedSeq.map { row =>
+    grouped.toIndexedSeq.sortBy(_.getString(0)).map { row =>
       val tri = row.getString(0)
       val entries = row.getSeq[org.apache.spark.sql.Row](1).map { e =>
         (e.getSeq[String](0).toSet, e.getDouble(1))
-      }
+      }.sortBy { case (s, score) => (s.toSeq.sorted.mkString("/"), score) }
       // bottom = empty set (original prediction), top = all attributes
       val elems = (Set.empty[String] +: entries.map(_._1)) :+ allAttributes
       val ranks = (originalScore +: entries.map(_._2)) :+

@@ -450,6 +450,43 @@ object ErQueries {
     rows.toDF("metric", "value_q").orderBy(col("metric"))
   }
 
+  /** Lattice debug path golden (S4 dot sink + J7 lattice joins + A6
+    * group-by-triangle, reference utils.py:84-177 / explain.py:79-153):
+    * per-triangle lattices assembled from the golden explanation's
+    * counterfactual predictions, each emitted as its Hasse dot code and
+    * censused (element count, cover-edge count, md5 of the dot text).
+    * Every input is frozen-deterministic (the q60-q63 fixture) and
+    * [[graft.explain.Lattice.fromPredictions]] sorts entries by set
+    * label, so the dot strings are constants — the oracle is a VALUES
+    * literal ([[GoldenMetrics.latticeSql]]), upgrading the last
+    * spec-only explainer surface to a driver hash check.
+    */
+  def q174LatticeGolden(s: SparkSession, dir: String): DataFrame = {
+    val e = goldenExplained(s, dir)
+    val src = goldenSource(s, dir)
+    val l = src.filter(col("id") === 0)
+    val pair = graft.schema.PairSchema.default.assemblePair(l, l)
+    val orig = TokenCosineModel().predict(pair)
+      .select(col("match_score")).head().getDouble(0)
+    val allAttrs = goldenAttrs.flatMap(a =>
+      Seq("ltable_" + a, "rtable_" + a)).toSet
+    val lats = graft.explain.Lattice.fromPredictions(
+      e.cfExamples.select(col("triangle"), col("alteredAttributes"),
+        col("match_score")),
+      orig, allAttrs)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = lats.map { lt =>
+      val dot = lt.hasse
+      (lt.triangle, lt.elements.size.toLong,
+        (dot.split("\" -> \"", -1).length - 1).toLong, md5hex(dot))
+    }
+    import s.implicits._
+    rows.toDF("triangle", "n_elements", "n_edges", "dot_md5")
+      .orderBy(col("triangle"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -465,7 +502,8 @@ object ErQueries {
     "q62_certa_triangles_golden" -> (q62GoldenTriangles _),
     "q63_baseline_saliency_golden" -> (q63GoldenBaselines _),
     "q170_faithfulness_golden" -> (q170GoldenFaithfulness _),
-    "q171_confidence_golden" -> (q171GoldenConfidence _))
+    "q171_confidence_golden" -> (q171GoldenConfidence _),
+    "q174_lattice_golden" -> (q174LatticeGolden _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
@@ -482,5 +520,6 @@ object ErQueries {
     "q62_certa_triangles_golden" -> GoldenExplainer.trianglesSql,
     "q63_baseline_saliency_golden" -> GoldenExplainer.baselinesSql,
     "q170_faithfulness_golden" -> GoldenMetrics.faithfulnessSql,
-    "q171_confidence_golden" -> GoldenMetrics.confidenceSql)
+    "q171_confidence_golden" -> GoldenMetrics.confidenceSql,
+    "q174_lattice_golden" -> GoldenMetrics.latticeSql)
 }

@@ -33,6 +33,12 @@ object GoldenMetrics {
     ("max_err_q", 68966529L),
     ("mean_mae_q", 62554540L))
 
+  // (triangle, n_elements, n_edges, md5(hasse dot)) per q174 lattice
+  val lattice: Seq[(String, Long, Long, String)] = Seq(
+    ("0@0 1@0 0@14", 3L, 2L, "dd15edec9cdb285097dbc80fe3273823"),
+    ("0@0 1@0 0@19", 3L, 2L, "dd15edec9cdb285097dbc80fe3273823"),
+    ("0@0 1@0 0@9", 3L, 2L, "dd15edec9cdb285097dbc80fe3273823"))
+
   // string-literal cast: DuckDB parses a bare numeric literal through
   // DECIMAL, which can land one ULP off the Scala double; a quoted
   // string goes through strtod and round-trips exactly
@@ -49,4 +55,10 @@ object GoldenMetrics {
         s"(${q(m)}, CAST($v AS BIGINT))" }
       .mkString("SELECT * FROM (VALUES ", ", ",
         ") t(metric, value_q) ORDER BY metric")
+
+  val latticeSql: String =
+    lattice.map { case (t, ne, ned, h) =>
+        s"(${q(t)}, CAST($ne AS BIGINT), CAST($ned AS BIGINT), ${q(h)})" }
+      .mkString("SELECT * FROM (VALUES ", ", ",
+        ") t(triangle, n_elements, n_edges, dot_md5) ORDER BY triangle")
 }

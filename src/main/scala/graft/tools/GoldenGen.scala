@@ -49,13 +49,17 @@ object GoldenGen {
       require(got == bpeAll.head._2,
         s"BPE SF-invariance violated at $d:\n$got\nvs\n${bpeAll.head._2}")
     }
-    // q170/q171 A13/A14 metric goldens (nation⋈region, SF-invariant)
-    def metricsOf(dir: String): (Seq[(String, Double)], Seq[(String, Long)]) = {
+    // q170/q171/q174 metric+lattice goldens (nation⋈region, SF-invariant)
+    def metricsOf(dir: String): (Seq[(String, Double)], Seq[(String, Long)],
+        Seq[(String, Long, Long, String)]) = {
       val faith = ErQueries.q170GoldenFaithfulness(spark, dir).collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
       val conf = ErQueries.q171GoldenConfidence(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
-      (faith, conf)
+      val lat = ErQueries.q174LatticeGolden(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+      (faith, conf, lat)
     }
     val metricsAll = dirs.map(d => d -> metricsOf(d))
     metricsAll.tail.foreach { case (d, got) =>
@@ -91,6 +95,9 @@ object GoldenGen {
     println("  val confidence: Seq[(String, Long)] = Seq(")
     println(metricsAll.head._2._2.map { case (m, v) =>
       s"    (${lit(m)}, ${v}L)" }.mkString(",\n") + ")")
+    println("  val lattice: Seq[(String, Long, Long, String)] = Seq(")
+    println(metricsAll.head._2._3.map { case (t, ne, ned, h) =>
+      s"    (${lit(t)}, ${ne}L, ${ned}L, ${lit(h)})" }.mkString(",\n") + ")")
 
     // Per-SF frozen constants for the bench-scale live explainer
     // (q25-q28 on `part`). These are NOT SF-invariant — the support /
