@@ -487,6 +487,35 @@ object ErQueries {
       .orderBy(col("triangle"))
   }
 
+  /** A9-A12 counterfactual-quality metrics golden
+    * ([[graft.metrics.CfMetrics]], reference
+    * metrics/counterfactual.py:4-64): validity, proximity, sparsity,
+    * diversity of the golden explanation's CF examples against the
+    * probe record — frozen to 1e-9-quantized longs (the q171 rule: the
+    * values are exact rationals but double summation order varies with
+    * partitioning, so the golden checks 9 digits and is immune to the
+    * last ulp).
+    */
+  def q175CfMetricsGolden(s: SparkSession, dir: String): DataFrame = {
+    val e = goldenExplained(s, dir)
+    val src = goldenSource(s, dir)
+    val l = src.filter(col("id") === 0)
+    val probePair = graft.schema.PairSchema.default.assemblePair(l, l).head()
+    val attrs = goldenAttrs.flatMap(a => Seq("ltable_" + a, "rtable_" + a))
+    val cf = e.cfExamples
+    import graft.metrics.CfMetrics
+    def q(v: Double): Long = math.round(v * 1e9)
+    val rows = Seq(
+      ("diversity_q", q(CfMetrics.diversity(cf, attrs))),
+      ("proximity_q", q(CfMetrics.proximity(cf, probePair, attrs))),
+      ("sparsity_q", q(CfMetrics.sparsity(cf, probePair, attrs))),
+      // the golden probe is a match (pc = 1): validity counts CF rows
+      // whose match_score crossed below 0.5
+      ("validity_q", q(CfMetrics.validity(cf, "match_score"))))
+    import s.implicits._
+    rows.toDF("metric", "value_q").orderBy(col("metric"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -503,7 +532,8 @@ object ErQueries {
     "q63_baseline_saliency_golden" -> (q63GoldenBaselines _),
     "q170_faithfulness_golden" -> (q170GoldenFaithfulness _),
     "q171_confidence_golden" -> (q171GoldenConfidence _),
-    "q174_lattice_golden" -> (q174LatticeGolden _))
+    "q174_lattice_golden" -> (q174LatticeGolden _),
+    "q175_cf_metrics_golden" -> (q175CfMetricsGolden _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
@@ -521,5 +551,6 @@ object ErQueries {
     "q63_baseline_saliency_golden" -> GoldenExplainer.baselinesSql,
     "q170_faithfulness_golden" -> GoldenMetrics.faithfulnessSql,
     "q171_confidence_golden" -> GoldenMetrics.confidenceSql,
-    "q174_lattice_golden" -> GoldenMetrics.latticeSql)
+    "q174_lattice_golden" -> GoldenMetrics.latticeSql,
+    "q175_cf_metrics_golden" -> GoldenMetrics.cfMetricsSql)
 }

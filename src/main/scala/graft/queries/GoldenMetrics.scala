@@ -56,6 +56,20 @@ object GoldenMetrics {
       .mkString("SELECT * FROM (VALUES ", ", ",
         ") t(metric, value_q) ORDER BY metric")
 
+  // A9-A12 CF-quality metrics of the golden explanation (q175);
+  // clean rationals — 1/6, 2/3, 8/9, 1 — quantized at 1e-9
+  val cfMetrics: Seq[(String, Long)] = Seq(
+    ("diversity_q", 166666667L),
+    ("proximity_q", 666666667L),
+    ("sparsity_q", 888888889L),
+    ("validity_q", 1000000000L))
+
+  val cfMetricsSql: String =
+    cfMetrics.map { case (m, v) =>
+        s"(${q(m)}, CAST($v AS BIGINT))" }
+      .mkString("SELECT * FROM (VALUES ", ", ",
+        ") t(metric, value_q) ORDER BY metric")
+
   val latticeSql: String =
     lattice.map { case (t, ne, ned, h) =>
         s"(${q(t)}, CAST($ne AS BIGINT), CAST($ned AS BIGINT), ${q(h)})" }

@@ -51,7 +51,7 @@ object GoldenGen {
     }
     // q170/q171/q174 metric+lattice goldens (nation⋈region, SF-invariant)
     def metricsOf(dir: String): (Seq[(String, Double)], Seq[(String, Long)],
-        Seq[(String, Long, Long, String)]) = {
+        Seq[(String, Long, Long, String)], Seq[(String, Long)]) = {
       val faith = ErQueries.q170GoldenFaithfulness(spark, dir).collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
       val conf = ErQueries.q171GoldenConfidence(spark, dir).collect()
@@ -59,7 +59,9 @@ object GoldenGen {
       val lat = ErQueries.q174LatticeGolden(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getString(3))).toSeq
-      (faith, conf, lat)
+      val cfm = ErQueries.q175CfMetricsGolden(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      (faith, conf, lat, cfm)
     }
     val metricsAll = dirs.map(d => d -> metricsOf(d))
     metricsAll.tail.foreach { case (d, got) =>
@@ -98,6 +100,9 @@ object GoldenGen {
     println("  val lattice: Seq[(String, Long, Long, String)] = Seq(")
     println(metricsAll.head._2._3.map { case (t, ne, ned, h) =>
       s"    (${lit(t)}, ${ne}L, ${ned}L, ${lit(h)})" }.mkString(",\n") + ")")
+    println("  val cfMetrics: Seq[(String, Long)] = Seq(")
+    println(metricsAll.head._2._4.map { case (m, v) =>
+      s"    (${lit(m)}, ${v}L)" }.mkString(",\n") + ")")
 
     // Per-SF frozen constants for the bench-scale live explainer
     // (q25-q28 on `part`). These are NOT SF-invariant — the support /
