@@ -516,6 +516,46 @@ object ErQueries {
     rows.toDF("metric", "value_q").orderBy(col("metric"))
   }
 
+  /** G2 augmentation-fallback golden (reference local_explain.py:51-60
+    * via explain.py:67): at `numTriangles = 60` the fixture's 26
+    * qualifying support pairs fall short, so the explainer generates
+    * prefix/suffix token-drop variants of the probe records and
+    * searches support among them — the one explainer branch no other
+    * golden executes. On this fixture the mostly-single-token
+    * attributes yield no qualifying augmented support, so the frozen
+    * output equals the untruncated full-26-support explanation —
+    * which is precisely the PARITY.md layer-B configuration, until
+    * now never driver-checked. Every stage stays
+    * seeded/deterministic, so the resulting saliency freezes
+    * ([[GoldenMetrics.augSaliencySql]]).
+    */
+  def q176AugmentedGolden(s: SparkSession, dir: String): DataFrame = {
+    val src = goldenSource(s, dir)
+    val l = src.filter(col("id") === 0)
+    val e = new CertaExplainer(src, src).explain(l, l, TokenCosineModel(),
+      numTriangles = 60)
+    e.saliency.orderBy(col("attribute"))
+  }
+
+  /** G6 invariant-probe golden (reference triangles_method.py:204-207,
+    * 280-283): the golden explanation re-run with `check = true` — all
+    * 12 identity/symmetry/transitivity probes scored per triangle in
+    * one distributed pass — and the flagged triangle table frozen
+    * ([[GoldenMetrics.invariantsSql]]). Upgrades the check path from
+    * spec-only to driver hash-checked.
+    */
+  def q177InvariantsGolden(s: SparkSession, dir: String): DataFrame = {
+    val src = goldenSource(s, dir)
+    val l = src.filter(col("id") === 0)
+    val e = new CertaExplainer(src, src).explain(l, l, TokenCosineModel(),
+      numTriangles = 10, check = true)
+    e.triangles.select(col("u"), col("v"), col("w"),
+        col("identity").cast("long").as("identity"),
+        col("symmetry").cast("long").as("symmetry"),
+        col("transitivity").cast("long").as("transitivity"))
+      .orderBy(col("u"), col("v"), col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -533,7 +573,9 @@ object ErQueries {
     "q170_faithfulness_golden" -> (q170GoldenFaithfulness _),
     "q171_confidence_golden" -> (q171GoldenConfidence _),
     "q174_lattice_golden" -> (q174LatticeGolden _),
-    "q175_cf_metrics_golden" -> (q175CfMetricsGolden _))
+    "q175_cf_metrics_golden" -> (q175CfMetricsGolden _),
+    "q176_augmented_golden" -> (q176AugmentedGolden _),
+    "q177_invariants_golden" -> (q177InvariantsGolden _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
@@ -552,5 +594,7 @@ object ErQueries {
     "q170_faithfulness_golden" -> GoldenMetrics.faithfulnessSql,
     "q171_confidence_golden" -> GoldenMetrics.confidenceSql,
     "q174_lattice_golden" -> GoldenMetrics.latticeSql,
-    "q175_cf_metrics_golden" -> GoldenMetrics.cfMetricsSql)
+    "q175_cf_metrics_golden" -> GoldenMetrics.cfMetricsSql,
+    "q176_augmented_golden" -> GoldenMetrics.augSaliencySql,
+    "q177_invariants_golden" -> GoldenMetrics.invariantsSql)
 }

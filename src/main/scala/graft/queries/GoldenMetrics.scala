@@ -70,6 +70,43 @@ object GoldenMetrics {
       .mkString("SELECT * FROM (VALUES ", ", ",
         ") t(metric, value_q) ORDER BY metric")
 
+  // q176: saliency of the augmentation-fallback explanation (equals
+  // the untruncated full-26-support run — the PARITY layer-B config)
+  val augSaliency: Seq[(String, Double)] = Seq(
+    ("ltable_grp", 0.7000000000000001),
+    ("ltable_name", 0.775),
+    ("ltable_region", 0.825),
+    ("rtable_grp", 0.7000000000000001),
+    ("rtable_name", 0.775),
+    ("rtable_region", 0.825))
+
+  val augSaliencySql: String =
+    augSaliency.map { case (a, v) => s"(${q(a)}, ${d(v)})" }
+      .mkString("SELECT * FROM (VALUES ", ", ",
+        ") t(attribute, saliency) ORDER BY attribute")
+
+  // q177: (u, v, w, identity, symmetry, transitivity) flags — all
+  // true: the deterministic cosine model is symmetric and transitive
+  // on this fixture, so the probes PASSING is itself the assertion
+  val invariants: Seq[(String, String, String, Long, Long, Long)] = Seq(
+    ("0@0", "1@0", "0@13", 1L, 1L, 1L),
+    ("0@0", "1@0", "0@14", 1L, 1L, 1L),
+    ("0@0", "1@0", "0@19", 1L, 1L, 1L),
+    ("0@0", "1@0", "0@23", 1L, 1L, 1L),
+    ("0@0", "1@0", "0@7", 1L, 1L, 1L),
+    ("0@0", "1@0", "0@9", 1L, 1L, 1L),
+    ("1@0", "0@0", "1@14", 1L, 1L, 1L),
+    ("1@0", "0@0", "1@17", 1L, 1L, 1L),
+    ("1@0", "0@0", "1@23", 1L, 1L, 1L),
+    ("1@0", "0@0", "1@24", 1L, 1L, 1L))
+
+  val invariantsSql: String =
+    invariants.map { case (u, v, w, i, sy, tr) =>
+        s"(${q(u)}, ${q(v)}, ${q(w)}, CAST($i AS BIGINT), " +
+          s"CAST($sy AS BIGINT), CAST($tr AS BIGINT))" }
+      .mkString("SELECT * FROM (VALUES ", ", ",
+        ") t(u, v, w, identity, symmetry, transitivity) ORDER BY u, v, w")
+
   val latticeSql: String =
     lattice.map { case (t, ne, ned, h) =>
         s"(${q(t)}, CAST($ne AS BIGINT), CAST($ned AS BIGINT), ${q(h)})" }

@@ -51,7 +51,9 @@ object GoldenGen {
     }
     // q170/q171/q174 metric+lattice goldens (nation⋈region, SF-invariant)
     def metricsOf(dir: String): (Seq[(String, Double)], Seq[(String, Long)],
-        Seq[(String, Long, Long, String)], Seq[(String, Long)]) = {
+        Seq[(String, Long, Long, String)], Seq[(String, Long)],
+        Seq[(String, Double)],
+        Seq[(String, String, String, Long, Long, Long)]) = {
       val faith = ErQueries.q170GoldenFaithfulness(spark, dir).collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
       val conf = ErQueries.q171GoldenConfidence(spark, dir).collect()
@@ -61,7 +63,12 @@ object GoldenGen {
           r.getString(3))).toSeq
       val cfm = ErQueries.q175CfMetricsGolden(spark, dir).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
-      (faith, conf, lat, cfm)
+      val aug = ErQueries.q176AugmentedGolden(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val inv = ErQueries.q177InvariantsGolden(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      (faith, conf, lat, cfm, aug, inv)
     }
     val metricsAll = dirs.map(d => d -> metricsOf(d))
     metricsAll.tail.foreach { case (d, got) =>
@@ -103,6 +110,13 @@ object GoldenGen {
     println("  val cfMetrics: Seq[(String, Long)] = Seq(")
     println(metricsAll.head._2._4.map { case (m, v) =>
       s"    (${lit(m)}, ${v}L)" }.mkString(",\n") + ")")
+    println("  val augSaliency: Seq[(String, Double)] = Seq(")
+    println(metricsAll.head._2._5.map { case (a, v) =>
+      s"    (${lit(a)}, $v)" }.mkString(",\n") + ")")
+    println("  val invariants: Seq[(String, String, String, Long, Long, Long)] = Seq(")
+    println(metricsAll.head._2._6.map { case (u, v, w, i, sy, tr) =>
+      s"    (${lit(u)}, ${lit(v)}, ${lit(w)}, ${i}L, ${sy}L, ${tr}L)" }
+      .mkString(",\n") + ")")
 
     // Per-SF frozen constants for the bench-scale live explainer
     // (q25-q28 on `part`). These are NOT SF-invariant — the support /
