@@ -5786,9 +5786,19 @@ object PipelineQueries {
       .filter(d => d.isDirectory && d.getName.startsWith("source="))
       .sortBy(_.getName)
     val filesBefore = partDirs.map(parquetCount).sum
-    partDirs.foreach { d =>
-      graft.operators.Compact.compact(s, d.getPath, 128L * 1024 * 1024)
-    }
+    // partitions compact independently — run the per-directory jobs
+    // concurrently (each is one small read+write; serially the driver
+    // loop dominates: 20 job round-trips ≈ 6.7 s vs ~2 s pooled)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(partDirs.toSeq.map(d =>
+        scala.concurrent.Future {
+          graft.operators.Compact.compact(s, d.getPath, 128L * 1024 * 1024)
+        })),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     val filesAfter = partDirs.map(parquetCount).sum
     s.read.parquet(table).agg(
       count(lit(1)).as("n_rows"),
