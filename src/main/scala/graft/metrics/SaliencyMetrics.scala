@@ -57,8 +57,18 @@ object SaliencyMetrics {
   /** A13 faithfulness with the reference's per-row ranking
     * (saliency.py:155-168): each pair's own top-k salient attributes are
     * blanked. `saliency` is long-form (ltable_id, rtable_id, attribute,
-    * score); ablation is a per-pair rank map joined onto the pairs —
-    * one distributed evaluation per threshold, no driver row loop.
+    * score); ablation is a per-pair rank map joined onto the pairs.
+    *
+    * ALL thresholds evaluate in ONE distributed job: the pair frame
+    * fans out T× against a literal threshold table (each replica
+    * ablates at its own top-k), one model evaluation scores the whole
+    * fan-out, and one grouped aggregation yields every threshold's
+    * confusion counts. The per-threshold loop the reference runs —
+    * and the first cut here ran — costs T corpus scans + T model
+    * passes; at 100 TB that is the difference between one pass and
+    * six. F1/AUC arithmetic over the exact counts is driver-side and
+    * unchanged, so the frozen q170 golden is invariant to this plan
+    * change.
     */
   def faithfulnessAucPerRow(
       labeledPairs: DataFrame,
@@ -67,6 +77,7 @@ object SaliencyMetrics {
       attrs: Seq[String],
       thresholds: Seq[Double] = defaultThresholds): (Seq[Double], Double) = {
     import org.apache.spark.sql.expressions.Window
+    val spark = labeledPairs.sparkSession
     val w = Window.partitionBy(col("ltable_id"), col("rtable_id"))
       .orderBy(col("score").desc, col("attribute").asc)
     val rankMap = saliency
@@ -78,14 +89,32 @@ object SaliencyMetrics {
       labeledPairs("ltable_id") === col("__rl") &&
         labeledPairs("rtable_id") === col("__rr"), "left")
 
+    import spark.implicits._
+    val tdf = broadcast(thresholds.map(t => (t, (t * attrs.size).toInt))
+      .toDF("__t", "__topk"))
+    val fanned = attrs.foldLeft(joined.crossJoin(tdf)) { (df, a) =>
+      df.withColumn(a,
+        when(coalesce(element_at(col("__ranks"), a), lit(Int.MaxValue))
+          <= col("__topk"), lit("")).otherwise(col(a)))
+    }.drop("__rl", "__rr", "__ranks")
+    val confusion = scoreFn(fanned)
+      .groupBy(col("__t"))
+      .agg(
+        sum(when(col("match_score") >= 0.5 && col("label") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("match_score") >= 0.5 && col("label") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("match_score") < 0.5 && col("label") === 1, 1L)
+          .otherwise(0L)).as("fn"))
+      .collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble)))
+      .toMap
     val scores = thresholds.map { t =>
-      val topK = (t * attrs.size).toInt
-      val ablated = attrs.foldLeft(joined) { (df, a) =>
-        df.withColumn(a,
-          when(coalesce(element_at(col("__ranks"), a), lit(Int.MaxValue)) <= topK,
-            lit("")).otherwise(col(a)))
-      }.drop("__rl", "__rr", "__ranks")
-      f1(scoreFn(ablated))
+      val (tp, fp, fn) = confusion(t)
+      val p = if (tp + fp == 0) 0.0 else tp / (tp + fp)
+      val r = if (tp + fn == 0) 0.0 else tp / (tp + fn)
+      if (p + r == 0) 0.0 else 2 * p * r / (p + r)
     }
     (scores, trapezoidAuc(thresholds, scores))
   }
