@@ -556,6 +556,47 @@ object ErQueries {
       .orderBy(col("u"), col("v"), col("w"))
   }
 
+  /** S5 word-embedding text source round-trip (reference
+    * DeepER.py:20-32 GloVe loader): deterministic `word v1..v4` lines
+    * synthesized from `nation` (vector terms are pure key arithmetic),
+    * written as the whitespace text format, read back through
+    * [[graft.sources.ErSources.readEmbeddingText]] into the broadcast word→vector map,
+    * and censused — count, total dims, integer value sum. The oracle
+    * replays the synthesis formula from `nation` directly, so the
+    * parse path (tokenization, float conversion, map assembly) is what
+    * the hash check exercises.
+    */
+  def q178EmbeddingTextSource(s: SparkSession, dir: String): DataFrame = {
+    val dims = 4
+    val rows = t(s, dir, "nation")
+      .select(col("n_name"), col("n_nationkey").cast("long")).collect()
+    val lines = rows.sortBy(_.getString(0)).map { r =>
+      val k = r.getLong(1)
+      val vec = (0 until dims).map(i => (k * 7 + i) % 13 - 6)
+      r.getString(0) + " " + vec.mkString(" ")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("q178")
+    val f = tmp.resolve("glove.txt")
+    java.nio.file.Files.writeString(f, lines.mkString("\n"))
+    val b = graft.sources.ErSources.readEmbeddingText(s, f.toString)
+    val m = b.value
+    val out = Seq((m.size.toLong,
+      m.valuesIterator.map(_.length.toLong).sum,
+      m.valuesIterator.flatMap(_.iterator).map(_.toLong).sum))
+    b.destroy()
+    import s.implicits._
+    out.toDF("n_words", "sum_dims", "val_sum")
+  }
+
+  val q178Sql: String =
+    """SELECT COUNT(*) AS n_words,
+      |  CAST(4 * COUNT(*) AS BIGINT) AS sum_dims,
+      |  CAST(SUM((n_nationkey * 7 + 0) % 13 - 6
+      |    + (n_nationkey * 7 + 1) % 13 - 6
+      |    + (n_nationkey * 7 + 2) % 13 - 6
+      |    + (n_nationkey * 7 + 3) % 13 - 6) AS BIGINT) AS val_sum
+      |FROM nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -575,7 +616,8 @@ object ErQueries {
     "q174_lattice_golden" -> (q174LatticeGolden _),
     "q175_cf_metrics_golden" -> (q175CfMetricsGolden _),
     "q176_augmented_golden" -> (q176AugmentedGolden _),
-    "q177_invariants_golden" -> (q177InvariantsGolden _))
+    "q177_invariants_golden" -> (q177InvariantsGolden _),
+    "q178_embedding_text_source" -> (q178EmbeddingTextSource _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
@@ -596,5 +638,6 @@ object ErQueries {
     "q174_lattice_golden" -> GoldenMetrics.latticeSql,
     "q175_cf_metrics_golden" -> GoldenMetrics.cfMetricsSql,
     "q176_augmented_golden" -> GoldenMetrics.augSaliencySql,
-    "q177_invariants_golden" -> GoldenMetrics.invariantsSql)
+    "q177_invariants_golden" -> GoldenMetrics.invariantsSql,
+    "q178_embedding_text_source" -> q178Sql)
 }
