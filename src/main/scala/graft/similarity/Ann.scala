@@ -396,24 +396,44 @@ object Ann {
     * [[graft.operators.TopK]] aggregate — no hot-node window, shuffle
     * ≤ k rows per (node, map task). Output (src, rank, dst, cosine),
     * rank 1-based by (cosine DESC, dst ASC). Recall follows the cell
-    * structure (the SemDeDup trade): same-cell neighbors only — the
-    * edge set a kNN-graph PageRank or SemDeDup-style clustering
-    * consumes, not an exact kNN (use [[knnJoin]] for exactness on a
-    * bounded probe set).
+    * structure (the SemDeDup trade): same-cell neighbors only at
+    * `probeBits = 0` — the edge set a kNN-graph PageRank or
+    * SemDeDup-style clustering consumes, not an exact kNN (use
+    * [[knnJoin]] for exactness on a bounded probe set).
+    *
+    * `probeBits` is the recall lever (the q144 finding: single-probe
+    * LSH recall is the weak point): each node ADDITIONALLY probes
+    * every cell within that Hamming distance of its own — near
+    * neighbors that straddle a hyperplane sit one sign bit away — at
+    * a candidate-volume cost of ×Σ C(planes, d). A node's probes are
+    * distinct cells and a neighbor lives in exactly one, so no pair
+    * duplicates. `probeBits = planes` degenerates to exact brute
+    * force (every cell probed — the spec's equivalence anchor).
     */
   def knnGraph(df: DataFrame, embCol: String, idCol: String, k: Int,
-      numPlanes: Int = 0, targetCell: Int = 128): DataFrame = {
+      numPlanes: Int = 0, targetCell: Int = 128,
+      probeBits: Int = 0): DataFrame = {
     val planes =
       if (numPlanes > 0) numPlanes
       else SemDedup.autoPlanes(df.count(), targetCell)
     val dim = df.select(size(col(embCol))).head().getInt(0)
     val b = df.select(col(idCol), col(embCol),
       lshBucketPortable(col(embCol), dim, planes).as("__bucket"))
-    val scored = b.select(col("__bucket"), col(idCol).as("__src"),
-        col(embCol).as("__ea"))
+    val masks = (0 to math.min(probeBits, planes))
+      .flatMap(d => (0 until planes).combinations(d).map(_.map(1L << _).sum))
+      .distinct
+    val probed =
+      if (masks == Seq(0L))
+        b.select(col("__bucket").as("__probe"), col(idCol).as("__src"),
+          col(embCol).as("__ea"))
+      else
+        b.select(explode(array(masks.map(m =>
+            col("__bucket").bitwiseXOR(lit(m))): _*)).as("__probe"),
+          col(idCol).as("__src"), col(embCol).as("__ea"))
+    val scored = probed
       .join(b.select(col("__bucket").as("__bucket_b"),
           col(idCol).as("__dst"), col(embCol).as("__eb")),
-        col("__bucket") === col("__bucket_b") && col("__src") =!= col("__dst"))
+        col("__probe") === col("__bucket_b") && col("__src") =!= col("__dst"))
       .select(col("__src"), col("__dst"),
         cosine(col("__ea"), col("__eb")).as("cosine"))
     graft.operators.TopK.topKPerGroup(scored, Seq("__src"),

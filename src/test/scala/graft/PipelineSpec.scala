@@ -720,6 +720,19 @@ class PipelineSpec extends SparkSpec {
         (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
     assert(got === flat)
     assert(got.map(_._1) === (0L until 6L).toSet) // every node has edges
+
+    // probeBits = planes probes EVERY cell → exact global brute force,
+    // across the family boundary single-probe cannot cross
+    val full = Ann.knnGraph(embs, "embedding", "vec_id", k = 2,
+        numPlanes = 1, probeBits = 1)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val flatAll = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), Ann.cosine(col("ea"), col("eb")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    assert(full === flatAll)
   }
 
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
