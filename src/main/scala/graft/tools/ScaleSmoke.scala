@@ -822,6 +822,18 @@ object ScaleSmoke {
       graft.graph.PageRank.rankInt(edges, iters = 2)
         .agg(sum(col("pr")), count(lit(1))).collect()
     }
+    // the multi-probe recall lever's measured cost: probeBits=1 fans
+    // each node out to planes+1 probed cells. Under AutoPlanes the
+    // plane count itself grows ~log2(n/128), so this leg is expected
+    // MILDLY SUPER-linear — n·log n, not a quadratic term: measured
+    // 27.3 at 16× growth (linear=16), which matches 16 × (9 probes at
+    // 16× / 5 probes at 1×) ≈ 28.8. The lever's price is the probe
+    // factor, nothing hidden.
+    leg("knn-graph probe1")(scaledEmb) { e =>
+      graft.similarity.Ann.knnGraph(e, "embedding", "vec_id",
+          k = 3, probeBits = 1)
+        .agg(count(lit(1)), sum(col("dst"))).collect()
+    }
     // q146 transition census: one user-keyed lead window + one (src,
     // dst) census; m× users at constant journey length ⇒ ~linear
     leg("transition census")(scaledEventsJ) { e =>
