@@ -56,7 +56,11 @@ object Bench {
         }
       })
     def metricSnapshot(): (Double, Double, Double) = {
-      org.apache.spark.GraftCoreBridge.flushListenerBus(spark.sparkContext)
+      if (!org.apache.spark.GraftCoreBridge.flushListenerBus(spark.sparkContext))
+        // a short flush bleeds this query's task metrics into the next
+        // delta — say so rather than silently misattributing
+        System.err.println("BENCH WARNING: listener bus flush timed out; " +
+          "the adjacent cpu/gc deltas are unreliable")
       (cpuNs.get / 1e9, runMs.get / 1e3, gcMs.get / 1e3)
     }
 

@@ -61,23 +61,28 @@ class CertaExplainer(
   private val spark: SparkSession = lsource.sparkSession
 
   // lazy cost-based resolution of AutoSelect, shared by every explain
-  // call on this instance; the Selection owns any prekeyed caches and
-  // close() releases them (no-op for the cross path / explicit gens)
-  @transient private var selection: graft.candidates.CandidateGenerator.Selection = null
+  // call on this instance and keyed by the model's cost class — one
+  // instance can serve a cheap scorer with the cross scan and a costly
+  // one with the blocked path without either reusing the wrong regime.
+  // Each Selection owns any prekeyed caches; close() releases them all
+  // (no-op for the cross path / explicit gens).
+  @transient private lazy val selections = scala.collection.mutable
+    .Map.empty[Boolean, graft.candidates.CandidateGenerator.Selection]
   private def resolvedGen(model: ERModel): graft.candidates.CandidateGenerator =
     candidateGen match {
       case graft.candidates.AutoSelect =>
         synchronized {
-          if (selection == null)
-            selection = graft.candidates.CandidateGenerator.auto(
-              Seq(lsource, rsource), expectedBatch, model.costlyScorer)
-          selection.generator
+          selections.getOrElseUpdate(model.costlyScorer,
+            graft.candidates.CandidateGenerator.auto(
+              Seq(lsource, rsource), expectedBatch, model.costlyScorer))
+            .generator
         }
       case g => g
     }
 
   override def close(): Unit = synchronized {
-    if (selection != null) { selection.close(); selection = null }
+    selections.valuesIterator.foreach(_.close())
+    selections.clear()
   }
 
   /** Tag the Spark jobs of one explainer stage (shows up in listeners /

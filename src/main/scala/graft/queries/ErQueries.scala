@@ -568,12 +568,16 @@ object ErQueries {
     */
   def q178EmbeddingTextSource(s: SparkSession, dir: String): DataFrame = {
     val dims = 4
+    // synthetic single-token words ("w<key>") rather than raw names:
+    // a regenerated fixture with multi-word names would break the
+    // whitespace format itself, and duplicate names would silently
+    // shrink the map below the COUNT(*) oracle — the parse path under
+    // test is identical either way
     val rows = t(s, dir, "nation")
-      .select(col("n_name"), col("n_nationkey").cast("long")).collect()
-    val lines = rows.sortBy(_.getString(0)).map { r =>
-      val k = r.getLong(1)
+      .select(col("n_nationkey").cast("long")).collect()
+    val lines = rows.map(_.getLong(0)).sorted.map { k =>
       val vec = (0 until dims).map(i => (k * 7 + i) % 13 - 6)
-      r.getString(0) + " " + vec.mkString(" ")
+      s"w$k " + vec.mkString(" ")
     }
     val tmp = java.nio.file.Files.createTempDirectory("q178")
     val f = tmp.resolve("glove.txt")

@@ -2326,7 +2326,10 @@ object PipelineQueries {
     */
   /** q99's CDC maintenance flow, returning the maintained table's path
     * (shared with q172, which compacts the fragmentation this flow
-    * leaves behind).
+    * leaves behind). Deliberately NOT memoized across queries: catalog
+    * queries must stay order-independent (a shared mutable table would
+    * couple q99's read to whether q172's compaction ran first), and
+    * the bench must keep timing the real maintenance cost.
     */
   private def cdcMaintainedTable(s: SparkSession, dir: String): String = {
     // plain load (see q98): batch staging + per-batch merges are

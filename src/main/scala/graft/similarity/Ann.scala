@@ -413,15 +413,15 @@ object Ann {
   def knnGraph(df: DataFrame, embCol: String, idCol: String, k: Int,
       numPlanes: Int = 0, targetCell: Int = 128,
       probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0, "probeBits must be >= 0")
     val planes =
       if (numPlanes > 0) numPlanes
       else SemDedup.autoPlanes(df.count(), targetCell)
     val dim = df.select(size(col(embCol))).head().getInt(0)
     val b = df.select(col(idCol), col(embCol),
       lshBucketPortable(col(embCol), dim, planes).as("__bucket"))
-    val masks = (0 to math.min(probeBits, planes))
-      .flatMap(d => (0 until planes).combinations(d).map(_.map(1L << _).sum))
-      .distinct
+    // probeBuckets(0, ...) IS the Hamming-ball mask set (xor with 0)
+    val masks = probeBuckets(0L, planes, math.min(probeBits, planes))
     val probed =
       if (masks == Seq(0L))
         b.select(col("__bucket").as("__probe"), col(idCol).as("__src"),

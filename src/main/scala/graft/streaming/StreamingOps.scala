@@ -283,9 +283,15 @@ object StreamingOps {
     */
   private def latestPerKey(batch: DataFrame, keys: Seq[String],
       versionCol: String): DataFrame = {
-    val tieBreak = batch.columns.toSeq
-      .filterNot(c => keys.contains(c) || c == versionCol)
-      .map(col(_).desc)
+    // only ORDERABLE payload columns join the tie-break: a map-typed
+    // column would fail window analysis outright, and the version-only
+    // ordering must keep working for such tables (their ties just stay
+    // as nondeterministic as the data makes them — documented limit)
+    val tieBreak = batch.schema.fields.toSeq
+      .filterNot(f => keys.contains(f.name) || f.name == versionCol)
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name).desc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc +: tieBreak: _*)

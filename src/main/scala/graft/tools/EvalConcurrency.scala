@@ -61,6 +61,17 @@ object EvalConcurrency {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
+    // warm-up: a small batch pays the JIT/codegen cost BEFORE either
+    // timed leg — measuring par1 first in a cold JVM would attribute
+    // all warm-up to the sequential leg and inflate the speedup
+    {
+      val warm = ids.take(8).map(i => (i, i, 1))
+        .toDF("ltable_id", "rtable_id", "label")
+      val out = java.nio.file.Files.createTempDirectory("evalconc_w").toString
+      graft.eval.EvalDriver.evalCf(part, part, warm, model, out,
+        numTriangles = 10, maxRows = 8, parallelism = 1)
+    }
+
     val (t1, r1) = run(1)
     val (t8, r8) = run(8)
     require(r1 == r8, "parallel eval outputs diverged")

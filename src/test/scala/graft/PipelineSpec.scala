@@ -733,6 +733,10 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r =>
         (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
     assert(full === flatAll)
+    // a negative probe radius must fail loudly, not return an empty
+    // graph that downstream PageRank would happily consume
+    assertThrows[IllegalArgumentException](
+      Ann.knnGraph(embs, "embedding", "vec_id", k = 1, probeBits = -1))
   }
 
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
