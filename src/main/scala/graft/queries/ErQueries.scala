@@ -601,6 +601,38 @@ object ErQueries {
       |    + (n_nationkey * 7 + 3) % 13 - 6) AS BIGINT) AS val_sum
       |FROM nation""".stripMargin
 
+  /** Evidence-counterfactual baselines golden (reference shap_c.py /
+    * lime_c.py / the DiCE-random driver): SHAP-C (exact-Shapley greedy
+    * blanking), LIME-C (seeded Mojito weights, supporting-sign greedy
+    * blanking) and DiCE-random (seeded feature-subset draws over
+    * bounded domains) on the golden probe — every stage is seeded or
+    * exact, so the found/size/set results and the DiCE CF content
+    * hash freeze ([[GoldenMetrics.evidenceCfSql]]). Upgrades the last
+    * spec-only baseline explainers to driver hash checks.
+    */
+  def q179EvidenceCfGolden(s: SparkSession, dir: String): DataFrame = {
+    val src = goldenSource(s, dir)
+    val l = src.filter(col("id") === 0)
+    val model = TokenCosineModel()
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shapc = graft.baselines.ShapC.explain(l, l, model)
+    val limec = graft.baselines.LimeC.explain(l, l, model)
+    val dice = graft.baselines.DiceRandom.explain(l, l, model,
+      goldenLabeledPairs(s, dir))
+    val diceRows = dice.collect().map(_.toString).sorted
+    val rows = Seq(
+      ("dice", if (diceRows.nonEmpty) 1L else 0L, diceRows.length.toLong,
+        md5hex(diceRows.mkString("\n"))),
+      ("limec", if (limec.found) 1L else 0L, limec.sizeExplanation.toLong,
+        limec.explanationSet.sorted.mkString("/")),
+      ("shapc", if (shapc.found) 1L else 0L, shapc.sizeExplanation.toLong,
+        shapc.explanationSet.sorted.mkString("/")))
+    import s.implicits._
+    rows.toDF("method", "found", "n", "detail").orderBy(col("method"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -621,7 +653,8 @@ object ErQueries {
     "q175_cf_metrics_golden" -> (q175CfMetricsGolden _),
     "q176_augmented_golden" -> (q176AugmentedGolden _),
     "q177_invariants_golden" -> (q177InvariantsGolden _),
-    "q178_embedding_text_source" -> (q178EmbeddingTextSource _))
+    "q178_embedding_text_source" -> (q178EmbeddingTextSource _),
+    "q179_evidence_cf_golden" -> (q179EvidenceCfGolden _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
@@ -643,5 +676,6 @@ object ErQueries {
     "q175_cf_metrics_golden" -> GoldenMetrics.cfMetricsSql,
     "q176_augmented_golden" -> GoldenMetrics.augSaliencySql,
     "q177_invariants_golden" -> GoldenMetrics.invariantsSql,
-    "q178_embedding_text_source" -> q178Sql)
+    "q178_embedding_text_source" -> q178Sql,
+    "q179_evidence_cf_golden" -> GoldenMetrics.evidenceCfSql)
 }

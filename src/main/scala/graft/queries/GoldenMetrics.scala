@@ -107,6 +107,18 @@ object GoldenMetrics {
       .mkString("SELECT * FROM (VALUES ", ", ",
         ") t(u, v, w, identity, symmetry, transitivity) ORDER BY u, v, w")
 
+  // q179: (method, found, n, detail) per evidence-CF baseline
+  val evidenceCf: Seq[(String, Long, Long, String)] = Seq(
+    ("dice", 1L, 10L, "b6a056ae5469511faaf29b0ae8cb25d7"),
+    ("limec", 1L, 3L, "ltable_grp/ltable_name/ltable_region"),
+    ("shapc", 1L, 3L, "ltable_grp/ltable_name/ltable_region"))
+
+  val evidenceCfSql: String =
+    evidenceCf.map { case (m, f, n, dt) =>
+        s"(${q(m)}, CAST($f AS BIGINT), CAST($n AS BIGINT), ${q(dt)})" }
+      .mkString("SELECT * FROM (VALUES ", ", ",
+        ") t(method, found, n, detail) ORDER BY method")
+
   val latticeSql: String =
     lattice.map { case (t, ne, ned, h) =>
         s"(${q(t)}, CAST($ne AS BIGINT), CAST($ned AS BIGINT), ${q(h)})" }

@@ -53,7 +53,8 @@ object GoldenGen {
     def metricsOf(dir: String): (Seq[(String, Double)], Seq[(String, Long)],
         Seq[(String, Long, Long, String)], Seq[(String, Long)],
         Seq[(String, Double)],
-        Seq[(String, String, String, Long, Long, Long)]) = {
+        Seq[(String, String, String, Long, Long, Long)],
+        Seq[(String, Long, Long, String)]) = {
       val faith = ErQueries.q170GoldenFaithfulness(spark, dir).collect()
         .map(r => (r.getString(0), r.getDouble(1))).toSeq
       val conf = ErQueries.q171GoldenConfidence(spark, dir).collect()
@@ -68,7 +69,10 @@ object GoldenGen {
       val inv = ErQueries.q177InvariantsGolden(spark, dir).collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2),
           r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
-      (faith, conf, lat, cfm, aug, inv)
+      val ecf = ErQueries.q179EvidenceCfGolden(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+      (faith, conf, lat, cfm, aug, inv, ecf)
     }
     val metricsAll = dirs.map(d => d -> metricsOf(d))
     metricsAll.tail.foreach { case (d, got) =>
@@ -117,6 +121,9 @@ object GoldenGen {
     println(metricsAll.head._2._6.map { case (u, v, w, i, sy, tr) =>
       s"    (${lit(u)}, ${lit(v)}, ${lit(w)}, ${i}L, ${sy}L, ${tr}L)" }
       .mkString(",\n") + ")")
+    println("  val evidenceCf: Seq[(String, Long, Long, String)] = Seq(")
+    println(metricsAll.head._2._7.map { case (m, f, n, dt) =>
+      s"    (${lit(m)}, ${f}L, ${n}L, ${lit(dt)})" }.mkString(",\n") + ")")
 
     // Per-SF frozen constants for the bench-scale live explainer
     // (q25-q28 on `part`). These are NOT SF-invariant — the support /
