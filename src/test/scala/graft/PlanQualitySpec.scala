@@ -560,6 +560,17 @@ class PlanQualitySpec extends SparkSpec {
       joinTypes.forall(_.contains("FullOuter")), p)
   }
 
+  test("q173: kNN graph is a cell equi-join + bounded aggregate — never all-pairs") {
+    val p = plan(PipelineQueries.q173KnnGraph(spark, dir))
+    // the self-join must key on the bucket — a cartesian/BNLJ here
+    // would be the O(n²) scan the cell structure exists to avoid
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // per-node top-k reduces through the ObjectHashAggregate pair
+    // (TopKAgg partial+final), not a window rank over a hot node
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q126: TWAP is one window pass — no join, integer aggregates") {
     val p = plan(PipelineQueries.q126Twap(spark, dir))
     assert(!p.contains("Join"), p)
