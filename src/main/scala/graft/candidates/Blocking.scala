@@ -1,0 +1,58 @@
+package graft.candidates
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocking-quality evaluation for candidate generation (the standard
+  * record-linkage measures; see e.g. Christen, "Data Matching", 2012 —
+  * public): given a blocking key and a ground-truth match key,
+  *
+  *  - reduction ratio  = 1 − |blocked pairs| / |cross pairs|
+  *  - pair completeness = |true matches retained by blocking| / |true matches|
+  *
+  * This is the measurement that justifies (or indicts) a J3 blocking
+  * scheme before anyone pays for the join. The 100 TB point: none of
+  * the four pair counts requires materializing a single pair — each is
+  * Σ c·(c−1)/2 over group cardinalities, so the whole census is three
+  * partial-aggregated count shuffles (by block key, by truth key, by
+  * both) plus constant-size arithmetic. A naive implementation joins
+  * the table with itself to count candidates; this one never does.
+  *
+  * Ratios are quantized to 1e-9 longs via exact-integer double
+  * division (counts and pair counts stay below 2^53 for inputs up to
+  * ~9×10^7 rows — far above any single blocking census — so the
+  * doubles are exact and the IEEE division is bit-identical across
+  * engines, the q40 portability rule).
+  */
+object Blocking {
+
+  // c·(c−1) is even, so the double division by 2 is exact (and the
+  // product itself is exact below 2^53, i.e. group sizes < ~9.5e7)
+  private def pairs(c: Column): Column = (c * (c - 1) / lit(2)).cast("long")
+
+  private def ratioQ(num: Column, den: Column): Column =
+    when(den === 0L, lit(0L)).otherwise(
+      floor(num.cast("double") / den.cast("double") * lit(1e9)).cast("long"))
+
+  /** One-row census: n_rows, cross_pairs, block_pairs, truth_pairs,
+    * covered_matches, reduction_ratio_q, pair_completeness_q.
+    */
+  def blockingQuality(df: DataFrame, blockCol: String, truthCol: String): DataFrame = {
+    val n = df.agg(count(lit(1)).as("n_rows"))
+    val block = df.groupBy(col(blockCol)).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(pairs(col("c"))), lit(0L)).as("block_pairs"))
+    val truth = df.groupBy(col(truthCol)).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(pairs(col("c"))), lit(0L)).as("truth_pairs"))
+    val covered = df.groupBy(col(blockCol), col(truthCol)).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(pairs(col("c"))), lit(0L)).as("covered_matches"))
+    n.crossJoin(block).crossJoin(truth).crossJoin(covered)
+      .withColumn("cross_pairs", pairs(col("n_rows")))
+      .withColumn("reduction_ratio_q",
+        ratioQ(col("cross_pairs") - col("block_pairs"), col("cross_pairs")))
+      .withColumn("pair_completeness_q",
+        ratioQ(col("covered_matches"), col("truth_pairs")))
+      .select(col("n_rows"), col("cross_pairs"), col("block_pairs"),
+        col("truth_pairs"), col("covered_matches"),
+        col("reduction_ratio_q"), col("pair_completeness_q"))
+  }
+}

@@ -633,6 +633,116 @@ object ErQueries {
     rows.toDF("method", "found", "n", "detail").orderBy(col("method"))
   }
 
+  // ---------------------------------------------------------------- q181
+  /** Blocking-quality census ([[graft.candidates.Blocking]]): reduction
+    * ratio and pair completeness of brand-blocking against type-truth
+    * on `part` — the measurement that justifies q20's J3 blocking
+    * scheme. Zero joins: every pair count is Σ c·(c−1)/2 over group
+    * cardinalities (three count shuffles), so the census never
+    * materializes a pair — the same arithmetic evaluates a blocking
+    * key over 10^9 records.
+    */
+  def q181BlockingQuality(s: SparkSession, dir: String): DataFrame =
+    graft.candidates.Blocking.blockingQuality(pp(s, dir), "p_brand", "p_type")
+
+  val q181Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS n_rows FROM part),
+      |b AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT) AS block_pairs
+      |  FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_brand)),
+      |t AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT) AS truth_pairs
+      |  FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_type)),
+      |cv AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT) AS covered_matches
+      |  FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_brand, p_type)),
+      |x AS (SELECT n_rows, CAST(n_rows*(n_rows-1)//2 AS BIGINT) AS cross_pairs,
+      |  block_pairs, truth_pairs, covered_matches FROM n, b, t, cv)
+      |SELECT n_rows, cross_pairs, block_pairs, truth_pairs, covered_matches,
+      |  CASE WHEN cross_pairs = 0 THEN 0 ELSE CAST(FLOOR(
+      |    CAST(cross_pairs - block_pairs AS DOUBLE) / CAST(cross_pairs AS DOUBLE)
+      |    * 1e9) AS BIGINT) END AS reduction_ratio_q,
+      |  CASE WHEN truth_pairs = 0 THEN 0 ELSE CAST(FLOOR(
+      |    CAST(covered_matches AS DOUBLE) / CAST(truth_pairs AS DOUBLE)
+      |    * 1e9) AS BIGINT) END AS pair_completeness_q
+      |FROM x""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+  /** Matcher-confidence calibration census ([[graft.metrics
+    * .Calibration.calibrationCensus]]): is q22's Jaccard score a
+    * probability of q24-style type-match truth? Ten score bins over
+    * the within-brand pair stream; per bin the pair count, positive
+    * count, quantized confidence mass and the ECE numerator
+    * contribution. The score enters as the integer rational |∩|/|∪|,
+    * so binning is the shared mul-then-div IEEE order and every
+    * aggregate is an exact integer.
+    */
+  def q182Calibration(s: SparkSession, dir: String): DataFrame = {
+    val p = pp(s, dir).withColumn("toks", array_distinct(split(col("p_name"), " ")))
+    val a = p.select(col("p_partkey").as("lk"), col("p_brand").as("brand"),
+      col("toks").as("ltoks"), col("p_type").as("ltype"))
+    val b = p.select(col("p_partkey").as("rk"), col("p_brand").as("rbrand"),
+      col("toks").as("rtoks"), col("p_type").as("rtype"))
+    val pairs = a.join(b, col("brand") === col("rbrand") && col("lk") < col("rk"))
+      .withColumn("inter", size(array_intersect(col("ltoks"), col("rtoks"))))
+      .withColumn("uni", size(array_distinct(concat(col("ltoks"), col("rtoks")))))
+      .withColumn("label", (col("ltype") === col("rtype")).cast("int"))
+    graft.metrics.Calibration.calibrationCensus(pairs, "inter", "uni", "label")
+  }
+
+  val q182Sql: String =
+    """WITH p AS (SELECT p_partkey, p_brand, p_type,
+      |  list_distinct(string_split(p_name, ' ')) AS toks FROM part),
+      |pr AS (SELECT len(list_intersect(a.toks, b.toks)) AS i,
+      |  len(list_distinct(list_concat(a.toks, b.toks))) AS u,
+      |  CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS label
+      |  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+      |x AS (SELECT
+      |  CAST(LEAST(FLOOR(CAST(i AS DOUBLE) * 10 / CAST(u AS DOUBLE)), 9)
+      |    AS BIGINT) AS bin,
+      |  CAST(FLOOR(CAST(i AS DOUBLE) / CAST(u AS DOUBLE) * 1e9) AS BIGINT)
+      |    AS conf_q,
+      |  label FROM pr)
+      |SELECT bin, COUNT(*) AS n_pairs, CAST(SUM(label) AS BIGINT) AS n_pos,
+      |  CAST(SUM(conf_q) AS BIGINT) AS conf_sum_q,
+      |  abs(CAST(SUM(conf_q) AS BIGINT)
+      |    - CAST(SUM(label) AS BIGINT) * 1000000000) AS gap_q
+      |FROM x GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+  /** Cohen's κ of q24's rule matcher against its stricter truth
+    * ([[graft.metrics.Calibration.withCohenKappa]]): chance-corrected
+    * agreement from the same one-pass confusion counts, in the
+    * overflow-free cross-product form on exact-integer doubles.
+    */
+  def q183CohenKappa(s: SparkSession, dir: String): DataFrame =
+    graft.metrics.Calibration.withCohenKappa(
+      q24ErF1(s, dir).select(col("tp"), col("fp"), col("fn"), col("tn")))
+
+  val q183Sql: String =
+    """WITH pairs AS (
+      |  SELECT CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS pred,
+      |    CASE WHEN a.p_type = b.p_type AND abs(a.p_size - b.p_size) <= 3
+      |      THEN 1 ELSE 0 END AS truth
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+      |c AS (SELECT
+      |  CAST(SUM(CASE WHEN pred = 1 AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |  CAST(SUM(CASE WHEN pred = 1 AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |  CAST(SUM(CASE WHEN pred = 0 AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |  CAST(SUM(CASE WHEN pred = 0 AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM pairs)
+      |SELECT tp, fp, fn, tn,
+      |  CASE WHEN (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+      |      * (CAST(fp AS DOUBLE) + CAST(tn AS DOUBLE))
+      |    + (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+      |      * (CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)) = 0 THEN 0
+      |  ELSE CAST(FLOOR(2.0 * (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+      |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+      |    / ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+      |        * (CAST(fp AS DOUBLE) + CAST(tn AS DOUBLE))
+      |      + (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+      |        * (CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)))
+      |    * 1e9) AS BIGINT) END AS kappa_q
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -654,7 +764,10 @@ object ErQueries {
     "q176_augmented_golden" -> (q176AugmentedGolden _),
     "q177_invariants_golden" -> (q177InvariantsGolden _),
     "q178_embedding_text_source" -> (q178EmbeddingTextSource _),
-    "q179_evidence_cf_golden" -> (q179EvidenceCfGolden _))
+    "q179_evidence_cf_golden" -> (q179EvidenceCfGolden _),
+    "q181_blocking_quality" -> (q181BlockingQuality _),
+    "q182_calibration" -> (q182Calibration _),
+    "q183_cohen_kappa" -> (q183CohenKappa _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
@@ -677,5 +790,8 @@ object ErQueries {
     "q176_augmented_golden" -> GoldenMetrics.augSaliencySql,
     "q177_invariants_golden" -> GoldenMetrics.invariantsSql,
     "q178_embedding_text_source" -> q178Sql,
-    "q179_evidence_cf_golden" -> GoldenMetrics.evidenceCfSql)
+    "q179_evidence_cf_golden" -> GoldenMetrics.evidenceCfSql,
+    "q181_blocking_quality" -> q181Sql,
+    "q182_calibration" -> q182Sql,
+    "q183_cohen_kappa" -> q183Sql)
 }

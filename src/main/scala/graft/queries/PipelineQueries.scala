@@ -5856,7 +5856,12 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("src"), col("rank"))
 
-  val q173Sql: String = {
+  /** Shared DuckDB replay of [[graft.similarity.Ann.knnGraph]]'s
+    * pinned 4-plane edge set — CTEs `b` (buckets), `sc` (same-cell
+    * cosines), `r` (per-src rank). q173 selects the edge table from
+    * it; q185 censuses its structure.
+    */
+  private def knnEdgeCtes: String = {
     def dotExpr(a: String, b: String): String =
       s"""list_aggregate(list_transform(range(1, len($a) + 1),
          |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
@@ -5877,12 +5882,193 @@ object PipelineQueries {
        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
        |r AS (SELECT src, dst, cosine, row_number() OVER (
        |    PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
-       |  FROM sc)
-       |SELECT src, rank, dst, cosine FROM r WHERE rank <= 3
-       |ORDER BY src, rank""".stripMargin
+       |  FROM sc)""".stripMargin
   }
 
+  val q173Sql: String =
+    s"""$knnEdgeCtes
+       |SELECT src, rank, dst, cosine FROM r WHERE rank <= 3
+       |ORDER BY src, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q180
+  /** Gopher-rule quality census ([[TextAnalysis.withGopherSignals]]):
+    * per source, how many documents fail each of the four public
+    * Gopher heuristics (mean word length band, length band, stopword
+    * floor, top-token repetition) and how many pass all — the
+    * rule-level accounting a corpus curation run reports before
+    * gating (q77's funnel applies a different, pass/fail-only rule
+    * set). Scan-local signals, one ~|sources|-group aggregation.
+    */
+  def q180GopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withGopherSignals(t(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g_fail_mwl"), 1L).otherwise(0L)).as("n_fail_mwl"),
+        sum(when(col("g_fail_len"), 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(col("g_fail_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+        sum(when(col("g_fail_rep"), 1L).otherwise(0L)).as("n_fail_rep"),
+        sum(when(!col("g_fail_mwl") && !col("g_fail_len") &&
+          !col("g_fail_stop") && !col("g_fail_rep"), 1L).otherwise(0L))
+          .as("n_pass"))
+      .orderBy(col("source"))
+
+  val q180Sql: String = {
+    val en = TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH g AS (SELECT source,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  list_aggregate(list_transform(string_split(text, ' '),
+       |    w -> len(w)), 'sum') AS sum_chars,
+       |  len(list_filter(string_split(text, ' '),
+       |    x -> list_contains($en, x))) AS stop_hits,
+       |  list_aggregate(list_transform(list_distinct(string_split(text, ' ')),
+       |    t -> len(list_filter(string_split(text, ' '), x -> x = t))),
+       |    'max') AS top_cnt
+       |  FROM documents),
+       |f AS (SELECT source,
+       |  (sum_chars < 3 * n_words OR sum_chars > 10 * n_words) AS fail_mwl,
+       |  (n_words < 50 OR n_words > 100000) AS fail_len,
+       |  (stop_hits < 2) AS fail_stop,
+       |  (top_cnt * 5 > n_words) AS fail_rep
+       |  FROM g)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN fail_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mwl,
+       |  CAST(SUM(CASE WHEN fail_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+       |  CAST(SUM(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+       |  CAST(SUM(CASE WHEN fail_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep,
+       |  CAST(SUM(CASE WHEN NOT (fail_mwl OR fail_len OR fail_stop OR fail_rep)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q184
+  /** OHLC resampling ([[graft.operators.Resample.ohlc]]): hourly
+    * open/high/low/close bars per event type over integer cents, with
+    * open/close picked by a deterministic (ts, event_id) total order —
+    * one partial-aggregated shuffle, no window, no per-group sort
+    * (min_by/max_by carry one struct of state through the map-side
+    * combine even when one series dominates the hour).
+    */
+  def q184Ohlc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.ohlc(
+      Tables.load(s, dir, "events")
+        .withColumn("cents", graft.operators.Robust.cents(col("value"))),
+      "event_type", "ts", "event_id", "cents", "hour")
+
+  val q184Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+      |  ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |o AS (SELECT *,
+      |  row_number() OVER (PARTITION BY event_type, window_start
+      |    ORDER BY ts, event_id) AS rn_a,
+      |  row_number() OVER (PARTITION BY event_type, window_start
+      |    ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT event_type, window_start, COUNT(*) AS n,
+      |  MIN(cents) AS low, MAX(cents) AS high,
+      |  CAST(MIN(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+      |  CAST(MIN(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_value
+      |FROM o GROUP BY event_type, window_start
+      |ORDER BY event_type, window_start""".stripMargin
+
+  // ---------------------------------------------------------------- q186
+  /** Gap-linear interpolation census ([[graft.operators.Interpolate
+    * .withLinearFill]]): q162's injected-null series filled on the
+    * line between surrounding observations instead of carried
+    * forward — same one-sort window shape, same modular checksum, so
+    * the two fill policies are directly comparable. Exactness bound:
+    * |Δcents| · group-size stays far below 2^53 on this fixture, so
+    * the subtract-mod floor division is bit-exact (operator scaladoc).
+    */
+  def q186LinearInterp(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("long"))
+          .otherwise(floor(col("value") * 100).cast("long")).as("cents"))
+    graft.operators.Interpolate
+      .withLinearFill(e, "event_type", Seq(col("us"), col("event_id")), "cents")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents").isNull && col("li_filled").isNotNull, 1L)
+          .otherwise(0L)).as("n_interp"),
+        sum(when(col("li_filled").isNull, 1L).otherwise(0L)).as("n_edge_null"),
+        pmod(sum(pmod(coalesce(col("li_filled"), lit(0L)), lit(4294967296L))),
+          lit(4294967296L)).as("sum_filled_mod"))
+      .orderBy(col("event_type"))
+  }
+
+  val q186Sql: String =
+    """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) // 1000 AS us,
+      |  CASE WHEN event_id % 3 = 0 THEN NULL
+      |    ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+      |  FROM events),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |  ORDER BY us, event_id) AS rn FROM e),
+      |w AS (SELECT event_type, cents, rn,
+      |  LAST_VALUE(CASE WHEN cents IS NOT NULL THEN rn END IGNORE NULLS)
+      |    OVER wp AS prev_rn,
+      |  LAST_VALUE(cents IGNORE NULLS) OVER wp AS prev_v,
+      |  FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN rn END IGNORE NULLS)
+      |    OVER wn AS next_rn,
+      |  FIRST_VALUE(cents IGNORE NULLS) OVER wn AS next_v
+      |  FROM r
+      |  WINDOW wp AS (PARTITION BY event_type ORDER BY rn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wn AS (PARTITION BY event_type ORDER BY rn
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |f AS (SELECT event_type, cents,
+      |  COALESCE(cents, CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+      |    THEN prev_v + ((next_v - prev_v) * (rn - prev_rn)
+      |      - ((((next_v - prev_v) * (rn - prev_rn)) % (next_rn - prev_rn)
+      |          + (next_rn - prev_rn)) % (next_rn - prev_rn)))
+      |      // (next_rn - prev_rn)
+      |    END) AS filled FROM w)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN cents IS NULL AND filled IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_interp,
+      |  CAST(SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_edge_null,
+      |  CAST(SUM(((COALESCE(filled, 0) % 4294967296) + 4294967296)
+      |    % 4294967296) % 4294967296 AS BIGINT)
+      |    AS sum_filled_mod
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q185
+  /** kNN-graph structure census ([[graft.graph.GraphOps
+    * .degreeReciprocityCensus]]) over the same pinned 4-plane edge set
+    * q173 freezes: reciprocity, in-degree concentration and isolated
+    * nodes — the health check that runs before q128 spends iterations
+    * on the graph. One reversed-key self-join of the k·n edge table
+    * plus two count aggregations; the n² pair space is never touched.
+    */
+  def q185KnnGraphCensus(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.degreeReciprocityCensus(
+      graft.similarity.Ann.knnGraph(t(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 3, numPlanes = 4))
+
+  val q185Sql: String =
+    s"""$knnEdgeCtes,
+       |e AS (SELECT src AS s, dst AS d FROM r WHERE rank <= 3),
+       |nodes AS (SELECT COUNT(DISTINCT v) AS n_nodes FROM
+       |  (SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+       |cnt AS (SELECT COUNT(*) AS n_edges FROM e),
+       |recip AS (SELECT COUNT(*) AS n_reciprocal FROM e
+       |  WHERE EXISTS (SELECT 1 FROM e r2 WHERE r2.s = e.d AND r2.d = e.s)),
+       |indeg AS (SELECT CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_in_degree,
+       |  COUNT(*) AS n_receiving FROM
+       |  (SELECT d, COUNT(*) AS c FROM e GROUP BY d))
+       |SELECT n_nodes, n_edges, n_reciprocal, max_in_degree, n_receiving,
+       |  n_nodes - n_receiving AS n_isolated
+       |FROM nodes, cnt, recip, indeg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_gopher_rules" -> (q180GopherRules _),
+    "q186_linear_interp" -> (q186LinearInterp _),
+    "q184_ohlc" -> (q184Ohlc _),
+    "q185_knn_graph_census" -> (q185KnnGraphCensus _),
     "q173_knn_graph" -> (q173KnnGraph _),
     "q172_compaction" -> (q172Compaction _),
     "q169_string_agg" -> (q169StringAgg _),
@@ -6018,6 +6204,10 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q180_gopher_rules" -> q180Sql,
+    "q186_linear_interp" -> q186Sql,
+    "q184_ohlc" -> q184Sql,
+    "q185_knn_graph_census" -> q185Sql,
     "q173_knn_graph" -> q173Sql,
     "q172_compaction" -> q172Sql,
     "q169_string_agg" -> q169Sql,

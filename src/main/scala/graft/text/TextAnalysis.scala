@@ -81,6 +81,36 @@ object TextAnalysis {
           col("n_distinct_tokens") >= 10)
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", appendix A1.1 — public heuristics), restricted to the
+    * signals computable from whitespace tokens: mean word length in
+    * [3, 10], word count in [50, 100000], ≥ 2 English-stopword hits,
+    * most frequent token ≤ 20% of the document. Every signal is an
+    * integer and every rule an integer comparison (the mean-word-length
+    * band compares `sum_word_chars` against `3·n` and `10·n` — no
+    * division anywhere), so the flags are bit-portable across engines
+    * and partition orders. Pure scan-local expressions: the whole rule
+    * set evaluates inside the parquet scan stage, and a census over it
+    * is one partial-aggregated shuffle of ~|sources| groups.
+    */
+  def withGopherSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("g_n_words", size(toks))
+      .withColumn("g_sum_word_chars",
+        aggregate(toks, lit(0), (a, t) => a + length(t)))
+      .withColumn("g_stop_hits", langHits(col(textCol), "en"))
+      .withColumn("g_top_token_cnt", topTokenCount(toks))
+      .withColumn("g_fail_mwl",
+        col("g_sum_word_chars") < lit(3) * col("g_n_words") ||
+          col("g_sum_word_chars") > lit(10) * col("g_n_words"))
+      .withColumn("g_fail_len",
+        col("g_n_words") < 50 || col("g_n_words") > 100000)
+      .withColumn("g_fail_stop", col("g_stop_hits") < 2)
+      .withColumn("g_fail_rep",
+        col("g_top_token_cnt") * 5 > col("g_n_words"))
+  }
+
   // --------------------------------------------------------- fingerprint
   /** Canonical-form fingerprint (sorted distinct lowercase tokens →
     * md5): near-dup clustering key robust to token order and repetition.
@@ -190,18 +220,22 @@ object TextAnalysis {
     * ratios). Per-row compute only — embarrassingly parallel, pipelines
     * inside the scan at corpus scale.
     */
-  def withRepetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val bigrams = graft.dedup.Dedup.shingles(col(textCol), 2)
-    // occurrences of the most frequent token: count each DISTINCT
-    // token's hits (O(distinct × n) per row — bounded by document
-    // length, not data size), take the max. The token array is
-    // let-bound through a lambda variable so the split runs once per
-    // row, not once per distinct token (expression inlining would make
-    // it O(n²) per document).
-    val toks = tokens(col(textCol))
-    val topTokenCnt = element_at(transform(array(toks), tk =>
+  /** Occurrences of the most frequent token: count each DISTINCT
+    * token's hits (O(distinct × n) per row — bounded by document
+    * length, not data size), take the max. The token array is
+    * let-bound through a lambda variable so the split runs once per
+    * row, not once per distinct token (expression inlining would make
+    * it O(n²) per document).
+    */
+  def topTokenCount(toks: Column): Column =
+    element_at(transform(array(toks), tk =>
       array_max(transform(array_distinct(tk),
         t => size(filter(tk, x => x === t))))), 1)
+
+  def withRepetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val bigrams = graft.dedup.Dedup.shingles(col(textCol), 2)
+    val toks = tokens(col(textCol))
+    val topTokenCnt = topTokenCount(toks)
     df.withColumn("n_tokens_r", size(toks))
       .withColumn("n_bigrams", size(bigrams))
       .withColumn("n_distinct_bigrams", size(array_distinct(bigrams)))
