@@ -676,8 +676,14 @@ object ErQueries {
     */
   def q182Calibration(s: SparkSession, dir: String): DataFrame = {
     val p = pp(s, dir).withColumn("toks", array_distinct(split(col("p_name"), " ")))
-    val a = p.select(col("p_partkey").as("lk"), col("p_brand").as("brand"),
-      col("toks").as("ltoks"), col("p_type").as("ltype"))
+    // fan the PROBE side to cluster width before the pair-amplifying
+    // broadcast join: the single-file part scan is one task, and this
+    // join multiplies each input row ~400× before the binned keyed
+    // aggregation — the bytes-small/CPU-amplifying class again
+    // (q118/q121 lesson; measured here 9.8 s → 0.9 s at sf0.1)
+    val a = p.repartition(s.sparkContext.defaultParallelism)
+      .select(col("p_partkey").as("lk"), col("p_brand").as("brand"),
+        col("toks").as("ltoks"), col("p_type").as("ltype"))
     val b = p.select(col("p_partkey").as("rk"), col("p_brand").as("rbrand"),
       col("toks").as("rtoks"), col("p_type").as("rtype"))
     val pairs = a.join(b, col("brand") === col("rbrand") && col("lk") < col("rk"))
