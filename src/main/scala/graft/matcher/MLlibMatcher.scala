@@ -127,15 +127,27 @@ object MLlibMatcher {
   }
 
   /** Load-else-train lifecycle (reference models/utils.py:23-67
-    * get_model).
+    * get_model). The "no saved model yet" case is detected with a
+    * filesystem check, not by letting `PipelineModel.load` throw —
+    * MLlib's Instrumentation logs every load failure as an ERROR stack
+    * trace, which buries real failures in the expected first-run path.
     */
   def loadOrTrain(path: String, labeledPairs: => DataFrame,
-      schema: PairSchema = PairSchema.default): MLlibMatcher =
-    try new MLlibMatcher(PipelineModel.load(path), schema)
-    catch {
-      case _: Exception =>
-        val m = train(labeledPairs, schema)
-        m.save(path)
-        m
+      schema: PairSchema = PairSchema.default): MLlibMatcher = {
+    val saved = try {
+      val p = new org.apache.hadoop.fs.Path(path, "metadata")
+      p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf()).exists(p)
+    } catch { case _: Exception => false }
+    val loaded =
+      if (saved)
+        try Some(new MLlibMatcher(PipelineModel.load(path), schema))
+        catch { case _: Exception => None } // corrupt save → retrain
+      else None
+    loaded.getOrElse {
+      val m = train(labeledPairs, schema)
+      m.save(path)
+      m
     }
+  }
 }

@@ -24,8 +24,7 @@ object ConfidenceMetrics {
   /** @param explanations one row per explained pair: per-attribute
     *                     saliency columns (`featureCols`) + a
     *                     `confidence` column (predicted-class score)
-    */
-  /** @param foldCols columns hashed into the deterministic fold
+    * @param foldCols columns hashed into the deterministic fold
     *                  assignment; defaults to `featureCols`, but when
     *                  feature tuples repeat heavily (few distinct
     *                  saliency profiles) that can leave folds empty —

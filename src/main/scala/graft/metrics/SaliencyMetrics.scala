@@ -69,6 +69,14 @@ object SaliencyMetrics {
     * six. F1/AUC arithmetic over the exact counts is driver-side and
     * unchanged, so the frozen q170 golden is invariant to this plan
     * change.
+    *
+    * CONTRACT: `scoreFn` must be ROW-LOCAL — it sees the threshold
+    * fan-out (each input pair replicated T×, once per threshold, each
+    * replica ablated at its own top-k) as one frame, so a scorer with
+    * cross-row behavior (dataset-level normalization, a pipeline fit
+    * on its scoring input) would silently diverge from the
+    * per-threshold reference semantics. Every [[graft.matcher.ERModel]]
+    * scorer satisfies this (they score row by row).
     */
   def faithfulnessAucPerRow(
       labeledPairs: DataFrame,
@@ -111,7 +119,8 @@ object SaliencyMetrics {
         ((r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble)))
       .toMap
     val scores = thresholds.map { t =>
-      val (tp, fp, fn) = confusion(t)
+      // empty labeledPairs → no groups at all; every threshold is (0,0,0)
+      val (tp, fp, fn) = confusion.getOrElse(t, (0.0, 0.0, 0.0))
       val p = if (tp + fp == 0) 0.0 else tp / (tp + fp)
       val r = if (tp + fn == 0) 0.0 else tp / (tp + fn)
       if (p + r == 0) 0.0 else 2 * p * r / (p + r)

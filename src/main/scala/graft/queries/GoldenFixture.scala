@@ -53,15 +53,25 @@ object GoldenFixture {
       ("part", 10002724405198L)))
 
   /** Mismatch descriptions for `dir` (empty = fixtures fresh). SF dirs
-    * without frozen entries are not checked.
+    * without frozen entries are not checked. A table that fails to LOAD
+    * (missing parquet, schema drift) is itself reported as a staleness
+    * message rather than crashing the round-start check — the guard's
+    * whole job is an actionable warning, not a stack trace.
     */
   def staleness(s: SparkSession, dir: String): Seq[String] = {
     val sfTag = dir.split("/").last
     frozen.get(sfTag).toSeq.flatMap { exp =>
-      val got = hashes(s, dir).toMap
-      exp.collect {
-        case (t, h) if got.get(t).exists(_ != h) =>
-          s"$sfTag/$t content hash ${got(t)} != frozen $h"
+      exp.flatMap { case (t, h) =>
+        scala.util.Try(
+            tableHash(graft.sources.Tables.load(s, dir, t),
+              dependencies.toMap.apply(t))) match {
+          case scala.util.Success(got) if got != h =>
+            Some(s"$sfTag/$t content hash $got != frozen $h")
+          case scala.util.Success(_) => None
+          case scala.util.Failure(e) =>
+            Some(s"$sfTag/$t failed to load for freshness check: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
     }
   }

@@ -2,6 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Baseline: brute-force cosine top-k (one scan, one
@@ -414,6 +415,18 @@ object Ann {
       numPlanes: Int = 0, targetCell: Int = 128,
       probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0, "probeBits must be >= 0")
+    // ids route through the long-keyed TopK aggregate; only integral
+    // types round-trip the cast losslessly, so anything else (string
+    // ids would silently become null dst edges) is rejected up front
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"knnGraph requires an integral id column, got $idCol: $idType")
+    if (df.isEmpty)
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("src", idType), StructField("rank", IntegerType),
+          StructField("dst", idType), StructField("cosine", DoubleType))))
     val planes =
       if (numPlanes > 0) numPlanes
       else SemDedup.autoPlanes(df.count(), targetCell)
@@ -438,8 +451,8 @@ object Ann {
         cosine(col("__ea"), col("__eb")).as("cosine"))
     graft.operators.TopK.topKPerGroup(scored, Seq("__src"),
         col("cosine"), col("__dst"), k)
-      .select(col("__src").as("src"), col("rank"), col("id").as("dst"),
-        col("score").as("cosine"))
+      .select(col("__src").as("src"), col("rank"),
+        col("id").cast(idType).as("dst"), col("score").as("cosine"))
   }
 
   /** Recall@k evaluation of the LSH index against exact brute force —

@@ -928,6 +928,101 @@ object ScaleSmoke {
         ts.map(t => f"$t%7.2fs").mkString(" ") +
         f"   ${ts.last / ts.head}%5.1f")
     }
+
+    // round-8 legs: the seven census operators (q180–q186) that landed
+    // after the round-7 ScaleSmoke run --------------------------------
+
+    // q180 Gopher rules: scan-local signal columns + a |sources|-group
+    // census ⇒ must track the corpus scan, ~linear
+    leg("gopher census")(corpus) { d =>
+      TextAnalysis.withGopherSignals(d)
+        .groupBy(col("source"))
+        .agg(sum(when(col("g_fail_mwl") || col("g_fail_len") ||
+            col("g_fail_stop") || col("g_fail_rep"), 1L).otherwise(0L))
+            .as("n_fail"),
+          sum(col("g_sum_word_chars")).as("chars"))
+        .collect()
+    }
+    // q181 blocking quality: the claim under test is ZERO PAIRS
+    // MATERIALIZED — three partial-aggregated count shuffles over group
+    // cardinalities — so time must track the corpus linearly even
+    // though the pair COUNTS the census reports grow quadratically
+    // within blocks (the naive self-join would pay those pairs in time)
+    leg("blocking quality") { m =>
+      corpus(m)
+        .withColumn("block", substring(col("text"), 1, 8))
+        .withColumn("truth", pmod(col("doc_id"), lit(1000L)))
+    } { d =>
+      graft.candidates.Blocking.blockingQuality(d, "block", "truth")
+        .collect()
+    }
+    // q182/q183 calibration + κ: one scan into a ~bins-group agg, then
+    // the κ append on a one-row confusion census ⇒ ~linear. Scores are
+    // real integer rationals (distinct/total tokens), labels the
+    // quality flag.
+    leg("calibration census")(corpus) { d =>
+      val scored = TextAnalysis.withQualitySignals(d)
+        .select(col("n_distinct_tokens").as("num"),
+          greatest(col("n_tokens"), lit(1)).as("den"),
+          col("is_quality").cast("int").as("label"))
+      graft.metrics.Calibration.calibrationCensus(
+          scored, "num", "den", "label")
+        .agg(sum(col("gap_q")), sum(col("n_pairs"))).collect()
+      val conf = scored.agg(
+        sum(when(col("num") * 2 >= col("den") && col("label") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("num") * 2 >= col("den") && col("label") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("num") * 2 < col("den") && col("label") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("num") * 2 < col("den") && col("label") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      graft.metrics.Calibration.withCohenKappa(conf).collect()
+    }
+    // q184 OHLC resample: ONE partial-aggregated shuffle keyed by
+    // (series, bucket) — min_by/max_by carry a single struct through
+    // the map-side combine, no per-group sort ⇒ ~linear
+    leg("ohlc resample") { m =>
+      scaledEvents(m)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .repartition(32).cache()
+    } { e =>
+      graft.operators.Resample.ohlc(e, "event_type", "ts", "event_id",
+          "cents", unit = "hour")
+        .agg(count(lit(1)), sum(col("sum_value"))).collect()
+    }
+    // q186 linear interpolation: two frame-bounded window passes over
+    // ONE (user, ts) shuffle+sort; m× users at constant series length
+    // ⇒ ~linear. A third of the values nulled to give it gaps to fill.
+    leg("linear interpolation") { m =>
+      scaledEvents(m)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(pmod(col("event_id"), lit(3)) === 0, lit(null))
+            .otherwise(floor(col("value") * 100).cast("long")).as("cents"))
+        .repartition(32).cache()
+    } { e =>
+      graft.operators.Interpolate.withLinearFill(
+          e, "user_id", Seq(col("ts"), col("event_id")), "cents")
+        .agg(sum(col("li_filled")), count(lit(1))).collect()
+    }
+    // q185 kNN-graph structure census on a REAL Ann.knnGraph edge set:
+    // the edge build is timed by its own legs above, so it happens in
+    // the BUILD step (cached); the timed stage is the census itself —
+    // one reversed-key equi-join of |E| = k·n edges + two count aggs,
+    // never the n² pair space ⇒ ~linear in |E|
+    leg("knn-graph census") { m =>
+      val edges = graft.similarity.Ann.knnGraph(
+          scaledEmb(m), "embedding", "vec_id", k = 3)
+        .select(col("src"), col("dst"))
+        .repartition(32).cache()
+      edges.count()
+      edges
+    } { edges =>
+      graft.graph.GraphOps.degreeReciprocityCensus(edges).collect()
+    }
     spark.stop()
   }
 }
+
+
