@@ -55,4 +55,39 @@ object Blocking {
         col("truth_pairs"), col("covered_matches"),
         col("reduction_ratio_q"), col("pair_completeness_q"))
   }
+
+  /** Pair completeness of an OR-of-block-keys scheme (LSH bands: a pair
+    * is retained when ANY band key matches) on a truth-keyed frame —
+    * the multi-key generalization [[blockingQuality]]'s single-key
+    * Σc(c−1)/2 census cannot express (summing per-key group pairs would
+    * double-count pairs colliding in several bands). Covered pairs come
+    * from per-key equi-joins RESTRICTED to within-truth-group pairs,
+    * deduplicated by pair id — so this is for BOUNDED truth sets
+    * (sampled recall probes, labeled eval sets): cost is
+    * Σ_key |within-group key collisions|, never corpus pairs. The
+    * corpus-scale reduction-ratio side stays with [[blockingQuality]].
+    *
+    * Output one row: n_rows, truth_pairs, covered_matches,
+    * pair_completeness_q (1e-9-quantized).
+    */
+  def orPairCompleteness(df: DataFrame, blockCols: Seq[String],
+      truthCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(truthCol).as("__t") +: col(idCol).as("__i") +:
+      blockCols.map(col): _*)
+    val truth = base.groupBy(col("__t")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(pairs(col("c"))), lit(0L)).as("truth_pairs"))
+    val right = base.select(col("__t").as("__t2") +: col("__i").as("__i2") +:
+      blockCols.map(c => col(c).as(s"${c}_2")): _*)
+    val covered = blockCols.map { bc =>
+        base.join(right, col("__t") === col("__t2") &&
+            col("__i") < col("__i2") && col(bc) === col(s"${bc}_2"))
+          .select(col("__t"), col("__i"), col("__i2"))
+      }.reduce(_ unionByName _)
+      .distinct()
+      .agg(count(lit(1)).as("covered_matches"))
+    base.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(truth).crossJoin(covered)
+      .withColumn("pair_completeness_q",
+        ratioQ(col("covered_matches"), col("truth_pairs")))
+  }
 }

@@ -97,16 +97,41 @@ object CandidateGenerator {
     *                     selection
     * @param costlyScorer [[graft.matcher.ERModel.costlyScorer]] of the
     *                     model the search will score with
+    * Above the size gate, the choice is additionally EVIDENCE-based,
+    * not size-based alone: the candidate blocking scheme is measured
+    * with [[LshBlockingGenerator.selfRecallCensus]] (a bounded sampled
+    * pair-completeness probe — records vs their one-token-dropped
+    * copies) and rejected when fewer than `minPairCompleteness` of the
+    * near-match pairs survive banding. A large corpus of SHORT texts
+    * passes the size gate yet shares no bands with its own near
+    * matches — blocking there empties the support set, the hazard the
+    * size gate can only catch for small corpora. The census costs two
+    * bounded sample scans per source, paid once per selection.
+    *
     * @param minCorpusForBlocking smallest per-source row count at
     *                     which blocking is considered (0 disables the
-    *                     gate — the raw cost-trade logic)
+    *                     gate AND the recall census — the raw
+    *                     cost-trade logic, for controlled tests)
+    * @param minPairCompleteness reject blocking when a source's
+    *                     sampled self-recall falls below this fraction
+    *                     (≤0 disables the census)
+    * @param recallSampleSize records sampled per source for the census
     */
   def auto(sources: Seq[DataFrame], batchSize: Int,
       costlyScorer: Boolean,
-      minCorpusForBlocking: Long = 4096L): Selection = {
+      minCorpusForBlocking: Long = 4096L,
+      minPairCompleteness: Double = 0.5,
+      recallSampleSize: Int = 256): Selection = {
     def bigEnough: Boolean = minCorpusForBlocking <= 0 ||
       sources.forall(_.count() >= minCorpusForBlocking)
-    if ((batchSize >= 2 || costlyScorer) && bigEnough) {
+    def recallOk: Boolean = minCorpusForBlocking <= 0 ||
+      minPairCompleteness <= 0 || sources.forall { s =>
+        LshBlockingGenerator
+          .selfRecallCensus(s, sampleSize = recallSampleSize)
+          .head().getAs[Long]("pair_completeness_q") >=
+          math.round(minPairCompleteness * 1e9)
+      }
+    if ((batchSize >= 2 || costlyScorer) && bigEnough && recallOk) {
       val handle = LshBlockingGenerator.forBatch(sources)
       new Selection(handle.generator, Some(handle))
     } else new Selection(CrossJoinGenerator, None)
@@ -209,6 +234,53 @@ object LshBlockingGenerator {
     new PrekeyedBlocking(
       LshBlockingGenerator(numBands, rowsPerBand, k, keyed.toMap),
       keyed.map(_._2))
+  }
+
+  /** Evidence for [[CandidateGenerator.auto]]'s blocking decision: the
+    * band scheme's estimated pair completeness on a sampled SELF-truth
+    * set (reference analog: the support-recall trade implicit in
+    * local_explain.py:162-197's support search — an explanation built
+    * on an empty support set explains nothing). Ground-truth matches
+    * do not exist at selection time, so the truth set is synthesized
+    * from the corpus: `sampleSize` deterministically-sampled records,
+    * each paired with a copy whose record text lost its LAST token —
+    * the lightest near-match perturbation the support search must
+    * still find. A (record, copy) pair sharing NO band key is a
+    * support candidate blocking would silently drop; the surviving
+    * fraction is [[Blocking.orPairCompleteness]] with truth = the
+    * record id. Short-text corpora fail this census honestly: under
+    * `k` tokens the whole text is one shingle, so any change voids
+    * every band — exactly the regime where banding empties supports.
+    * (A ≤1-token text is unchanged by the drop and counts covered —
+    * conservative toward keeping blocking; such corpora are degenerate
+    * for shingle blocking either way.)
+    *
+    * Scale: the census touches 2·sampleSize rows total — a TakeOrdered
+    * sample, scan-local sketches, within-pair joins — independent of
+    * corpus size.
+    */
+  def selfRecallCensus(source: DataFrame, numBands: Int = 4,
+      rowsPerBand: Int = 2, k: Int = 3, sampleSize: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    val text = TextSim.recordText(
+      source.columns.filter(_ != "id").map(col).toIndexedSeq)
+    val sampled = source
+      .orderBy(xxhash64(col("id").cast("string"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .select(col("id").cast("long").as("__truth"), text.as("__text"))
+    val both = sampled
+      .select(col("__truth"), lit(0L).as("__copy"), col("__text"))
+      .unionByName(sampled.select(col("__truth"), lit(1L).as("__copy"),
+        regexp_replace(col("__text"), "\\s+\\S+$", "").as("__text")))
+    val sigged = both.withColumn("__sig",
+      graft.functions.MinHashSignature(col("__text"), numBands * rowsPerBand, k))
+    val keyed = (0 until numBands).foldLeft(sigged) { (d, b) =>
+      d.withColumn(s"__bk$b", concat_ws("#",
+        (0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))
+    }.withColumn("__pid", col("__truth") * 2 + col("__copy"))
+    Blocking.orPairCompleteness(keyed,
+      (0 until numBands).map(b => s"__bk$b"), "__truth", "__pid")
   }
 
   /** Band-keyed copy of a source: original columns plus `__bk0..__bkN`.

@@ -749,6 +749,37 @@ object ErQueries {
       |    * 1e9) AS BIGINT) END AS kappa_q
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+  /** OR-of-block-keys pair completeness
+    * ([[graft.candidates.Blocking.orPairCompleteness]]): the multi-key
+    * census behind [[graft.candidates.CandidateGenerator.auto]]'s
+    * evidence gate, here measuring how many same-size truth pairs a
+    * brand-OR-type blocking union retains on `part`. Covered pairs come
+    * from per-key equi-joins restricted to within-truth-group pairs
+    * and deduplicated by pair id — the single-key Σc(c−1)/2 census
+    * would double-count pairs agreeing on both keys.
+    */
+  def q187OrBlocking(s: SparkSession, dir: String): DataFrame =
+    graft.candidates.Blocking.orPairCompleteness(
+      pp(s, dir).select(col("p_partkey").as("pid"), col("p_size").as("tru"),
+        col("p_brand").as("k1"), col("p_type").as("k2")),
+      Seq("k1", "k2"), "tru", "pid")
+
+  val q187Sql: String =
+    """WITH base AS (SELECT p_partkey AS i, p_size AS t, p_brand AS k1,
+      |  p_type AS k2 FROM part),
+      |n AS (SELECT COUNT(*) AS n_rows FROM base),
+      |tp AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT) AS truth_pairs
+      |  FROM (SELECT COUNT(*) AS c FROM base GROUP BY t)),
+      |cv AS (SELECT COUNT(*) AS covered_matches FROM
+      |  (SELECT DISTINCT a.t, a.i, b.i AS i2 FROM base a JOIN base b
+      |    ON a.t = b.t AND a.i < b.i AND (a.k1 = b.k1 OR a.k2 = b.k2)))
+      |SELECT n_rows, truth_pairs, covered_matches,
+      |  CASE WHEN truth_pairs = 0 THEN 0 ELSE CAST(FLOOR(
+      |    CAST(covered_matches AS DOUBLE) / CAST(truth_pairs AS DOUBLE)
+      |    * 1e9) AS BIGINT) END AS pair_completeness_q
+      |FROM n, tp, cv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_er_pairs" -> (q20ErPairs _),
     "q21_er_triangles" -> (q21ErTriangles _),
@@ -773,7 +804,8 @@ object ErQueries {
     "q179_evidence_cf_golden" -> (q179EvidenceCfGolden _),
     "q181_blocking_quality" -> (q181BlockingQuality _),
     "q182_calibration" -> (q182Calibration _),
-    "q183_cohen_kappa" -> (q183CohenKappa _))
+    "q183_cohen_kappa" -> (q183CohenKappa _),
+    "q187_or_blocking" -> (q187OrBlocking _))
 
   val oracles: Map[String, String] = Map(
     "q20_er_pairs" -> q20Sql,
@@ -799,5 +831,6 @@ object ErQueries {
     "q179_evidence_cf_golden" -> GoldenMetrics.evidenceCfSql,
     "q181_blocking_quality" -> q181Sql,
     "q182_calibration" -> q182Sql,
-    "q183_cohen_kappa" -> q183Sql)
+    "q183_cohen_kappa" -> q183Sql,
+    "q187_or_blocking" -> q187Sql)
 }

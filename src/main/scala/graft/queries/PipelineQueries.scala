@@ -6064,7 +6064,68 @@ object PipelineQueries {
        |  n_nodes - n_receiving AS n_isolated
        |FROM nodes, cnt, recip, indeg""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+  /** Blocking self-recall census — the evidence behind
+    * [[graft.candidates.CandidateGenerator.auto]]'s recall gate
+    * ([[graft.candidates.LshBlockingGenerator.selfRecallCensus]]),
+    * replayed with a PORTABLE truth gate so DuckDB can hash-check it:
+    * gated documents (doc_id % 50 = 0) each paired with a copy whose
+    * text lost its last token, band keys from the shared 4-hash
+    * minhash (mh0#mh1 / mh2#mh3 — q31/q32's sketch), covered = truth
+    * pairs sharing ≥ 1 band key through
+    * [[graft.candidates.Blocking.orPairCompleteness]]. The library
+    * method's xxhash64 TakeOrdered sample is engine-specific, so the
+    * catalog variant swaps only the sampling step; sketch,
+    * perturbation and census arithmetic are identical.
+    */
+  def q188SelfRecall(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("tru"), col("text"))
+    val both = g.select(col("tru"), (col("tru") * 2).as("pid"), col("text"))
+      .unionByName(g.select(col("tru"), (col("tru") * 2 + 1).as("pid"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+    val sig = Dedup.withMinhashSignature(both, "text", numHashes = 4)
+      .withColumn("bk0", concat_ws("#", col("mh0"), col("mh1")))
+      .withColumn("bk1", concat_ws("#", col("mh2"), col("mh3")))
+    graft.candidates.Blocking.orPairCompleteness(
+      sig, Seq("bk0", "bk1"), "tru", "pid")
+  }
+
+  val q188Sql: String =
+    """WITH g AS (SELECT doc_id AS tru, text FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 50 = 0),
+      |b AS (SELECT tru, tru*2 AS pid, text FROM g
+      |  UNION ALL
+      |  SELECT tru, tru*2+1, regexp_replace(text, '\s+\S+$', '') FROM g),
+      |tk AS (SELECT pid, tru, text, string_split(text, ' ') AS tkl FROM b),
+      |shc AS (SELECT pid, tru, CASE WHEN len(tkl) >= 3
+      |  THEN list_transform(range(1, len(tkl) - 1),
+      |    i -> tkl[i] || ' ' || tkl[i+1] || ' ' || tkl[i+2])
+      |  ELSE [text] END AS sh FROM tk),
+      |sig AS (SELECT pid, tru,
+      |  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS h0,
+      |  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS h1,
+      |  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS h2,
+      |  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS h3
+      |  FROM shc),
+      |k AS (SELECT pid, tru, 0 AS band, h0 || '#' || h1 AS key FROM sig
+      |  UNION ALL SELECT pid, tru, 1, h2 || '#' || h3 FROM sig),
+      |n AS (SELECT COUNT(*) AS n_rows FROM b),
+      |tp AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT) AS truth_pairs
+      |  FROM (SELECT COUNT(*) AS c FROM b GROUP BY tru)),
+      |cv AS (SELECT COUNT(*) AS covered_matches FROM
+      |  (SELECT DISTINCT a.tru, a.pid, x.pid AS pid2 FROM k a JOIN k x
+      |    ON a.tru = x.tru AND a.pid < x.pid
+      |    AND a.band = x.band AND a.key = x.key))
+      |SELECT n_rows, truth_pairs, covered_matches,
+      |  CASE WHEN truth_pairs = 0 THEN 0 ELSE CAST(FLOOR(
+      |    CAST(covered_matches AS DOUBLE) / CAST(truth_pairs AS DOUBLE)
+      |    * 1e9) AS BIGINT) END AS pair_completeness_q
+      |FROM n, tp, cv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_blocking_self_recall" -> (q188SelfRecall _),
     "q180_gopher_rules" -> (q180GopherRules _),
     "q186_linear_interp" -> (q186LinearInterp _),
     "q184_ohlc" -> (q184Ohlc _),
@@ -6204,6 +6265,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q188_blocking_self_recall" -> q188Sql,
     "q180_gopher_rules" -> q180Sql,
     "q186_linear_interp" -> q186Sql,
     "q184_ohlc" -> q184Sql,

@@ -236,6 +236,38 @@ class InvariantsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("auto rejects blocking when the sampled recall census fails") {
+    import graft.candidates.{CandidateGenerator, CrossJoinGenerator,
+      LshBlockingGenerator}
+    // 5000 two-token records: well above the size gate, but under the
+    // shingle width the whole text is ONE shingle — the one-token-drop
+    // near match shares no band, so banding would empty every support
+    // set. The census must measure that and auto must fall back.
+    val short = spark.range(5000).select(col("id"),
+      concat(lit("ka"), col("id")).as("a"),
+      concat(lit("kb"), col("id")).as("b"))
+    val shortQ = LshBlockingGenerator.selfRecallCensus(short)
+      .collect().head.getAs[Long]("pair_completeness_q")
+    assert(shortQ < 100000000L) // < 10% of near matches survive
+    val rejected = CandidateGenerator.auto(Seq(short, short), 8,
+      costlyScorer = true)
+    assert(!rejected.isPrekeyed && (rejected.generator eq CrossJoinGenerator))
+    rejected.close()
+    // same size, 11-token records: the dropped-token copy still shares
+    // 8 of 9 shingles, bands collide, census passes, the cost logic's
+    // blocking choice stands
+    val long = spark.range(5000).select(col("id"),
+      concat_ws(" ", lit("alpha"), concat(lit("w"), col("id")),
+        lit("beta gamma delta epsilon zeta eta theta iota kappa")).as("a"))
+    val longQ = LshBlockingGenerator.selfRecallCensus(long)
+      .collect().head.getAs[Long]("pair_completeness_q")
+    assert(longQ > 900000000L)
+    val kept = CandidateGenerator.auto(Seq(long, long), 8,
+      costlyScorer = true)
+    try assert(kept.isPrekeyed) finally kept.close()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("eval driver compare leg writes shapc/limec/dice CF sinks") {
     val out = java.nio.file.Files.createTempDirectory("evalcmp").toString
     // two pairs so the DiCE domain frame offers alternative values

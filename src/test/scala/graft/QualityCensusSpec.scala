@@ -47,6 +47,31 @@ class QualityCensusSpec extends SparkSpec {
     assert(r.getAs[Long]("pair_completeness_q") === 333333333L)
   }
 
+  test("or-pair completeness: OR of keys, double-collisions deduped") {
+    // t1: rows 1,2 collide in BOTH keys — must count once, not twice;
+    // t2: rows 3,4 collide only in k2; t3: rows 5,6 share no key;
+    // t4: singleton (no pair)
+    val df = Seq(
+      (1L, "t1", "x", "y"), (2L, "t1", "x", "y"),
+      (3L, "t2", "a", "z"), (4L, "t2", "b", "z"),
+      (5L, "t3", "c", "d"), (6L, "t3", "e", "f"),
+      (7L, "t4", "g", "h")).toDF("pid", "tru", "k1", "k2")
+    val r = Blocking.orPairCompleteness(df, Seq("k1", "k2"), "tru", "pid")
+      .collect().head
+    assert(r.getAs[Long]("n_rows") === 7L)
+    assert(r.getAs[Long]("truth_pairs") === 3L)
+    assert(r.getAs[Long]("covered_matches") === 2L)
+    assert(r.getAs[Long]("pair_completeness_q") === 666666666L)
+    // cross-truth collisions never count: same keys, different truth
+    val cross = Seq((1L, "ta", "x", "y"), (2L, "tb", "x", "y"))
+      .toDF("pid", "tru", "k1", "k2")
+    val rc = Blocking.orPairCompleteness(cross, Seq("k1", "k2"), "tru", "pid")
+      .collect().head
+    assert(rc.getAs[Long]("truth_pairs") === 0L)
+    assert(rc.getAs[Long]("covered_matches") === 0L)
+    assert(rc.getAs[Long]("pair_completeness_q") === 0L)
+  }
+
   test("calibration census: bins, clamping, ECE contributions") {
     val pairs = Seq((1, 2, 1), (1, 2, 0), (9, 10, 1), (1, 1, 1))
       .toDF("num", "den", "label")
