@@ -6064,6 +6064,108 @@ object PipelineQueries {
        |  n_nodes - n_receiving AS n_isolated
        |FROM nodes, cnt, recip, indeg""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** Recall-targeted probe selection + resulting-graph census
+    * ([[Ann.autoProbe]] → [[Ann.knnGraph]] →
+    * [[graft.graph.GraphOps.degreeReciprocityCensus]]): the closed
+    * recall loop for the kNN graph. autoProbe sweeps q144's recall
+    * curve (pinned 4-plane sketch, 1-in-25 probe sample) and picks the
+    * smallest probe width with estimated recall ≥ 40%; the graph is
+    * then built AT that width and health-censused. One row:
+    * chosen_probe_bits, its recall estimate, and the q185 structure
+    * metrics of the auto-probed edge set. The oracle replays the whole
+    * chain — curve, argmin selection, multi-probe edge build, census —
+    * so the selection logic itself is hash-checked, not just the
+    * curve.
+    */
+  def q189AutoProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (bits, curve) = Ann.autoProbe(e, "embedding", "vec_id", k = 10,
+      probeGate = pmod(col("vec_id"), lit(25L)) === 0L,
+      targetRecallPct = 40L, numPlanes = 4, maxProbeBits = 2)
+    val sel = curve.filter(col("probe_bits") === bits)
+      .select(col("probe_bits").cast("long").as("chosen_probe_bits"),
+        col("recall_pct"))
+    val census = graft.graph.GraphOps.degreeReciprocityCensus(
+      Ann.knnGraph(e, "embedding", "vec_id", k = 3,
+        numPlanes = 4, probeBits = bits))
+    sel.crossJoin(census)
+  }
+
+  val q189Sql: String = {
+    def cos(x: String, p: String): String =
+      s"""(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum') /
+         |  (sqrt(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)), 'sum')) *
+         |   sqrt(list_aggregate(list_transform(range(1, len($p) + 1),
+         |    i -> CAST($p[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum'))))""".stripMargin
+    def proj(p: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val masks = Seq((0, 0), (1, 1), (2, 1), (4, 1), (8, 1),
+      (3, 2), (5, 2), (6, 2), (9, 2), (10, 2), (12, 2))
+      .map { case (m, d) => s"($m, $d)" }.mkString(", ")
+    s"""WITH b AS (SELECT vec_id, embedding, ($bucket) AS bucket
+       |  FROM embeddings),
+       |pr AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |sc AS (SELECT pid, e.vec_id AS nid, ${cos("e.embedding", "pe")} AS c
+       |  FROM embeddings e, pr WHERE e.vec_id <> pid),
+       |ex AS (SELECT pid, nid FROM (SELECT pid, nid,
+       |  ROW_NUMBER() OVER (PARTITION BY pid ORDER BY c DESC, nid ASC) AS rn
+       |  FROM sc) WHERE rn <= 10),
+       |pbk AS (SELECT pr.pid, pr.pe, b.bucket AS pbucket
+       |  FROM pr JOIN b ON pr.pid = b.vec_id),
+       |mk AS (SELECT * FROM (VALUES $masks) AS t(mask, hd)),
+       |cand AS (SELECT pbk.pid, bb.vec_id AS nid,
+       |  ${cos("bb.embedding", "pbk.pe")} AS c, mk.hd
+       |  FROM pbk CROSS JOIN mk
+       |  JOIN b bb ON bb.bucket = xor(pbk.pbucket, CAST(mk.mask AS BIGINT))
+       |  WHERE bb.vec_id <> pbk.pid),
+       |lv AS (SELECT cand.pid, cand.nid, cand.c, gs.l FROM cand
+       |  JOIN (VALUES (0), (1), (2)) AS gs(l) ON gs.l >= cand.hd),
+       |ap AS (SELECT l, pid, nid FROM (SELECT l, pid, nid,
+       |  ROW_NUMBER() OVER (PARTITION BY l, pid ORDER BY c DESC, nid ASC)
+       |    AS rn FROM lv) WHERE rn <= 10),
+       |hits AS (SELECT l, COUNT(*) AS n_hits FROM ap
+       |  JOIN ex ON ap.pid = ex.pid AND ap.nid = ex.nid GROUP BY l),
+       |curve AS (SELECT gs.l,
+       |  (100 * COALESCE(hits.n_hits, 0)) // (SELECT COUNT(*) FROM ex)
+       |    AS recall_pct
+       |  FROM (VALUES (0), (1), (2)) AS gs(l)
+       |  LEFT JOIN hits ON hits.l = gs.l),
+       |ch AS (SELECT COALESCE(MIN(CASE WHEN recall_pct >= 40 THEN l END), 2)
+       |  AS chosen FROM curve),
+       |sel AS (SELECT CAST(c.l AS BIGINT) AS chosen_probe_bits, c.recall_pct
+       |  FROM curve c JOIN ch ON c.l = ch.chosen),
+       |np AS (SELECT n.vec_id AS src, n.embedding AS se,
+       |  xor(n.bucket, CAST(mk.mask AS BIGINT)) AS probe
+       |  FROM b n, mk, ch WHERE mk.hd <= ch.chosen),
+       |ec AS (SELECT np.src, t3.vec_id AS dst,
+       |  ${cos("t3.embedding", "np.se")} AS cosine
+       |  FROM np JOIN b t3 ON t3.bucket = np.probe AND t3.vec_id <> np.src),
+       |er AS (SELECT src, dst, ROW_NUMBER() OVER (
+       |  PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank FROM ec),
+       |e2 AS (SELECT src AS s2, dst AS d2 FROM er WHERE rank <= 3),
+       |nodes AS (SELECT COUNT(DISTINCT v) AS n_nodes FROM
+       |  (SELECT s2 AS v FROM e2 UNION ALL SELECT d2 FROM e2)),
+       |cnt AS (SELECT COUNT(*) AS n_edges FROM e2),
+       |recip AS (SELECT COUNT(*) AS n_reciprocal FROM e2
+       |  WHERE EXISTS (SELECT 1 FROM e2 r2 WHERE r2.s2 = e2.d2 AND r2.d2 = e2.s2)),
+       |indeg AS (SELECT CAST(COALESCE(MAX(cc), 0) AS BIGINT) AS max_in_degree,
+       |  COUNT(*) AS n_receiving FROM
+       |  (SELECT d2, COUNT(*) AS cc FROM e2 GROUP BY d2))
+       |SELECT chosen_probe_bits, recall_pct, n_nodes, n_edges, n_reciprocal,
+       |  max_in_degree, n_receiving, n_nodes - n_receiving AS n_isolated
+       |FROM sel, nodes, cnt, recip, indeg""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q188
   /** Blocking self-recall census — the evidence behind
     * [[graft.candidates.CandidateGenerator.auto]]'s recall gate
@@ -6125,6 +6227,7 @@ object PipelineQueries {
       |FROM n, tp, cv""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_auto_probe" -> (q189AutoProbe _),
     "q188_blocking_self_recall" -> (q188SelfRecall _),
     "q180_gopher_rules" -> (q180GopherRules _),
     "q186_linear_interp" -> (q186LinearInterp _),
@@ -6265,6 +6368,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q189_auto_probe" -> q189Sql,
     "q188_blocking_self_recall" -> q188Sql,
     "q180_gopher_rules" -> q180Sql,
     "q186_linear_interp" -> q186Sql,

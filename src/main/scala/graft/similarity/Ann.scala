@@ -547,6 +547,44 @@ object Ann {
       .orderBy(col("probe_bits"))
   }
 
+  /** Recall-targeted probe-width selection for [[knnGraph]] — closes
+    * the loop the q144 measurement opened (13% single-probe recall on
+    * the harness embeddings): sweep the multi-probe recall curve
+    * ([[lshRecallCurve]], ONE pass over a bounded sampled probe set)
+    * at the SAME plane count [[knnGraph]] will use, and choose the
+    * smallest probe width whose estimated recall reaches
+    * `targetRecallPct`. If no width reaches it, the widest level is
+    * returned — the curve row still carries the measured recall, so a
+    * caller sees the miss instead of silently under-recalling.
+    *
+    * Cost: the sample's exact ground truth (|sample| × corpus — the
+    * honest price of any recall estimate, q136's recipe) plus one
+    * banded candidate sweep; the corpus never self-joins, and the
+    * selection is a ≤(maxProbeBits+1)-row driver read.
+    *
+    * @return (chosen probe width, the full recall curve — one row per
+    *         probe_bits with n_probes/n_exact/n_approx/n_hits/
+    *         recall_pct, the [[lshRecallCurve]] schema)
+    */
+  def autoProbe(df: DataFrame, embCol: String, idCol: String, k: Int,
+      probeGate: Column, targetRecallPct: Long = 80L,
+      numPlanes: Int = 0, targetCell: Int = 128,
+      maxProbeBits: Int = 3): (Int, DataFrame) = {
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else SemDedup.autoPlanes(df.count(), targetCell)
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val curve = lshRecallCurve(df, embCol, idCol, probeGate, k, dim,
+      planes, math.min(maxProbeBits, planes))
+    val levels = curve.select(col("probe_bits"), col("recall_pct"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val chosen = levels.find(_._2 >= targetRecallPct).map(_._1)
+      .getOrElse(levels.last._1)
+    (chosen, curve)
+  }
+
   /** Contrastive-pair mining: for each anchor, the count of POSITIVES
     * (cosine >= `posThreshold` — the near-duplicate/paraphrase set a
     * contrastive loss treats as matches) and the top-`k` HARD NEGATIVES

@@ -1442,6 +1442,46 @@ class PipelineSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_hits") === census.getAs[Long]("n_hits"))
   }
 
+  test("autoProbe: smallest level meeting the target; widest on a miss") {
+    val rnd = new scala.util.Random(17)
+    val embs = (0L until 200L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val gate = pmod(col("vec_id"), lit(20L)) === 0L
+    val curve = Ann.lshRecallCurve(embs, "embedding", "vec_id", gate,
+        k = 5, dim = 8, numPlanes = 3, maxProbeBits = 2)
+      .orderBy("probe_bits").collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("recall_pct"))
+    // pick a target BETWEEN two measured levels so the expected choice
+    // is derived from the curve itself, not a hard-coded recall value
+    val (loBits, loRec) = curve.head
+    val hi = curve.find(_._2 > loRec).get
+    val target = loRec + 1 // just above level-0 recall → level hi expected
+    val (bits, _) = Ann.autoProbe(embs, "embedding", "vec_id", k = 5,
+      probeGate = gate, targetRecallPct = target, numPlanes = 3,
+      maxProbeBits = 2)
+    assert(bits === curve.find(_._2 >= target).get._1 && bits > loBits)
+    // target at or below level 0's recall → cheapest level wins
+    val (bits0, _) = Ann.autoProbe(embs, "embedding", "vec_id", k = 5,
+      probeGate = gate, targetRecallPct = loRec, numPlanes = 3,
+      maxProbeBits = 2)
+    assert(bits0 === loBits)
+    // unreachable target → the widest level, not a failure
+    val (bitsMax, curveMax) = Ann.autoProbe(embs, "embedding", "vec_id",
+      k = 5, probeGate = gate, targetRecallPct = 101L, numPlanes = 3,
+      maxProbeBits = 2)
+    assert(bitsMax === 2)
+    // probeBits = planes degenerates to brute force: a curve swept to
+    // the plane count must reach 100% at its widest level
+    val (bitsAll, curveAll) = Ann.autoProbe(embs, "embedding", "vec_id",
+      k = 5, probeGate = gate, targetRecallPct = 100L, numPlanes = 3,
+      maxProbeBits = 3)
+    assert(bitsAll <= 3)
+    assert(curveAll.orderBy(col("probe_bits").desc).head()
+      .getAs[Long]("recall_pct") === 100L)
+    assert(curveMax.count() === 3L) // maxProbeBits+1 levels reported
+  }
+
   test("hardNegatives: positives excluded, negatives ranked by cosine") {
     // anchor (1,0); cosines: id1 → 1.0 (positive at thr 0.9),
     // id2=(3,4) → 0.6, id3=(0,1) → 0.0, id4=(-1,0) → -1.0
