@@ -20,6 +20,18 @@ import graft.sources.ErSources
   */
 object EvalDriver {
 
+  /** Default eval-loop parallelism, set from the round-8
+    * EvalConcurrency knee sweep (100 warmed explanations on local[32]
+    * under the FAIR pool, outputs asserted identical at every level):
+    * par8 4.05×, par16 4.70×, **par32 3.92×** — the curve peaks at 16
+    * and REGRESSES beyond it as the concurrent job streams start
+    * contending for the 32 scheduler slots, so 16 is the knee, not
+    * just a plateau. Callers explaining on a real cluster with more
+    * executor slots should raise it; `parMap` already bounds the pool
+    * at the batch size, so small batches never over-spawn threads.
+    */
+  val defaultParallelism: Int = 16
+
   /** Run the independent per-row bodies concurrently: explanations are
     * embarrassingly parallel across test rows (reference eval.py:69 —
     * the loop body touches no shared state), so a bounded thread pool
@@ -110,7 +122,7 @@ object EvalDriver {
       outDir: String,
       numTriangles: Int = 100,
       maxRows: Int = 10,
-      parallelism: Int = 1,
+      parallelism: Int = defaultParallelism,
       schema: PairSchema = PairSchema.default,
       candidateGen: graft.candidates.CandidateGenerator =
         graft.candidates.AutoSelect): DataFrame = {
@@ -192,7 +204,7 @@ object EvalDriver {
       cfSample: Int = 10,
       compareBaselines: Boolean = false,
       escalate: Boolean = false,
-      parallelism: Int = 1,
+      parallelism: Int = defaultParallelism,
       schema: PairSchema = PairSchema.default,
       candidateGen: graft.candidates.CandidateGenerator =
         graft.candidates.AutoSelect): DataFrame = {

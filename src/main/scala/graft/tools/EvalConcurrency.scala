@@ -3,20 +3,24 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Round-7 measurement: explainer concurrency at the reference
-  * eval-loop scale (eval.py:69 explains hundreds of rows). Runs
-  * EvalDriver.evalCf over 100 pairs at parallelism 1 vs 8 under a
-  * FAIR-scheduled pool (EvalDriver.parMap already tags its jobs with
-  * the `graft-eval` pool; this tool supplies the FAIR allocation so
-  * concurrent explanation job-streams share executors instead of
-  * queueing FIFO), asserts the outputs are identical, and prints the
-  * speedup — the job-stream-contention probe the 32-pair ScaleSmoke
-  * leg is too small for.
+/** Explainer concurrency at the reference eval-loop scale (eval.py:69
+  * explains hundreds of rows). Runs EvalDriver.evalCf over `nPairs`
+  * (args(0), default 100) at each parallelism in args.tail (default
+  * 1 8 16 32 — the knee sweep) under a FAIR-scheduled pool
+  * (EvalDriver.parMap already tags its jobs with the `graft-eval`
+  * pool; this tool supplies the FAIR allocation so concurrent
+  * explanation job-streams share executors instead of queueing FIFO),
+  * asserts every level's outputs are identical to the sequential
+  * loop's, and prints the speedup curve — the job-stream-contention
+  * probe the 32-pair ScaleSmoke leg is too small for, and the
+  * measurement behind [[graft.eval.EvalDriver.defaultParallelism]].
   */
 object EvalConcurrency {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nPairs = args.headOption.map(_.toInt).getOrElse(100)
+    val pars = if (args.length > 1) args.tail.toIndexedSeq.map(_.toInt)
+      else Seq(1, 8, 16, 32)
 
     val alloc = java.nio.file.Files.createTempFile("fairpools", ".xml")
     java.nio.file.Files.writeString(alloc,
@@ -73,10 +77,13 @@ object EvalConcurrency {
     }
 
     val (t1, r1) = run(1)
-    val (t8, r8) = run(8)
-    require(r1 == r8, "parallel eval outputs diverged")
-    println(f"[evalconc] $nPairs pairs (FAIR pool): par1 $t1%7.1fs  " +
-      f"par8 $t8%7.1fs  speedup ${t1 / t8}%5.2fx  outputs identical")
+    println(f"[evalconc] $nPairs pairs (FAIR pool): par1 $t1%7.1fs")
+    pars.filter(_ > 1).foreach { p =>
+      val (tp, rp) = run(p)
+      require(r1 == rp, s"parallel eval outputs diverged at par$p")
+      println(f"[evalconc] $nPairs pairs (FAIR pool): par$p%-3d $tp%7.1fs" +
+        f"  speedup ${t1 / tp}%5.2fx  outputs identical")
+    }
     spark.stop()
   }
 }
