@@ -6064,6 +6064,52 @@ object PipelineQueries {
        |  n_nodes - n_receiving AS n_isolated
        |FROM nodes, cnt, recip, indeg""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** Multi-probe semantic near-dup pairs
+    * ([[graft.similarity.SemDedup.nearDuplicatePairs]] with
+    * `probeBits = 1`): the recall lever q189 selects for the kNN graph,
+    * applied to SemDeDup candidate generation — near-dup pairs
+    * straddling ONE hyperplane sit in sign-adjacent cells and the
+    * single-cell candidate join misses them; each vector additionally
+    * probes its planes Hamming-1 cells. The oracle replays the XOR
+    * mask fan-out, so the no-duplicate-pairs claim (a pair surfaces
+    * only from the smaller id probing the larger id's single home
+    * cell) is hash-checked, not argued.
+    */
+  def q190SemdedupProbe(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.SemDedup.nearDuplicatePairs(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.3, numPlanes = 4, probeBits = 1)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q190Sql: String = {
+    def cos(x: String, p: String): String =
+      s"""(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum') /
+         |  (sqrt(list_aggregate(list_transform(range(1, len($x) + 1),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)), 'sum')) *
+         |   sqrt(list_aggregate(list_transform(range(1, len($p) + 1),
+         |    i -> CAST($p[i] AS DOUBLE) * CAST($p[i] AS DOUBLE)), 'sum'))))""".stripMargin
+    def proj(p: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |    i -> CAST(embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, ($bucket) AS bucket
+       |  FROM embeddings),
+       |mk AS (SELECT * FROM (VALUES (0), (1), (2), (4), (8)) AS t(mask)),
+       |l AS (SELECT b.vec_id AS id_a, b.embedding AS ea,
+       |  xor(b.bucket, CAST(mk.mask AS BIGINT)) AS probe FROM b, mk)
+       |SELECT l.id_a, r.vec_id AS id_b,
+       |  ${cos("r.embedding", "l.ea")} AS cosine
+       |FROM l JOIN b r ON r.bucket = l.probe AND l.id_a < r.vec_id
+       |WHERE ${cos("r.embedding", "l.ea")} >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q189
   /** Recall-targeted probe selection + resulting-graph census
     * ([[Ann.autoProbe]] → [[Ann.knnGraph]] →
@@ -6227,6 +6273,7 @@ object PipelineQueries {
       |FROM n, tp, cv""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_semdedup_probe" -> (q190SemdedupProbe _),
     "q189_auto_probe" -> (q189AutoProbe _),
     "q188_blocking_self_recall" -> (q188SelfRecall _),
     "q180_gopher_rules" -> (q180GopherRules _),
@@ -6368,6 +6415,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q190_semdedup_probe" -> q190Sql,
     "q189_auto_probe" -> q189Sql,
     "q188_blocking_self_recall" -> q188Sql,
     "q180_gopher_rules" -> q180Sql,

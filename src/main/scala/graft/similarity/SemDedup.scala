@@ -74,10 +74,20 @@ object SemDedup {
     *   the O(b²) blow-up) at a recall cost — opt-in because the
     *   uncapped result is the oracle-exact one. With [[AutoPlanes]]
     *   this guards only residual cluster skew, not global density.
+    * @param probeBits recall lever, same semantics as
+    *   [[Ann.knnGraph]]'s: near-dup pairs STRADDLING a hyperplane sit
+    *   in sign-adjacent cells and single-cell candidate generation
+    *   misses them; each vector additionally probes every cell within
+    *   `probeBits` Hamming flips of its own (candidate volume
+    *   ×Σ C(planes, d)). A pair surfaces from the smaller id's probe
+    *   of the larger id's (single) home cell, so no duplicates.
+    *   `probeBits = planes` probes every cell — exact brute-force
+    *   threshold pairs, the spec's equivalence anchor.
     */
   def nearDuplicatePairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double, numPlanes: Int = AutoPlanes,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue, probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0, "probeBits must be >= 0")
     val planes = resolvePlanes(df, numPlanes)
     val dim = df.select(size(col(embCol))).head().getInt(0)
     val b0 = df.select(col(idCol), col(embCol),
@@ -90,8 +100,15 @@ object SemDedup {
         b0.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= maxBucketSize).drop("__rn")
       }
-    val left = b.select(col("__bucket"), col(idCol).as("id_a"),
-      col(embCol).as("__ea"))
+    val masks = Ann.probeBuckets(0L, planes, math.min(probeBits, planes))
+    val left =
+      if (masks == Seq(0L))
+        b.select(col("__bucket"), col(idCol).as("id_a"),
+          col(embCol).as("__ea"))
+      else
+        b.select(explode(array(masks.map(m =>
+            col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"),
+          col(idCol).as("id_a"), col(embCol).as("__ea"))
     val right = b.select(col("__bucket").as("__bucket_b"),
       col(idCol).as("id_b"), col(embCol).as("__eb"))
     left

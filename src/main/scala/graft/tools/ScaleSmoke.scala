@@ -44,8 +44,38 @@ object ScaleSmoke {
       replicated.repartition(32).cache()
     }
 
+    // Spill accounting (the memory-pressure leg's evidence): every
+    // timed run also records the shuffle/aggregation bytes that spilled
+    // to memory-serialized form and to disk. Under the normal 16 GiB
+    // heap these stay 0; under a constrained heap (SPARK_DRIVER_MEM=4g)
+    // a stage that completes WITH spill degraded gracefully — an OOM
+    // is the finding this leg exists to surface.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+            ()
+          }
+        }
+      })
+    def spillSnapshot(): (Long, Long) = {
+      org.apache.spark.GraftCoreBridge.flushListenerBus(spark.sparkContext)
+      (spillMem.get, spillDisk.get)
+    }
+    var lastSpill: (Long, Long) = (0L, 0L)
     def time(f: => Any): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val (m0, d0) = spillSnapshot()
+      val t0 = System.nanoTime(); f
+      val t = (System.nanoTime() - t0) / 1e9
+      val (m1, d1) = spillSnapshot()
+      lastSpill = (m1 - m0, d1 - d0)
+      t
     }
 
     // header printed after mults resolve (below)
@@ -254,12 +284,14 @@ object ScaleSmoke {
     // the next multiplier — holding every size at once spills the local
     // disk at large mults
     val results = scala.collection.mutable.Map.empty[(String, Int), Double]
+    val spills = scala.collection.mutable.Map.empty[(String, Int), (Long, Long)]
     for (m <- mults) {
       val d = corpus(m)
       d.count()
       for ((name, stage) <- activeStages) {
         stage(d) // warm codegen for this stage shape
         results((name, m)) = time(stage(d))
+        spills((name, m)) = lastSpill
       }
       spark.catalog.clearCache()
     }
@@ -267,11 +299,16 @@ object ScaleSmoke {
     val growth = mults.last.toDouble / mults.head
     println(f"${"stage"}%-22s " + mults.map(m => f"${m + "x"}%8s").mkString(" ") +
       f"   ${mults.last}x/${mults.head}x (linear=$growth%.0f)")
+    def spillLine(sp: Seq[(Long, Long)]): Unit =
+      if (sp.exists(s => s._1 > 0 || s._2 > 0))
+        println(f"${"  [spill mem/disk]"}%-22s " + sp.map { case (m, d) =>
+          f"${m >> 20}%3dm/${d >> 20}%dm" }.mkString(" "))
     for ((name, _) <- activeStages) {
       val ts = mults.map(m => results((name, m)))
       val ratio = ts.last / ts.head
       println(f"$name%-22s " + ts.map(t => f"$t%7.2fs").mkString(" ") +
         f"   ${ratio}%5.1f")
+      spillLine(mults.map(m => spills((name, m))))
     }
 
     // ---- explainer leg: the certa core against m×-scaled SOURCES.
@@ -652,12 +689,14 @@ object ScaleSmoke {
           .agg(count(lit(1))).collect()
         run() // warm
         val t = time(run())
+        val sp = lastSpill
         spark.catalog.clearCache()
-        t
+        (t, sp)
       }
       println(f"${"semantic dedup"}%-22s " +
-        semTs.map(t => f"$t%7.2fs").mkString(" ") +
-        f"   ${semTs.last / semTs.head}%5.1f")
+        semTs.map(t => f"${t._1}%7.2fs").mkString(" ") +
+        f"   ${semTs.last._1 / semTs.head._1}%5.1f")
+      spillLine(semTs.map(_._2))
     }
     // ---- fixed-point training/graph/warehouse legs over replicated
     // non-document tables. Shared helper: time a thunk warm, clear
@@ -668,11 +707,13 @@ object ScaleSmoke {
           val d = build(m); d.count()
           run(d) // warm
           val t = time(run(d))
+          val sp = lastSpill
           spark.catalog.clearCache()
-          t
+          (t, sp)
         }
-        println(f"$name%-22s " + ts.map(t => f"$t%7.2fs").mkString(" ") +
-          f"   ${ts.last / ts.head}%5.1f")
+        println(f"$name%-22s " + ts.map(t => f"${t._1}%7.2fs").mkString(" ") +
+          f"   ${ts.last._1 / ts.head._1}%5.1f")
+        spillLine(ts.map(_._2))
       }
 
     // replica-rotated embeddings (the semantic-dedup trick): m× rows

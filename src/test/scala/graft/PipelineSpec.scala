@@ -502,6 +502,39 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.flatMap(p => Set(p._1, p._2)) === (0L until 10L).toSet)
   }
 
+  test("semantic dedup probeBits: monotone candidates, planes = brute force") {
+    import graft.similarity.SemDedup
+    val rnd = new scala.util.Random(29)
+    // clustered corpus: 30 random anchors, each with a jittered twin —
+    // some twins straddle a hyperplane, which is exactly what probing
+    // must recover
+    val embs = (0L until 30L).flatMap { i =>
+      val a = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+      Seq((i * 2, a), (i * 2 + 1, a.map(x => x + rnd.nextFloat() * 0.1f)))
+    }.toDF("vec_id", "embedding")
+    def pairsAt(p: Int): Set[(Long, Long)] =
+      SemDedup.nearDuplicatePairs(embs, "embedding", "vec_id", 0.8,
+          numPlanes = 4, probeBits = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p0 = pairsAt(0); val p1 = pairsAt(1); val p4 = pairsAt(4)
+    assert(p0.subsetOf(p1) && p1.subsetOf(p4)) // nested Hamming balls
+    // probeBits = planes probes every cell → exact brute-force pairs
+    val brute = {
+      val rows = embs.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      (for {
+        (ia, ea) <- rows; (ib, eb) <- rows
+        if ia < ib && cos(ea, eb) >= 0.8
+      } yield (ia, ib)).toSet
+    }
+    assert(p4 === brute)
+    assert(p4.size > p0.size) // the lever recovers straddling pairs here
+  }
+
   test("incremental near-dup dedup: history drop, batch closure, null pass") {
     import graft.dedup.IncrementalDedup
     val textA = "the quick brown fox jumps over the lazy dog again"
