@@ -364,6 +364,126 @@ object Multimodal {
       .toDF("media_id", "width", "height", "sum_red", "sum_green", "sum_blue")
   }
 
+  /** REAL perceptual hash (average hash / aHash, the classic
+    * im2hash recipe — public): decode, per-pixel integer luma
+    * `gray = r + g + b` (0..765, no weights — keeps every comparison
+    * integer-exact), bit i (row-major, i = y·w + x) set iff
+    * `gray_i · n > Σ gray` — strict multiply-compare, no division, so
+    * the 64-bit pattern is bit-reproducible by a SQL oracle replaying
+    * the pixel formula. Emitted as two 32-bit halves in BIGINT columns
+    * (`ahash_hi`/`ahash_lo`): a single signed 64-bit hash would need
+    * bit 63, and `1L << 63` is sign-trap territory across engines.
+    * Images larger than 64 px should be [[resizeImages]]-downsampled
+    * to 8×8 first (the standard aHash pipeline); the hash covers the
+    * first 64 pixels, `require`-guarded.
+    *
+    * Per-partition reader lifecycle as in [[decodeImageStats]].
+    * Output: (media_id, width, height, ahash_hi, ahash_lo).
+    */
+  def withAverageHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new PngCodec()
+        mapWithClose(it, () => codec.close()) { case (id, bytes) =>
+          val img = codec.decode(bytes)
+          val w = img.getWidth
+          val h = img.getHeight
+          val n = w * h
+          require(n <= 64,
+            s"aHash covers at most 64 pixels; resize ${w}x$h first")
+          val px = codec.rgb(img)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val p = px(i)
+            total += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            i += 1
+          }
+          var hi = 0L; var lo = 0L
+          i = 0
+          while (i < n) {
+            val p = px(i)
+            val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            if (gray.toLong * n > total) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, w, h, hi, lo)
+        }
+      }
+      .toDF("media_id", "width", "height", "ahash_hi", "ahash_lo")
+  }
+
+  /** Perceptual image dedup over the [[withAverageHash]] columns,
+    * shaped for 100 TB: NOTHING here ever materializes a row pair.
+    *
+    *  - Hash groups reduce to (hash, min id) — one keyed shuffle over
+    *    the corpus; within-group losers come from that grouping, not a
+    *    self-join.
+    *  - At `maxHamming = 0` each group's min id survives directly.
+    *  - At `maxHamming = 1` the closure runs in HASH space: the
+    *    distinct-hash table (orders of magnitude below the corpus —
+    *    the 64-bit perceptual space collapses duplicates by design)
+    *    self-joins through the 65 XOR probe masks (each distance-≤1
+    *    hash pair surfaces from exactly one mask on one side),
+    *    [[graft.dedup.Components]] closes those HASH-node edges (node
+    *    id = the group's min row id), and a row survives iff its id is
+    *    its cluster's overall min. The corpus is touched twice: once
+    *    to hash-group, once for the final loser anti-join.
+    *
+    * Ownership follows [[graft.dedup.Dedup.dropNearDuplicates]]: the
+    * one pinned loser frame is released by `close()`.
+    *
+    * @param hashed output of [[withAverageHash]] (or anything with
+    *               idCol/ahash_hi/ahash_lo)
+    */
+  def perceptualDedup(hashed: DataFrame, idCol: String = "media_id",
+      maxHamming: Int = 0): graft.dedup.Dedup.NearDupResult = {
+    require(maxHamming >= 0 && maxHamming <= 1,
+      "maxHamming 0 or 1 (wider balls: compose rounds or coarsen the hash)")
+    val groups = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col(idCol)).as("__gid"))
+    val (repOf, mapping) =
+      if (maxHamming == 0) (groups.withColumn("__rep", col("__gid")), None)
+      else {
+        val masks: Seq[(Long, Long)] = (0L, 0L) +:
+          ((0 until 32).map(j => (0L, 1L << j)) ++
+            (0 until 32).map(j => (1L << j, 0L)))
+        import hashed.sparkSession.implicits._
+        val maskDf = broadcast(masks.toDF("__mhi", "__mlo"))
+        val probed = groups.crossJoin(maskDf)
+          .select(col("__gid"),
+            col("ahash_hi").bitwiseXOR(col("__mhi")).as("__phi"),
+            col("ahash_lo").bitwiseXOR(col("__mlo")).as("__plo"))
+        val edges = probed.join(
+            groups.select(col("ahash_hi").as("__phi"),
+              col("ahash_lo").as("__plo"), col("__gid").as("__gid_b")),
+            Seq("__phi", "__plo"))
+          .filter(col("__gid") < col("__gid_b"))
+          .select(col("__gid").as("id_a"), col("__gid_b").as("id_b"))
+        val m = graft.dedup.Components.connectedComponents(edges)
+        (groups.join(
+            m.select(col("id").as("__gid"), col("rep").as("__rep0")),
+            Seq("__gid"), "left")
+          .withColumn("__rep", coalesce(col("__rep0"), col("__gid"))),
+          Some(m))
+      }
+    val losers = hashed
+      .join(repOf.select(col("ahash_hi"), col("ahash_lo"), col("__rep")),
+        Seq("ahash_hi", "ahash_lo"))
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol))
+      .persist()
+    losers.count() // materialize while the components cache is alive
+    mapping.foreach(_.unpersist())
+    graft.dedup.Dedup.NearDupResult(
+      hashed.join(losers, Seq(idCol), "left_anti"), losers)
+  }
+
   /** REAL image resize: decode (per-partition reader lifecycle as in
     * [[decodeImageStats]]), nearest-neighbor resample to `outW`×`outH`
     * with the floor mapping srcX = x·srcW/outW — explicit integer

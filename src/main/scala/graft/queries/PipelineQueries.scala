@@ -6064,6 +6064,91 @@ object PipelineQueries {
        |  n_nodes - n_receiving AS n_isolated
        |FROM nodes, cnt, recip, indeg""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  /** Perceptual image dedup ([[Multimodal.withAverageHash]] +
+    * [[Multimodal.perceptualDedup]]): REAL PNG decode → 64-bit average
+    * hash (strict integer multiply-compare, split into two 32-bit
+    * BIGINT halves) over the grouped synthetic corpus (16 visual
+    * groups whose members differ only in one corner pixel), then the
+    * dedup census: hash-group pair arithmetic (Σc(c−1)/2 — zero pairs
+    * materialized), the Hamming-1 edge count over DISTINCT hashes (64
+    * single-bit XOR probes), and survivor counts at Hamming 0 and 1 —
+    * the d=1 closure runs in hash space via connected components. The
+    * oracle replays everything from the pixel formula, including the
+    * component closure as a recursive label-propagation CTE, so the
+    * whole chain — decode fidelity, hash bits, probe join, closure —
+    * is hash-checked.
+    */
+  def q191PerceptualDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val hashed = Multimodal.withAverageHash(
+      Multimodal.synthesizeGroupedPngs(ids, "doc_id", groups = 16))
+    val census = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_images"),
+        count(lit(1)).as("n_hashes"),
+        coalesce(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")),
+          lit(0L)).as("n_pairs_exact"))
+    val g = hashed.select(col("ahash_hi"), col("ahash_lo")).distinct()
+    val masks = (0 until 32).map(j => (0L, 1L << j)) ++
+      (0 until 32).map(j => (1L << j, 0L))
+    val maskDf = broadcast(masks.toDF("__mhi", "__mlo"))
+    val h1Edges = g.crossJoin(maskDf)
+      .select(col("ahash_hi"), col("ahash_lo"),
+        col("ahash_hi").bitwiseXOR(col("__mhi")).as("__phi"),
+        col("ahash_lo").bitwiseXOR(col("__mlo")).as("__plo"))
+      .join(g.select(col("ahash_hi").as("__phi"),
+        col("ahash_lo").as("__plo")), Seq("__phi", "__plo"))
+      .filter(col("ahash_hi") < col("__phi") ||
+        (col("ahash_hi") === col("__phi") && col("ahash_lo") < col("__plo")))
+      .agg(count(lit(1)).as("n_edges_h1"))
+    def survivors(d: Int): Long = {
+      val r = Multimodal.perceptualDedup(hashed, "media_id", maxHamming = d)
+      try r.survivors.count() finally r.close()
+    }
+    census.crossJoin(h1Edges)
+      .withColumn("n_survivors_h0", lit(survivors(0)))
+      .withColumn("n_survivors_h1", lit(survivors(1)))
+  }
+
+  val q191Sql: String =
+    """WITH RECURSIVE px AS (SELECT doc_id, ys.y * 8 + xs.x AS i,
+      |  ((CASE WHEN xs.x = 0 AND ys.y = 0
+      |    THEN ((doc_id % 16) * 37 + (xs.x // 2) * 53 + ys.y * 29 + doc_id % 5)
+      |    ELSE ((doc_id % 16) * 37 + (xs.x // 2) * 53 + ys.y * 29) END) % 256
+      |   + ((doc_id % 16) * 91 + (xs.x // 2) * 17 + ys.y * 43) % 256
+      |   + ((doc_id % 16) * 53 + (xs.x // 2) * 11 + ys.y * 7) % 256) AS gray
+      |  FROM documents, range(0, 8) xs(x), range(0, 8) ys(y)),
+      |tt AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+      |bits AS (SELECT px.doc_id, px.i FROM px JOIN tt ON px.doc_id = tt.doc_id
+      |  WHERE px.gray * 64 > tt.total),
+      |h AS (SELECT d.doc_id,
+      |  CAST(COALESCE(SUM(CASE WHEN b.i >= 32
+      |    THEN (1::BIGINT << (b.i - 32)) END), 0) AS BIGINT) AS hi,
+      |  CAST(COALESCE(SUM(CASE WHEN b.i < 32
+      |    THEN (1::BIGINT << b.i) END), 0) AS BIGINT) AS lo
+      |  FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
+      |  GROUP BY d.doc_id),
+      |g2 AS (SELECT hi, lo, COUNT(*) AS c, MIN(doc_id) AS gid
+      |  FROM h GROUP BY hi, lo),
+      |census AS (SELECT CAST(SUM(c) AS BIGINT) AS n_images,
+      |  COUNT(*) AS n_hashes,
+      |  CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_pairs_exact
+      |  FROM g2),
+      |e1 AS (SELECT a.gid AS ga, b.gid AS gb FROM g2 a JOIN g2 b
+      |  ON bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) = 1),
+      |ec AS (SELECT COUNT(*) // 2 AS n_edges_h1 FROM e1),
+      |walk(gid, rep) AS (
+      |  SELECT gid, gid FROM g2
+      |  UNION
+      |  SELECT e1.gb, walk.rep FROM walk JOIN e1 ON e1.ga = walk.gid),
+      |lbl AS (SELECT gid, MIN(rep) AS rep FROM walk GROUP BY gid),
+      |sv AS (SELECT COUNT(DISTINCT rep) AS n_survivors_h1 FROM lbl)
+      |SELECT n_images, n_hashes, n_pairs_exact, n_edges_h1,
+      |  n_hashes AS n_survivors_h0, n_survivors_h1
+      |FROM census, ec, sv""".stripMargin
+
   // ---------------------------------------------------------------- q190
   /** Multi-probe semantic near-dup pairs
     * ([[graft.similarity.SemDedup.nearDuplicatePairs]] with
@@ -6273,6 +6358,7 @@ object PipelineQueries {
       |FROM n, tp, cv""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_perceptual_dedup" -> (q191PerceptualDedup _),
     "q190_semdedup_probe" -> (q190SemdedupProbe _),
     "q189_auto_probe" -> (q189AutoProbe _),
     "q188_blocking_self_recall" -> (q188SelfRecall _),
@@ -6415,6 +6501,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q191_perceptual_dedup" -> q191Sql,
     "q190_semdedup_probe" -> q190Sql,
     "q189_auto_probe" -> q189Sql,
     "q188_blocking_self_recall" -> q188Sql,

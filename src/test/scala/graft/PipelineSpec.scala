@@ -590,6 +590,84 @@ class PipelineSpec extends SparkSpec {
     assert(s === "COL size VAL 11 COL price VAL 900.10")
   }
 
+  test("perceptual aHash: formula-exact bits; dedup closure matches brute force") {
+    import graft.multimodal.Multimodal
+    val idSeq = (0L until 60L)
+    val ids = idSeq.toDF("doc_id")
+    val hashed = Multimodal.withAverageHash(
+      Multimodal.synthesizeGroupedPngs(ids, "doc_id", groups = 4))
+    val got = hashed.collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // closed-form replay of the grouped pixel formula (the q191 oracle)
+    def expected(id: Long): (Long, Long) = {
+      val gid = id % 4
+      val gray = for (y <- 0 until 8; x <- 0 until 8) yield {
+        var r = (gid * 37 + (x / 2) * 53 + y * 29) % 256
+        if (x == 0 && y == 0) r = (r + id % 5) % 256
+        val g = (gid * 91 + (x / 2) * 17 + y * 43) % 256
+        val b = (gid * 53 + (x / 2) * 11 + y * 7) % 256
+        r + g + b
+      }
+      val total = gray.map(_.toLong).sum
+      var hi = 0L; var lo = 0L
+      gray.zipWithIndex.foreach { case (gv, i) =>
+        if (gv.toLong * 64 > total) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+      }
+      (hi, lo)
+    }
+    idSeq.foreach(id => assert(got(id) === expected(id), s"id $id"))
+    // exact (d=0) survivors: one per distinct hash, min id
+    val d0 = Multimodal.perceptualDedup(hashed, "media_id", maxHamming = 0)
+    val s0 = try d0.survivors.select("media_id").collect()
+      .map(_.getLong(0)).toSet finally d0.close()
+    val byHash = idSeq.groupBy(expected)
+    assert(s0 === byHash.values.map(_.min).toSet)
+    // d=1 closure vs a brute-force union-find over hash Hamming balls
+    val d1 = Multimodal.perceptualDedup(hashed, "media_id", maxHamming = 1)
+    val s1 = try d1.survivors.select("media_id").collect()
+      .map(_.getLong(0)).toSet finally d1.close()
+    val hs = byHash.keys.toSeq
+    val parent = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    def find(x: (Long, Long)): (Long, Long) = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    for (a <- hs; b <- hs if ham(a, b) == 1) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra.hashCode < rb.hashCode) rb else ra) =
+        if (ra.hashCode < rb.hashCode) ra else rb
+    }
+    val expectedS1 = byHash.toSeq.groupBy { case (h, _) => find(h) }
+      .values.map(_.flatMap(_._2).min).toSet
+    assert(s1 === expectedS1)
+    assert(s1.size <= s0.size) // wider ball never keeps more
+    // the synthetic corpus collapses each group to ONE hash (no H1
+    // edges), so drive the closure path directly with a hand-built
+    // hash frame: A–B–C is a Hamming-1 CHAIN (A↔C is distance 2 —
+    // only the component closure merges them); D is far from all
+    val hand = Seq(
+      (10L, 0L, 3L),              // A = ...0011
+      (11L, 0L, 3L),
+      (12L, 0L, 7L),              // B = ...0111 (d1 from A)
+      (13L, 0L, 15L),             // C = ...1111 (d1 from B, d2 from A)
+      (14L, 1L << 20, 0L),        // D isolated
+      (15L, 1L << 20, 0L)
+    ).toDF("media_id", "ahash_hi", "ahash_lo")
+    val hd0 = Multimodal.perceptualDedup(hand, "media_id", maxHamming = 0)
+    val hs0 = try hd0.survivors.select("media_id").collect()
+      .map(_.getLong(0)).toSet finally hd0.close()
+    assert(hs0 === Set(10L, 12L, 13L, 14L)) // min per distinct hash
+    val hd1 = Multimodal.perceptualDedup(hand, "media_id", maxHamming = 1)
+    val hs1 = try hd1.survivors.select("media_id").collect()
+      .map(_.getLong(0)).toSet finally hd1.close()
+    assert(hs1 === Set(10L, 14L)) // chain closed transitively; D alone
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("image decode→embedding equals the closed-form pixel sums") {
     import graft.multimodal.Multimodal
     // the identity q104's oracle rests on: PNG-encode → real javax
