@@ -1047,6 +1047,35 @@ object ScaleSmoke {
           e, "user_id", Seq(col("ts"), col("event_id")), "cents")
         .agg(sum(col("li_filled")), count(lit(1))).collect()
     }
+    // round-8 operators get their growth legs the round they ship —
+    // the round-7 lesson institutionalized.
+
+    // SemDedup probeBits=1: candidate volume ×(planes+1) on top of the
+    // semantic-dedup leg's cell join — under AutoPlanes the plane
+    // count grows ~log2(n/128), so expect the knn-graph-probe1 shape:
+    // n·log n, mildly super-linear, nothing hidden
+    leg("semdedup probe1")(scaledEmb) { e =>
+      graft.similarity.SemDedup.nearDuplicatePairs(
+          e, "embedding", "vec_id", threshold = 0.4, probeBits = 1)
+        .agg(count(lit(1))).collect()
+    }
+    // perceptual dedup at Hamming 1: per-row decode+hash is linear;
+    // the closure runs over DISTINCT hashes (constant-ish here — the
+    // replica corpus reuses the 16 visual groups), so end-to-end must
+    // track the decode scan
+    leg("perceptual dedup") { m =>
+      val ids = spark.range(20000L * m).select(col("id").as("doc_id"))
+        .repartition(32).cache()
+      ids.count()
+      ids
+    } { ids =>
+      val hashed = graft.multimodal.Multimodal.withAverageHash(
+        graft.multimodal.Multimodal.synthesizeGroupedPngs(ids, "doc_id"))
+      val r = graft.multimodal.Multimodal.perceptualDedup(
+        hashed, "media_id", maxHamming = 1)
+      try r.survivors.agg(count(lit(1))).collect()
+      finally r.close()
+    }
     // q185 kNN-graph structure census on a REAL Ann.knnGraph edge set:
     // the edge build is timed by its own legs above, so it happens in
     // the BUILD step (cached); the timed stage is the census itself —
