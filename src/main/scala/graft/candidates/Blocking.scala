@@ -72,6 +72,7 @@ object Blocking {
     */
   def orPairCompleteness(df: DataFrame, blockCols: Seq[String],
       truthCol: String, idCol: String): DataFrame = {
+    require(blockCols.nonEmpty, "at least one block-key column required")
     val base = df.select(col(truthCol).as("__t") +: col(idCol).as("__i") +:
       blockCols.map(col): _*)
     val truth = base.groupBy(col("__t")).agg(count(lit(1)).as("c"))

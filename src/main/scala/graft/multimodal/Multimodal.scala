@@ -627,6 +627,62 @@ object Multimodal {
         "channels", "sum_abs", "max_abs", "n_rising")
   }
 
+  /** REAL audio fingerprint (energy-delta hash — the windowed-energy
+    * sign pattern behind classic audio-matching fingerprints, public
+    * recipe): decode through `javax.sound.sampled` (actual RIFF
+    * parse), window the PCM stream into `windowSamples`-sample frames,
+    * per-window integer energy Σ|sample|, and bit i (i ≤ 62) set iff
+    * `energy(i+1) > energy(i)` — strict integer comparison, so the
+    * pattern is bit-reproducible by a SQL oracle replaying the sample
+    * formula. Emitted under the SAME column names as
+    * [[withAverageHash]] (`ahash_hi`/`ahash_lo`, two 32-bit halves),
+    * so [[perceptualDedup]] composes directly for audio dedup at
+    * Hamming 0/1 with the identical zero-row-pairs shape.
+    *
+    * Output: (media_id, n_windows, ahash_hi, ahash_lo).
+    */
+  def withAudioFingerprint(media: DataFrame,
+      windowSamples: Int = 16): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+              s"expected PCM16LE, got $fmt")
+            val pcm = ais.readAllBytes()
+            val nSamples = pcm.length / (2 * fmt.getChannels)
+            val sb = java.nio.ByteBuffer.wrap(pcm)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+            val nWindows = (nSamples + windowSamples - 1) / windowSamples
+            val energy = new Array[Long](nWindows)
+            var i = 0
+            while (i < nSamples) {
+              energy(i / windowSamples) +=
+                math.abs(sb.get(i * fmt.getChannels).toLong)
+              i += 1
+            }
+            var hi = 0L; var lo = 0L
+            var w = 0
+            while (w < nWindows - 1 && w <= 62) {
+              if (energy(w + 1) > energy(w)) {
+                if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+              }
+              w += 1
+            }
+            (id, nWindows.toLong, hi, lo)
+          } finally ais.close()
+        }
+      }
+      .toDF("media_id", "n_windows", "ahash_hi", "ahash_lo")
+  }
+
   /** Deterministic synthetic multi-frame "video" per row: a minimal
     * length-prefixed container (magic `GVID`, LE frame count, then
     * per-frame LE length + a REAL PNG) holding 4..8 frames whose pixels

@@ -6064,6 +6064,87 @@ object PipelineQueries {
        |  n_nodes - n_receiving AS n_isolated
        |FROM nodes, cnt, recip, indeg""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+  /** Audio fingerprint dedup ([[Multimodal.withAudioFingerprint]] +
+    * [[Multimodal.perceptualDedup]]): REAL WAV decode → 63-bit
+    * energy-delta fingerprint (16-sample windows, strict integer
+    * comparisons, two BIGINT halves) over the synthetic PCM corpus,
+    * then the SAME dedup census machinery q191 runs for images —
+    * shared column convention, shared closure. The oracle replays the
+    * sample formula, window energies, delta bits, group arithmetic,
+    * Hamming-1 probe census and the recursive component closure.
+    */
+  def q192AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val fp = Multimodal.withAudioFingerprint(
+      Multimodal.synthesizeWavs(ids, "doc_id"), windowSamples = 16)
+    val census = fp.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_audio"),
+        count(lit(1)).as("n_fp"),
+        coalesce(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")),
+          lit(0L)).as("n_pairs_exact"))
+    val g = fp.select(col("ahash_hi"), col("ahash_lo")).distinct()
+    val masks = (0 until 32).map(j => (0L, 1L << j)) ++
+      (0 until 32).map(j => (1L << j, 0L))
+    val maskDf = broadcast(masks.toDF("__mhi", "__mlo"))
+    val h1Edges = g.crossJoin(maskDf)
+      .select(col("ahash_hi"), col("ahash_lo"),
+        col("ahash_hi").bitwiseXOR(col("__mhi")).as("__phi"),
+        col("ahash_lo").bitwiseXOR(col("__mlo")).as("__plo"))
+      .join(g.select(col("ahash_hi").as("__phi"),
+        col("ahash_lo").as("__plo")), Seq("__phi", "__plo"))
+      .filter(col("ahash_hi") < col("__phi") ||
+        (col("ahash_hi") === col("__phi") && col("ahash_lo") < col("__plo")))
+      .agg(count(lit(1)).as("n_edges_h1"))
+    def survivors(d: Int): Long = {
+      val r = Multimodal.perceptualDedup(fp, "media_id", maxHamming = d)
+      try r.survivors.count() finally r.close()
+    }
+    census.crossJoin(h1Edges)
+      .withColumn("n_survivors_h0", lit(survivors(0)))
+      .withColumn("n_survivors_h1", lit(survivors(1)))
+  }
+
+  val q192Sql: String =
+    """WITH RECURSIVE d AS (SELECT doc_id, 1000 + (doc_id % 7) * 100 AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, i.i AS i,
+      |    (doc_id * 31 + i.i * 7) % 2003 - 1001 AS v
+      |  FROM d, range(0, 1600) i(i) WHERE i.i < n),
+      |w AS (SELECT doc_id, i // 16 AS w, SUM(ABS(v)) AS e
+      |  FROM s GROUP BY doc_id, i // 16),
+      |delta AS (SELECT a.doc_id, a.w AS i,
+      |  CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      |  WHERE a.w <= 62),
+      |h AS (SELECT d.doc_id,
+      |  CAST(COALESCE(SUM(CASE WHEN dl.i >= 32
+      |    THEN dl.bit * (1::BIGINT << (dl.i - 32)) END), 0) AS BIGINT) AS hi,
+      |  CAST(COALESCE(SUM(CASE WHEN dl.i < 32
+      |    THEN dl.bit * (1::BIGINT << dl.i) END), 0) AS BIGINT) AS lo
+      |  FROM d LEFT JOIN delta dl ON dl.doc_id = d.doc_id
+      |  GROUP BY d.doc_id),
+      |g2 AS (SELECT hi, lo, COUNT(*) AS c, MIN(doc_id) AS gid
+      |  FROM h GROUP BY hi, lo),
+      |census AS (SELECT CAST(SUM(c) AS BIGINT) AS n_audio,
+      |  COUNT(*) AS n_fp,
+      |  CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_pairs_exact
+      |  FROM g2),
+      |e1 AS (SELECT a.gid AS ga, b.gid AS gb FROM g2 a JOIN g2 b
+      |  ON bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) = 1),
+      |ec AS (SELECT COUNT(*) // 2 AS n_edges_h1 FROM e1),
+      |walk(gid, rep) AS (
+      |  SELECT gid, gid FROM g2
+      |  UNION
+      |  SELECT e1.gb, walk.rep FROM walk JOIN e1 ON e1.ga = walk.gid),
+      |lbl AS (SELECT gid, MIN(rep) AS rep FROM walk GROUP BY gid),
+      |sv AS (SELECT COUNT(DISTINCT rep) AS n_survivors_h1 FROM lbl)
+      |SELECT n_audio, n_fp, n_pairs_exact, n_edges_h1,
+      |  n_fp AS n_survivors_h0, n_survivors_h1
+      |FROM census, ec, sv""".stripMargin
+
   // ---------------------------------------------------------------- q191
   /** Perceptual image dedup ([[Multimodal.withAverageHash]] +
     * [[Multimodal.perceptualDedup]]): REAL PNG decode → 64-bit average
@@ -6358,6 +6439,7 @@ object PipelineQueries {
       |FROM n, tp, cv""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_audio_fingerprint" -> (q192AudioFingerprint _),
     "q191_perceptual_dedup" -> (q191PerceptualDedup _),
     "q190_semdedup_probe" -> (q190SemdedupProbe _),
     "q189_auto_probe" -> (q189AutoProbe _),
@@ -6501,6 +6583,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q192_audio_fingerprint" -> q192Sql,
     "q191_perceptual_dedup" -> q191Sql,
     "q190_semdedup_probe" -> q190Sql,
     "q189_auto_probe" -> q189Sql,

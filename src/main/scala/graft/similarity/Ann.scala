@@ -580,8 +580,12 @@ object Ann {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
+    // a gated probe set with zero candidates at EVERY level yields an
+    // empty curve (lshRecallCurve only emits levels with candidates);
+    // the cheapest width is the only defensible answer there — the
+    // curve frame is still returned so the caller sees the void
     val chosen = levels.find(_._2 >= targetRecallPct).map(_._1)
-      .getOrElse(levels.last._1)
+      .getOrElse(levels.lastOption.map(_._1).getOrElse(0))
     (chosen, curve)
   }
 

@@ -668,6 +668,46 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("audio fingerprint equals the closed-form energy-delta bits") {
+    import graft.multimodal.Multimodal
+    val idSeq = Seq(0L, 1L, 6L, 13L, 2002L, 2003L)
+    val ids = idSeq.toDF("doc_id")
+    val got = Multimodal.withAudioFingerprint(
+        Multimodal.synthesizeWavs(ids, "doc_id"), windowSamples = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def expected(id: Long): (Long, Long, Long) = {
+      val n = (1000 + (id % 7) * 100).toInt
+      val nW = (n + 15) / 16
+      val e = new Array[Long](nW)
+      (0 until n).foreach(i =>
+        e(i / 16) += math.abs((id * 31 + i.toLong * 7) % 2003 - 1001))
+      var hi = 0L; var lo = 0L
+      var w = 0
+      while (w < nW - 1 && w <= 62) {
+        if (e(w + 1) > e(w)) {
+          if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+        }
+        w += 1
+      }
+      (nW.toLong, hi, lo)
+    }
+    idSeq.foreach(id => assert(got(id) === expected(id), s"id $id"))
+    // ids congruent mod 2003 with equal length share the SAME samples,
+    // so their fingerprints must collide (0 and 2003 differ in length:
+    // 0%7=0 vs 2003%7=1 — compare the shared prefix hash halves only
+    // when lengths match; here use 6 vs none — so just pin identity)
+    assert(got(0L) !== got(1L)) // different streams, different bits
+    // and perceptualDedup composes on the audio fingerprint columns
+    val fp = Multimodal.withAudioFingerprint(
+      Multimodal.synthesizeWavs(ids, "doc_id"), windowSamples = 16)
+    val r = Multimodal.perceptualDedup(fp, "media_id", maxHamming = 0)
+    val surv = try r.survivors.count() finally r.close()
+    assert(surv === idSeq.map(id => expected(id) match {
+      case (_, hi, lo) => (hi, lo) }).distinct.size)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("image decode→embedding equals the closed-form pixel sums") {
     import graft.multimodal.Multimodal
     // the identity q104's oracle rests on: PNG-encode → real javax
