@@ -675,4 +675,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the per-doc pair explode
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q187: OR-completeness covered joins are equi on (truth, key) — no cartesian") {
+    val p = plan(ErQueries.q187OrBlocking(spark, dir))
+    // per-key covered joins must be hash equi-joins; the only
+    // cross-ish joins are the one-row census assembly at the top
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q190: probed semdedup join stays equi on the probe cell — no nested loop") {
+    val p = plan(PipelineQueries.q190SemdedupProbe(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the Hamming fan-out is a scan-local explode feeding the equi-join
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q191/q192: perceptual dedup never joins row pairs — anti join on the id") {
+    val hashed = graft.multimodal.Multimodal.withAverageHash(
+      graft.multimodal.Multimodal.synthesizeGroupedPngs(
+        spark.range(40).select(org.apache.spark.sql.functions
+          .col("id").as("doc_id")), "doc_id"))
+    val r = graft.multimodal.Multimodal.perceptualDedup(hashed, "media_id")
+    try {
+      val p = plan(r.survivors)
+      assert(p.contains("LeftAnti"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    } finally r.close()
+  }
 }
