@@ -6077,34 +6077,44 @@ object PipelineQueries {
   def q192AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ids = t(s, dir, "documents").select(col("doc_id"))
+    // four consumers (census, edge census, two dedup passes) read the
+    // decoded fingerprints — hash ONCE, cache, release at the end;
+    // the result row is built eagerly so nothing downstream re-reads
+    // the unpersisted frame
     val fp = Multimodal.withAudioFingerprint(
       Multimodal.synthesizeWavs(ids, "doc_id"), windowSamples = 16)
-    val census = fp.groupBy(col("ahash_hi"), col("ahash_lo"))
-      .agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n_audio"),
-        count(lit(1)).as("n_fp"),
-        coalesce(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")),
-          lit(0L)).as("n_pairs_exact"))
-    val g = fp.select(col("ahash_hi"), col("ahash_lo")).distinct()
-    val masks = (0 until 32).map(j => (0L, 1L << j)) ++
-      (0 until 32).map(j => (1L << j, 0L))
-    val maskDf = broadcast(masks.toDF("__mhi", "__mlo"))
-    val h1Edges = g.crossJoin(maskDf)
-      .select(col("ahash_hi"), col("ahash_lo"),
-        col("ahash_hi").bitwiseXOR(col("__mhi")).as("__phi"),
-        col("ahash_lo").bitwiseXOR(col("__mlo")).as("__plo"))
-      .join(g.select(col("ahash_hi").as("__phi"),
-        col("ahash_lo").as("__plo")), Seq("__phi", "__plo"))
-      .filter(col("ahash_hi") < col("__phi") ||
-        (col("ahash_hi") === col("__phi") && col("ahash_lo") < col("__plo")))
-      .agg(count(lit(1)).as("n_edges_h1"))
-    def survivors(d: Int): Long = {
-      val r = Multimodal.perceptualDedup(fp, "media_id", maxHamming = d)
-      try r.survivors.count() finally r.close()
-    }
-    census.crossJoin(h1Edges)
-      .withColumn("n_survivors_h0", lit(survivors(0)))
-      .withColumn("n_survivors_h1", lit(survivors(1)))
+      .cache()
+    try {
+      val c = fp.groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_audio"),
+          count(lit(1)).as("n_fp"),
+          coalesce(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")),
+            lit(0L)).as("n_pairs_exact"))
+        .head()
+      val g = fp.select(col("ahash_hi"), col("ahash_lo")).distinct()
+      val masks = (0 until 32).map(j => (0L, 1L << j)) ++
+        (0 until 32).map(j => (1L << j, 0L))
+      val maskDf = broadcast(masks.toDF("__mhi", "__mlo"))
+      val nEdges = g.crossJoin(maskDf)
+        .select(col("ahash_hi"), col("ahash_lo"),
+          col("ahash_hi").bitwiseXOR(col("__mhi")).as("__phi"),
+          col("ahash_lo").bitwiseXOR(col("__mlo")).as("__plo"))
+        .join(g.select(col("ahash_hi").as("__phi"),
+          col("ahash_lo").as("__plo")), Seq("__phi", "__plo"))
+        .filter(col("ahash_hi") < col("__phi") ||
+          (col("ahash_hi") === col("__phi") && col("ahash_lo") < col("__plo")))
+        .agg(count(lit(1)).as("n_edges_h1"))
+        .head().getLong(0)
+      def survivors(d: Int): Long = {
+        val r = Multimodal.perceptualDedup(fp, "media_id", maxHamming = d)
+        try r.survivors.count() finally r.close()
+      }
+      Seq((c.getLong(0), c.getLong(1), c.getLong(2), nEdges,
+          survivors(0), survivors(1)))
+        .toDF("n_audio", "n_fp", "n_pairs_exact", "n_edges_h1",
+          "n_survivors_h0", "n_survivors_h1")
+    } finally fp.unpersist()
   }
 
   val q192Sql: String =
@@ -6163,34 +6173,42 @@ object PipelineQueries {
   def q191PerceptualDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ids = t(s, dir, "documents").select(col("doc_id"))
+    // four consumers read the decoded hashes — decode ONCE, cache,
+    // release at the end; result row built eagerly (q192's shape)
     val hashed = Multimodal.withAverageHash(
       Multimodal.synthesizeGroupedPngs(ids, "doc_id", groups = 16))
-    val census = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
-      .agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n_images"),
-        count(lit(1)).as("n_hashes"),
-        coalesce(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")),
-          lit(0L)).as("n_pairs_exact"))
-    val g = hashed.select(col("ahash_hi"), col("ahash_lo")).distinct()
-    val masks = (0 until 32).map(j => (0L, 1L << j)) ++
-      (0 until 32).map(j => (1L << j, 0L))
-    val maskDf = broadcast(masks.toDF("__mhi", "__mlo"))
-    val h1Edges = g.crossJoin(maskDf)
-      .select(col("ahash_hi"), col("ahash_lo"),
-        col("ahash_hi").bitwiseXOR(col("__mhi")).as("__phi"),
-        col("ahash_lo").bitwiseXOR(col("__mlo")).as("__plo"))
-      .join(g.select(col("ahash_hi").as("__phi"),
-        col("ahash_lo").as("__plo")), Seq("__phi", "__plo"))
-      .filter(col("ahash_hi") < col("__phi") ||
-        (col("ahash_hi") === col("__phi") && col("ahash_lo") < col("__plo")))
-      .agg(count(lit(1)).as("n_edges_h1"))
-    def survivors(d: Int): Long = {
-      val r = Multimodal.perceptualDedup(hashed, "media_id", maxHamming = d)
-      try r.survivors.count() finally r.close()
-    }
-    census.crossJoin(h1Edges)
-      .withColumn("n_survivors_h0", lit(survivors(0)))
-      .withColumn("n_survivors_h1", lit(survivors(1)))
+      .cache()
+    try {
+      val c = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_images"),
+          count(lit(1)).as("n_hashes"),
+          coalesce(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")),
+            lit(0L)).as("n_pairs_exact"))
+        .head()
+      val g = hashed.select(col("ahash_hi"), col("ahash_lo")).distinct()
+      val masks = (0 until 32).map(j => (0L, 1L << j)) ++
+        (0 until 32).map(j => (1L << j, 0L))
+      val maskDf = broadcast(masks.toDF("__mhi", "__mlo"))
+      val nEdges = g.crossJoin(maskDf)
+        .select(col("ahash_hi"), col("ahash_lo"),
+          col("ahash_hi").bitwiseXOR(col("__mhi")).as("__phi"),
+          col("ahash_lo").bitwiseXOR(col("__mlo")).as("__plo"))
+        .join(g.select(col("ahash_hi").as("__phi"),
+          col("ahash_lo").as("__plo")), Seq("__phi", "__plo"))
+        .filter(col("ahash_hi") < col("__phi") ||
+          (col("ahash_hi") === col("__phi") && col("ahash_lo") < col("__plo")))
+        .agg(count(lit(1)).as("n_edges_h1"))
+        .head().getLong(0)
+      def survivors(d: Int): Long = {
+        val r = Multimodal.perceptualDedup(hashed, "media_id", maxHamming = d)
+        try r.survivors.count() finally r.close()
+      }
+      Seq((c.getLong(0), c.getLong(1), c.getLong(2), nEdges,
+          survivors(0), survivors(1)))
+        .toDF("n_images", "n_hashes", "n_pairs_exact", "n_edges_h1",
+          "n_survivors_h0", "n_survivors_h1")
+    } finally hashed.unpersist()
   }
 
   val q191Sql: String =
