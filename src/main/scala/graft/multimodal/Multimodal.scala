@@ -380,6 +380,37 @@ object Multimodal {
     * Per-partition reader lifecycle as in [[decodeImageStats]].
     * Output: (media_id, width, height, ahash_hi, ahash_lo).
     */
+  // shared aHash core: decode one PNG and fold the bit pattern —
+  // (width, height, hi, lo); reused by the image and video-keyframe
+  // fingerprints so the two stay bit-identical by construction
+  private def aHashOf(codec: PngCodec, png: Array[Byte]): (Int, Int, Long, Long) = {
+    val img = codec.decode(png)
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w * h
+    require(n <= 64,
+      s"aHash covers at most 64 pixels; resize ${w}x$h first")
+    val px = codec.rgb(img)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val p = px(i)
+      total += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < n) {
+      val p = px(i)
+      val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      if (gray.toLong * n > total) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (w, h, hi, lo)
+  }
+
   def withAverageHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -388,34 +419,46 @@ object Multimodal {
       .mapPartitions { it =>
         val codec = new PngCodec()
         mapWithClose(it, () => codec.close()) { case (id, bytes) =>
-          val img = codec.decode(bytes)
-          val w = img.getWidth
-          val h = img.getHeight
-          val n = w * h
-          require(n <= 64,
-            s"aHash covers at most 64 pixels; resize ${w}x$h first")
-          val px = codec.rgb(img)
-          var total = 0L
-          var i = 0
-          while (i < n) {
-            val p = px(i)
-            total += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            i += 1
-          }
-          var hi = 0L; var lo = 0L
-          i = 0
-          while (i < n) {
-            val p = px(i)
-            val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            if (gray.toLong * n > total) {
-              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-            }
-            i += 1
-          }
+          val (w, h, hi, lo) = aHashOf(codec, bytes)
           (id, w, h, hi, lo)
         }
       }
       .toDF("media_id", "width", "height", "ahash_hi", "ahash_lo")
+  }
+
+  /** Video KEYFRAME perceptual hash: parse the container, decode frame
+    * 0 only (the cheap industry-standard first pass for video dedup —
+    * full-sequence matching only runs on keyframe-hash candidates),
+    * and emit the same aHash columns as [[withAverageHash]], so
+    * [[perceptualDedup]] composes for video exactly as for images and
+    * audio. Scale shape: per-row container parse + ONE frame decode
+    * regardless of video length — the other frames' bytes are skipped,
+    * never decoded. Output: (media_id, n_frames, ahash_hi, ahash_lo).
+    */
+  def withVideoKeyframeHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new PngCodec()
+        mapWithClose(it, () => codec.close()) { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4)
+          bb.get(magic)
+          require(new String(magic, "US-ASCII") == "GVID",
+            s"bad container magic for media $id")
+          val nFrames = bb.getInt
+          require(nFrames > 0, s"empty video container for media $id")
+          val len = bb.getInt
+          val png = new Array[Byte](len)
+          bb.get(png)
+          val (_, _, hi, lo) = aHashOf(codec, png)
+          (id, nFrames.toLong, hi, lo)
+        }
+      }
+      .toDF("media_id", "n_frames", "ahash_hi", "ahash_lo")
   }
 
   /** Perceptual image dedup over the [[withAverageHash]] columns,

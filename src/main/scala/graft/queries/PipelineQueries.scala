@@ -6064,6 +6064,57 @@ object PipelineQueries {
        |  n_nodes - n_receiving AS n_isolated
        |FROM nodes, cnt, recip, indeg""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+  /** Video keyframe dedup ([[Multimodal.withVideoKeyframeHash]] +
+    * [[Multimodal.perceptualDedup]]): container parse → decode FRAME 0
+    * ONLY (cost independent of video length — the other frames' bytes
+    * are skipped) → the shared aHash columns → the q191/q192 census.
+    * Completes the perceptual-dedup triple: one closure, three
+    * modalities. The oracle replays the frame-0 pixel formula through
+    * the same hash/census/closure SQL.
+    */
+  def q193VideoKeyframe(s: SparkSession, dir: String): DataFrame =
+    perceptualCensus(
+      Multimodal.withVideoKeyframeHash(
+        Multimodal.synthesizeVideos(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id")),
+      "n_videos", "n_hashes")
+
+  val q193Sql: String =
+    """WITH RECURSIVE px AS (SELECT doc_id, ys.y * 8 + xs.x AS i,
+      |  ((doc_id * 31 + xs.x * 7 + ys.y * 13) % 256
+      |   + (doc_id * 17 + xs.x * 3 + ys.y * 5) % 256
+      |   + (doc_id * 11 + xs.x + ys.y) % 256) AS gray
+      |  FROM documents, range(0, 8) xs(x), range(0, 8) ys(y)),
+      |tt AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+      |bits AS (SELECT px.doc_id, px.i FROM px JOIN tt ON px.doc_id = tt.doc_id
+      |  WHERE px.gray * 64 > tt.total),
+      |h AS (SELECT d.doc_id,
+      |  CAST(COALESCE(SUM(CASE WHEN b.i >= 32
+      |    THEN (1::BIGINT << (b.i - 32)) END), 0) AS BIGINT) AS hi,
+      |  CAST(COALESCE(SUM(CASE WHEN b.i < 32
+      |    THEN (1::BIGINT << b.i) END), 0) AS BIGINT) AS lo
+      |  FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
+      |  GROUP BY d.doc_id),
+      |g2 AS (SELECT hi, lo, COUNT(*) AS c, MIN(doc_id) AS gid
+      |  FROM h GROUP BY hi, lo),
+      |census AS (SELECT CAST(SUM(c) AS BIGINT) AS n_videos,
+      |  COUNT(*) AS n_hashes,
+      |  CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_pairs_exact
+      |  FROM g2),
+      |e1 AS (SELECT a.gid AS ga, b.gid AS gb FROM g2 a JOIN g2 b
+      |  ON bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) = 1),
+      |ec AS (SELECT COUNT(*) // 2 AS n_edges_h1 FROM e1),
+      |walk(gid, rep) AS (
+      |  SELECT gid, gid FROM g2
+      |  UNION
+      |  SELECT e1.gb, walk.rep FROM walk JOIN e1 ON e1.ga = walk.gid),
+      |lbl AS (SELECT gid, MIN(rep) AS rep FROM walk GROUP BY gid),
+      |sv AS (SELECT COUNT(DISTINCT rep) AS n_survivors_h1 FROM lbl)
+      |SELECT n_videos, n_hashes, n_pairs_exact, n_edges_h1,
+      |  n_hashes AS n_survivors_h0, n_survivors_h1
+      |FROM census, ec, sv""".stripMargin
+
   // ---------------------------------------------------------------- q192
   /** Audio fingerprint dedup ([[Multimodal.withAudioFingerprint]] +
     * [[Multimodal.perceptualDedup]]): REAL WAV decode → 63-bit
@@ -6074,21 +6125,22 @@ object PipelineQueries {
     * sample formula, window energies, delta bits, group arithmetic,
     * Hamming-1 probe census and the recursive component closure.
     */
-  def q192AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+  /** Shared perceptual-dedup census over any (media_id, ahash_hi,
+    * ahash_lo) fingerprint frame — the q191/q192/q193 body: hash ONCE,
+    * cache (four consumers), group-arithmetic pair counts, Hamming-1
+    * probe edge census, survivors at Hamming 0/1, result row built
+    * eagerly, cache released.
+    */
+  private def perceptualCensus(fp0: DataFrame, nRowsName: String,
+      nHashesName: String): DataFrame = {
+    val s = fp0.sparkSession
     import s.implicits._
-    val ids = t(s, dir, "documents").select(col("doc_id"))
-    // four consumers (census, edge census, two dedup passes) read the
-    // decoded fingerprints — hash ONCE, cache, release at the end;
-    // the result row is built eagerly so nothing downstream re-reads
-    // the unpersisted frame
-    val fp = Multimodal.withAudioFingerprint(
-      Multimodal.synthesizeWavs(ids, "doc_id"), windowSamples = 16)
-      .cache()
+    val fp = fp0.cache()
     try {
       val c = fp.groupBy(col("ahash_hi"), col("ahash_lo"))
         .agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(col("c")), lit(0L)).as("n_audio"),
-          count(lit(1)).as("n_fp"),
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_hashes"),
           coalesce(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")),
             lit(0L)).as("n_pairs_exact"))
         .head()
@@ -6112,10 +6164,18 @@ object PipelineQueries {
       }
       Seq((c.getLong(0), c.getLong(1), c.getLong(2), nEdges,
           survivors(0), survivors(1)))
-        .toDF("n_audio", "n_fp", "n_pairs_exact", "n_edges_h1",
+        .toDF(nRowsName, nHashesName, "n_pairs_exact", "n_edges_h1",
           "n_survivors_h0", "n_survivors_h1")
     } finally fp.unpersist()
   }
+
+  def q192AudioFingerprint(s: SparkSession, dir: String): DataFrame =
+    perceptualCensus(
+      Multimodal.withAudioFingerprint(
+        Multimodal.synthesizeWavs(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        windowSamples = 16),
+      "n_audio", "n_fp")
 
   val q192Sql: String =
     """WITH RECURSIVE d AS (SELECT doc_id, 1000 + (doc_id % 7) * 100 AS n
@@ -6170,46 +6230,13 @@ object PipelineQueries {
     * whole chain — decode fidelity, hash bits, probe join, closure —
     * is hash-checked.
     */
-  def q191PerceptualDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ids = t(s, dir, "documents").select(col("doc_id"))
-    // four consumers read the decoded hashes — decode ONCE, cache,
-    // release at the end; result row built eagerly (q192's shape)
-    val hashed = Multimodal.withAverageHash(
-      Multimodal.synthesizeGroupedPngs(ids, "doc_id", groups = 16))
-      .cache()
-    try {
-      val c = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
-        .agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(col("c")), lit(0L)).as("n_images"),
-          count(lit(1)).as("n_hashes"),
-          coalesce(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")),
-            lit(0L)).as("n_pairs_exact"))
-        .head()
-      val g = hashed.select(col("ahash_hi"), col("ahash_lo")).distinct()
-      val masks = (0 until 32).map(j => (0L, 1L << j)) ++
-        (0 until 32).map(j => (1L << j, 0L))
-      val maskDf = broadcast(masks.toDF("__mhi", "__mlo"))
-      val nEdges = g.crossJoin(maskDf)
-        .select(col("ahash_hi"), col("ahash_lo"),
-          col("ahash_hi").bitwiseXOR(col("__mhi")).as("__phi"),
-          col("ahash_lo").bitwiseXOR(col("__mlo")).as("__plo"))
-        .join(g.select(col("ahash_hi").as("__phi"),
-          col("ahash_lo").as("__plo")), Seq("__phi", "__plo"))
-        .filter(col("ahash_hi") < col("__phi") ||
-          (col("ahash_hi") === col("__phi") && col("ahash_lo") < col("__plo")))
-        .agg(count(lit(1)).as("n_edges_h1"))
-        .head().getLong(0)
-      def survivors(d: Int): Long = {
-        val r = Multimodal.perceptualDedup(hashed, "media_id", maxHamming = d)
-        try r.survivors.count() finally r.close()
-      }
-      Seq((c.getLong(0), c.getLong(1), c.getLong(2), nEdges,
-          survivors(0), survivors(1)))
-        .toDF("n_images", "n_hashes", "n_pairs_exact", "n_edges_h1",
-          "n_survivors_h0", "n_survivors_h1")
-    } finally hashed.unpersist()
-  }
+  def q191PerceptualDedup(s: SparkSession, dir: String): DataFrame =
+    perceptualCensus(
+      Multimodal.withAverageHash(
+        Multimodal.synthesizeGroupedPngs(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          groups = 16)),
+      "n_images", "n_hashes")
 
   val q191Sql: String =
     """WITH RECURSIVE px AS (SELECT doc_id, ys.y * 8 + xs.x AS i,
@@ -6457,6 +6484,7 @@ object PipelineQueries {
       |FROM n, tp, cv""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_video_keyframe" -> (q193VideoKeyframe _),
     "q192_audio_fingerprint" -> (q192AudioFingerprint _),
     "q191_perceptual_dedup" -> (q191PerceptualDedup _),
     "q190_semdedup_probe" -> (q190SemdedupProbe _),
@@ -6601,6 +6629,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q193_video_keyframe" -> q193Sql,
     "q192_audio_fingerprint" -> q192Sql,
     "q191_perceptual_dedup" -> q191Sql,
     "q190_semdedup_probe" -> q190Sql,

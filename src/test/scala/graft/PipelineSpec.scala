@@ -668,6 +668,28 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("video keyframe hash equals the plain-PNG aHash of frame 0") {
+    import graft.multimodal.Multimodal
+    val ids = Seq(0L, 3L, 7L, 11L, 42L).toDF("doc_id")
+    // frame 0 of synthesizeVideos uses EXACTLY synthesizePngs' pixel
+    // formula, so the keyframe hash must equal the image aHash —
+    // container parse + first-frame decode verified against the
+    // already-formula-pinned image path
+    val fromVideo = Multimodal.withVideoKeyframeHash(
+        Multimodal.synthesizeVideos(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val fromImage = Multimodal.withAverageHash(
+        Multimodal.synthesizePngs(ids, "doc_id", w = 8, h = 8))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(fromVideo === fromImage)
+    // frame counts come from the container header, not decode
+    val nf = Multimodal.withVideoKeyframeHash(
+        Multimodal.synthesizeVideos(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.collect().map(_.getLong(0)).foreach(id =>
+      assert(nf(id) === 4 + id % 5, s"id $id"))
+  }
+
   test("audio fingerprint equals the closed-form energy-delta bits") {
     import graft.multimodal.Multimodal
     val idSeq = Seq(0L, 1L, 6L, 13L, 2002L, 2003L)
