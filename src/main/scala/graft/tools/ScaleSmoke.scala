@@ -1076,6 +1076,28 @@ object ScaleSmoke {
       try r.survivors.agg(count(lit(1))).collect()
       finally r.close()
     }
+    // audio fingerprint: per-row WAV decode + window fold ⇒ linear
+    leg("audio fingerprint") { m =>
+      val ids = spark.range(20000L * m).select(col("id").as("doc_id"))
+        .repartition(32).cache()
+      ids.count(); ids
+    } { ids =>
+      graft.multimodal.Multimodal.withAudioFingerprint(
+          graft.multimodal.Multimodal.synthesizeWavs(ids, "doc_id"),
+          windowSamples = 16)
+        .agg(sum(col("ahash_lo")), count(lit(1))).collect()
+    }
+    // video keyframe hash: container parse + ONE frame decode per row
+    // regardless of video length ⇒ linear
+    leg("video keyframe") { m =>
+      val ids = spark.range(20000L * m).select(col("id").as("doc_id"))
+        .repartition(32).cache()
+      ids.count(); ids
+    } { ids =>
+      graft.multimodal.Multimodal.withVideoKeyframeHash(
+          graft.multimodal.Multimodal.synthesizeVideos(ids, "doc_id"))
+        .agg(sum(col("ahash_lo")), count(lit(1))).collect()
+    }
     // q185 kNN-graph structure census on a REAL Ann.knnGraph edge set:
     // the edge build is timed by its own legs above, so it happens in
     // the BUILD step (cached); the timed stage is the census itself —
