@@ -124,8 +124,10 @@ object CandidateGenerator {
       recallSampleSize: Int = 256): Selection = {
     def bigEnough: Boolean = minCorpusForBlocking <= 0 ||
       sources.forall(_.count() >= minCorpusForBlocking)
+    // self-ER passes the same frame twice — census each distinct
+    // frame once (reference identity; DataFrame has no value equals)
     def recallOk: Boolean = minCorpusForBlocking <= 0 ||
-      minPairCompleteness <= 0 || sources.forall { s =>
+      minPairCompleteness <= 0 || sources.distinct.forall { s =>
         LshBlockingGenerator
           .selfRecallCensus(s, sampleSize = recallSampleSize)
           .head().getAs[Long]("pair_completeness_q") >=
@@ -262,6 +264,15 @@ object LshBlockingGenerator {
   def selfRecallCensus(source: DataFrame, numBands: Int = 4,
       rowsPerBand: Int = 2, k: Int = 3, sampleSize: Int = 256,
       seed: Long = 42L): DataFrame = {
+    // the truth key is id*2+copy arithmetic — a non-integral id would
+    // cast to null and silently collapse every pair into one truth
+    // group (the knnGraph id rule)
+    val idType = source.schema("id").dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"selfRecallCensus requires an integral id column, got $idType")
     val text = TextSim.recordText(
       source.columns.filter(_ != "id").map(col).toIndexedSeq)
     val sampled = source
