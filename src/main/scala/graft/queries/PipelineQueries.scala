@@ -6064,6 +6064,81 @@ object PipelineQueries {
        |  n_nodes - n_receiving AS n_isolated
        |FROM nodes, cnt, recip, indeg""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** Streaming incremental perceptual dedup
+    * ([[graft.streaming.StreamingOps.perceptualDedupStream]]): the
+    * grouped-PNG corpus arrives as 4 file-source micro-batches
+    * (doc_id mod 4, mtime-ordered — q106's staging shape); each batch
+    * decodes, aHashes, anti-joins the checkpointed hash history,
+    * collapses within-batch duplicates to the min id, and appends the
+    * new hashes. Across the stream every distinct perceptual image
+    * survives exactly once at its FIRST arrival — the oracle replays
+    * that as min-batch-then-min-id arithmetic over the formula hashes.
+    */
+  def q194StreamPerceptualDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val media = Multimodal.synthesizeGroupedPngs(ids, "doc_id", groups = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("q194").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (0 until 4).foreach { kk =>
+      val stage = s"$tmp/stage$kk"
+      media.filter(pmod(col("media_id"), lit(4)) === kk).coalesce(1)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
+    }
+    val stream = s.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    var nBatches = 0L
+    var nSurvivors = 0L
+    var idSum = 0L
+    val q = StreamingOps.perceptualDedupStream(stream, s"$tmp/history") {
+      (sv, _) =>
+        nBatches += 1
+        val r = sv.agg(count(lit(1)),
+          coalesce(sum(col("media_id")), lit(0L))).head()
+        nSurvivors += r.getLong(0)
+        idSum += r.getLong(1)
+    }
+    try q.processAllAvailable() finally q.stop()
+    Seq((nSurvivors, idSum, nBatches))
+      .toDF("n_survivors", "survivor_id_sum", "n_batches")
+  }
+
+  val q194Sql: String =
+    """WITH px AS (SELECT doc_id, ys.y * 8 + xs.x AS i,
+      |  ((CASE WHEN xs.x = 0 AND ys.y = 0
+      |    THEN ((doc_id % 16) * 37 + (xs.x // 2) * 53 + ys.y * 29 + doc_id % 5)
+      |    ELSE ((doc_id % 16) * 37 + (xs.x // 2) * 53 + ys.y * 29) END) % 256
+      |   + ((doc_id % 16) * 91 + (xs.x // 2) * 17 + ys.y * 43) % 256
+      |   + ((doc_id % 16) * 53 + (xs.x // 2) * 11 + ys.y * 7) % 256) AS gray
+      |  FROM documents, range(0, 8) xs(x), range(0, 8) ys(y)),
+      |tt AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+      |bits AS (SELECT px.doc_id, px.i FROM px JOIN tt ON px.doc_id = tt.doc_id
+      |  WHERE px.gray * 64 > tt.total),
+      |h AS (SELECT d.doc_id,
+      |  CAST(COALESCE(SUM(CASE WHEN b.i >= 32
+      |    THEN (1::BIGINT << (b.i - 32)) END), 0) AS BIGINT) AS hi,
+      |  CAST(COALESCE(SUM(CASE WHEN b.i < 32
+      |    THEN (1::BIGINT << b.i) END), 0) AS BIGINT) AS lo
+      |  FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
+      |  GROUP BY d.doc_id),
+      |hb AS (SELECT doc_id, hi, lo, doc_id % 4 AS bt FROM h),
+      |fs AS (SELECT hi, lo, MIN(bt) AS f FROM hb GROUP BY hi, lo),
+      |sv AS (SELECT hb.hi, hb.lo, MIN(hb.doc_id) AS sid FROM hb JOIN fs
+      |  ON hb.hi = fs.hi AND hb.lo = fs.lo AND hb.bt = fs.f
+      |  GROUP BY hb.hi, hb.lo)
+      |SELECT COUNT(*) AS n_survivors,
+      |  CAST(COALESCE(SUM(sid), 0) AS BIGINT) AS survivor_id_sum,
+      |  CAST(4 AS BIGINT) AS n_batches
+      |FROM sv""".stripMargin
+
   // ---------------------------------------------------------------- q193
   /** Video keyframe dedup ([[Multimodal.withVideoKeyframeHash]] +
     * [[Multimodal.perceptualDedup]]): container parse → decode FRAME 0
@@ -6484,6 +6559,7 @@ object PipelineQueries {
       |FROM n, tp, cv""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_stream_perceptual_dedup" -> (q194StreamPerceptualDedup _),
     "q193_video_keyframe" -> (q193VideoKeyframe _),
     "q192_audio_fingerprint" -> (q192AudioFingerprint _),
     "q191_perceptual_dedup" -> (q191PerceptualDedup _),
@@ -6629,6 +6705,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q194_stream_perceptual_dedup" -> q194Sql,
     "q193_video_keyframe" -> q193Sql,
     "q192_audio_fingerprint" -> q192Sql,
     "q191_perceptual_dedup" -> q191Sql,

@@ -162,6 +162,45 @@ object StreamingOps {
       } finally r.close()
     }.start()
 
+  /** Streaming INCREMENTAL perceptual media dedup — [[nearDupDedupStream]]'s
+    * shape for binary media columns: each micro-batch of (media_id,
+    * content) rows is decoded and aHashed
+    * ([[graft.multimodal.Multimodal.withAverageHash]]), rows whose
+    * hash already exists in the checkpointed history are dropped,
+    * within-batch duplicates collapse to the min-id row per hash, and
+    * the survivors' hashes append to the history — so across the
+    * stream each distinct perceptual image survives exactly once, at
+    * its first arrival. State is the hash table (two BIGINTs per
+    * DISTINCT image ever seen — bounded by content diversity, not
+    * stream length); per-batch cost is the batch decode plus one
+    * anti-join against the history and one hash-keyed min.
+    */
+  def perceptualDedupStream(media: DataFrame, historyDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val dir = new java.io.File(historyDir)
+      val hasState = dir.exists() &&
+        dir.listFiles() != null && dir.listFiles().exists(
+          _.getName.endsWith(".parquet"))
+      val hashed = graft.multimodal.Multimodal.withAverageHash(batch)
+      val fresh =
+        if (!hasState) hashed
+        else hashed.join(spark.read.parquet(historyDir),
+          Seq("ahash_hi", "ahash_lo"), "left_anti")
+      val survivors = fresh
+        .groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(min(col("media_id")).as("media_id"))
+        .persist()
+      try {
+        survivors.count()
+        sink(survivors.select(col("media_id"), col("ahash_hi"),
+          col("ahash_lo")), id)
+        survivors.select(col("ahash_hi"), col("ahash_lo"))
+          .write.mode("append").parquet(historyDir)
+      } finally survivors.unpersist()
+    }.start()
+
   /** Streaming distribution-drift monitor: each micro-batch's token
     * stream is folded into a fixed `nBuckets`-bucket histogram (the
     * q81 hash-bucket census) and compared against a broadcast REFERENCE

@@ -194,6 +194,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("perceptual dedup stream keeps each distinct image once, first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    // pick three ids whose synthetic images have pairwise-DISTINCT
+    // aHashes (formula images can collide perceptually)
+    val pool = Multimodal.withAverageHash(Multimodal.synthesizePngs(
+        (0L until 30L).toDF("doc_id"), "doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+    val picked = pool.foldLeft(Vector.empty[Long]) { (acc, kv) =>
+      if (acc.size < 3 &&
+          !acc.exists(a => pool.find(_._1 == a).get._2 == kv._2)) acc :+ kv._1
+      else acc
+    }
+    assert(picked.size === 3, s"fixture pool degenerate: ${pool.toSeq}")
+    val imgs = Multimodal.synthesizePngs(picked.toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content"))
+      .toMap
+    val Seq(a, b, c) = picked.toSeq
+    val input = MemoryStream[(Long, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "content")
+    val hist = java.nio.file.Files.createTempDirectory("pdedup").toString +
+      "/history"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.perceptualDedupStream(media, hist) { (sv, _) =>
+      emitted ++= sv.select("media_id").collect().map(_.getLong(0))
+    }
+    try {
+      // batch 1: image a twice (within-batch collapse → min id) + b
+      input.addData((10L, imgs(a)), (11L, imgs(a)), (12L, imgs(b)))
+      q.processAllAvailable()
+      // batch 2: image a AGAIN (history drop) + fresh image c
+      input.addData((13L, imgs(a)), (14L, imgs(c)))
+      q.processAllAvailable()
+      assert(emitted.sorted === Seq(10L, 12L, 14L))
+    } finally q.stop()
+  }
+
   test("outer interval join: unmatched left emits nulls after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[(Long, Timestamp, Long)]
