@@ -178,28 +178,40 @@ object StreamingOps {
   def perceptualDedupStream(media: DataFrame, historyDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val spark = batch.sparkSession
-      val dir = new java.io.File(historyDir)
-      val hasState = dir.exists() &&
-        dir.listFiles() != null && dir.listFiles().exists(
-          _.getName.endsWith(".parquet"))
-      val hashed = graft.multimodal.Multimodal.withAverageHash(batch)
-      val fresh =
-        if (!hasState) hashed
-        else hashed.join(spark.read.parquet(historyDir),
-          Seq("ahash_hi", "ahash_lo"), "left_anti")
-      val survivors = fresh
-        .groupBy(col("ahash_hi"), col("ahash_lo"))
-        .agg(min(col("media_id")).as("media_id"))
-        .persist()
-      try {
-        survivors.count()
-        sink(survivors.select(col("media_id"), col("ahash_hi"),
-          col("ahash_lo")), id)
-        survivors.select(col("ahash_hi"), col("ahash_lo"))
-          .write.mode("append").parquet(historyDir)
-      } finally survivors.unpersist()
+      perceptualDedupBatch(batch, historyDir)(sink(_, id))
     }.start()
+
+  /** One micro-batch of the incremental perceptual dedup — the core
+    * [[perceptualDedupStream]] runs per trigger, exposed so batch
+    * replays (backfills, the ScaleSmoke growth leg) execute the exact
+    * same body: decode+hash, history anti-join, within-batch min-id
+    * collapse, hash append. `sink` sees the survivor frame while it is
+    * pinned; it is released before return.
+    */
+  def perceptualDedupBatch(batch: DataFrame, historyDir: String)(
+      sink: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val dir = new java.io.File(historyDir)
+    val hasState = dir.exists() &&
+      dir.listFiles() != null && dir.listFiles().exists(
+        _.getName.endsWith(".parquet"))
+    val hashed = graft.multimodal.Multimodal.withAverageHash(batch)
+    val fresh =
+      if (!hasState) hashed
+      else hashed.join(spark.read.parquet(historyDir),
+        Seq("ahash_hi", "ahash_lo"), "left_anti")
+    val survivors = fresh
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("media_id")).as("media_id"))
+      .persist()
+    try {
+      survivors.count()
+      sink(survivors.select(col("media_id"), col("ahash_hi"),
+        col("ahash_lo")))
+      survivors.select(col("ahash_hi"), col("ahash_lo"))
+        .write.mode("append").parquet(historyDir)
+    } finally survivors.unpersist()
+  }
 
   /** Streaming distribution-drift monitor: each micro-batch's token
     * stream is folded into a fixed `nBuckets`-bucket histogram (the

@@ -1076,6 +1076,25 @@ object ScaleSmoke {
       try r.survivors.agg(count(lit(1))).collect()
       finally r.close()
     }
+    // incremental perceptual replay: TWO sequential half-batches
+    // through the stream's per-batch body — batch 2's anti-join runs
+    // against the history batch 1 appended, so the leg measures the
+    // history-probe cost as BOTH sides grow m× ⇒ must stay ~linear
+    // (the history side is an anti-join key set, never re-hashed)
+    leg("perceptual incr replay") { m =>
+      val ids = spark.range(20000L * m).select(col("id").as("doc_id"))
+        .repartition(32).cache()
+      ids.count(); ids
+    } { ids =>
+      val hist = java.nio.file.Files
+        .createTempDirectory("smoke-pdd").toString + "/history"
+      (0 until 2).foreach { i =>
+        val half = graft.multimodal.Multimodal.synthesizeGroupedPngs(
+          ids.filter(pmod(col("doc_id"), lit(2)) === i), "doc_id")
+        graft.streaming.StreamingOps.perceptualDedupBatch(half, hist)(
+          _.agg(count(lit(1))).collect())
+      }
+    }
     // audio fingerprint: per-row WAV decode + window fold ⇒ linear
     leg("audio fingerprint") { m =>
       val ids = spark.range(20000L * m).select(col("id").as("doc_id"))
