@@ -322,6 +322,52 @@ object Dedup {
       df.select(col(idCol), simhashPortable(col(textCol)).as("sig")),
       idCol, maxDistance, prefixBits, bits = 60)
 
+  /** GUARANTEED-complete SimHash near-dup pairs at Hamming ≤
+    * `maxDistance` — the Manku–Jain–Sarma web-dedup scheme (WWW 2007,
+    * public) replacing the prefix-bucket heuristic below, whose recall
+    * silently excludes any pair differing inside the prefix window:
+    * split the signature into `maxDistance + 1` bit blocks; a pair
+    * within distance d differs in at most d blocks, so BY PIGEONHOLE
+    * it agrees exactly on at least one. Candidates are the union of
+    * per-block equi-joins (each a hash join on a ~bits/(d+1)-bit key),
+    * each pair emitted exactly once via the FIRST-shared-block rule
+    * (block k emits only when blocks 0..k-1 all differ — the
+    * range-join exactly-once rule, no distinct pass), then
+    * exact-Hamming verified.
+    *
+    * Scale shape: d+1 keyed shuffles of the signature frame; per-block
+    * bucket sizes follow the corpus's agreement on ~bits/(d+1) bits —
+    * at web scale Manku et al. run exactly this join fan-out. The
+    * prefix variant stays for cheap approximate censuses; THIS is the
+    * dedup-grade candidate generator.
+    */
+  def simhashNearDuplicatesComplete(sigs: DataFrame, idCol: String,
+      maxDistance: Int = 3, bits: Int = 60): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < bits,
+      "maxDistance must be in [0, bits)")
+    val nb = maxDistance + 1
+    val widths = Seq.tabulate(nb)(i => bits / nb + (if (i < bits % nb) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blockOf(sig: Column, i: Int): Column =
+      shiftrightunsigned(sig, offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1L))
+    val base = sigs.filter(col("sig").isNotNull)
+    (0 until nb).map { k =>
+      val a = base.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+        blockOf(col("sig"), k).as("__bk"))
+      val b = base.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+        blockOf(col("sig"), k).as("__bk"))
+      val earlierDiffer = (0 until k)
+        .map(i => blockOf(col("sig_a"), i) =!= blockOf(col("sig_b"), i))
+        .foldLeft(lit(true))(_ && _)
+      a.join(b, Seq("__bk"))
+        .filter(col("id_a") < col("id_b") && earlierDiffer)
+        .select(col("id_a"), col("id_b"),
+          hamming(col("sig_a"), col("sig_b")).as("distance"))
+    }.reduce(_ unionByName _)
+      .filter(col("distance") <= maxDistance)
+  }
+
   /** SimHash near-dup pairs within prefix buckets: documents sharing the
     * top `prefixBits` bits land in one bucket (cheap blocking), then
     * exact hamming verification ≤ maxDistance.

@@ -6064,6 +6064,46 @@ object PipelineQueries {
        |  n_nodes - n_receiving AS n_isolated
        |FROM nodes, cnt, recip, indeg""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+  /** COMPLETE SimHash near-dup pairs
+    * ([[Dedup.simhashNearDuplicatesComplete]], the Manku–Jain–Sarma
+    * pigeonhole block scheme): every pair within Hamming 3 of the
+    * portable 60-bit signature, found through 4 per-block equi-joins
+    * with first-shared-block exactly-once emission — never the n² pair
+    * space. The oracle is the SEMANTIC spec, not a plan replay: DuckDB
+    * brute-forces all pairs with `bit_count(xor) <= 3`, so a hash
+    * match PROVES the block scheme's completeness guarantee on this
+    * corpus (the prefix-bucket q37 census has no such guarantee — any
+    * pair differing inside the prefix window is silently absent).
+    */
+  def q195SimhashComplete(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicatesComplete(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            Dedup.simhashPortable(col("text")).as("sig")),
+        "doc_id", maxDistance = 3, bits = 60)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q195Sql: String = {
+    val votes =
+      """list_aggregate(list_transform(th, h ->
+        |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum')""".stripMargin
+    s"""WITH tok AS (SELECT doc_id,
+       |  list_transform(string_split(text, ' '),
+       |    t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS th
+       |  FROM documents WHERE text IS NOT NULL),
+       |sig AS (SELECT doc_id,
+       |  list_aggregate(list_transform(range(0, 60), b ->
+       |    CASE WHEN $votes > 0
+       |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END), 'sum') AS sg
+       |  FROM tok)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  CAST(bit_count(xor(x.sg, y.sg)) AS INTEGER) AS distance
+       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sg, y.sg)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q194
   /** Streaming incremental perceptual dedup
     * ([[graft.streaming.StreamingOps.perceptualDedupStream]]): the
@@ -6559,6 +6599,7 @@ object PipelineQueries {
       |FROM n, tp, cv""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_simhash_complete" -> (q195SimhashComplete _),
     "q194_stream_perceptual_dedup" -> (q194StreamPerceptualDedup _),
     "q193_video_keyframe" -> (q193VideoKeyframe _),
     "q192_audio_fingerprint" -> (q192AudioFingerprint _),
@@ -6705,6 +6746,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q195_simhash_complete" -> q195Sql,
     "q194_stream_perceptual_dedup" -> q194Sql,
     "q193_video_keyframe" -> q193Sql,
     "q192_audio_fingerprint" -> q192Sql,

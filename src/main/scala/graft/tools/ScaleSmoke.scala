@@ -1076,6 +1076,17 @@ object ScaleSmoke {
       try r.survivors.agg(count(lit(1))).collect()
       finally r.close()
     }
+    // pigeonhole-complete simhash dedup: one sketch pass + 4 per-block
+    // equi-joins (guaranteed recall at Hamming ≤ 3); replica-salted
+    // tokens keep true pairs m-scaled, so growth must track the
+    // per-block bucket join ⇒ ~linear
+    leg("simhash complete")(corpus) { d =>
+      Dedup.simhashNearDuplicatesComplete(
+          d.filter(col("text").isNotNull)
+            .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig")),
+          "doc_id", maxDistance = 3, bits = 60)
+        .agg(count(lit(1)), sum(col("distance"))).collect()
+    }
     // incremental perceptual replay: TWO sequential half-batches
     // through the stream's per-batch body — batch 2's anti-join runs
     // against the history batch 1 appended, so the leg measures the

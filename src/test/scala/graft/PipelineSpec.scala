@@ -280,6 +280,39 @@ class PipelineSpec extends SparkSpec {
     assert(p.contains((0L, 1L)))
   }
 
+  test("pigeonhole simhash dedup is COMPLETE; prefix blocking provably is not") {
+    // random 60-bit signature frame, brute-force ground truth
+    val rnd = new scala.util.Random(31)
+    val base = (0L until 120L).map(i => (i, rnd.nextLong() & ((1L << 60) - 1)))
+    // plant near pairs the random cloud won't produce: clones of row 0
+    // at Hamming 1/3/4 — 4 is OUTSIDE maxDistance 3 and must not appear
+    val planted = Seq(
+      (200L, base.head._2 ^ (1L << 59)),               // top-bit flip, d=1
+      (201L, base.head._2 ^ ((1L << 59) | (1L << 30) | 1L)), // d=3
+      (202L, base.head._2 ^ 0xFL))                     // d=4
+    val sigs = (base ++ planted).toDF("doc_id", "sig")
+    val got = Dedup.simhashNearDuplicatesComplete(sigs, "doc_id",
+        maxDistance = 3, bits = 60)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    // exactly-once emission: no pair twice
+    assert(got.map(_._1).distinct.length === got.length)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val all = (base ++ planted)
+    val expected = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib && ham(sa, sb) <= 3
+    } yield ((ia, ib), ham(sa, sb))).toSet
+    assert(got.toSet === expected) // COMPLETE: every pair, none extra
+    assert(expected.contains(((0L, 200L), 1)))
+    assert(!got.map(_._1).contains((0L, 202L))) // d=4 excluded
+    // the prefix heuristic misses the planted top-bit pair by
+    // construction (they differ inside the 16-bit prefix window)
+    val prefixGot = Dedup.simhashNearDuplicatesFromSigs(sigs, "doc_id",
+        maxDistance = 3, prefixBits = 16, bits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!prefixGot.contains((0L, 200L)))
+  }
+
   test("portable LSH bucket: literal md5 weights, groups identical vectors") {
     val embs = Seq(
       (0L, Seq(1.0f, 2.0f, 3.0f)),
