@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
-  // c·(c−1) is even, so the double division by 2 is exact (and the
-  // product itself is exact below 2^53, i.e. group sizes < ~9.5e7)
-  private def pairs(c: Column): Column = (c * (c - 1) / lit(2)).cast("long")
+  // c·(c−1) is even, so a right shift of the long product IS the
+  // exact pair count — pure integer arithmetic (Spark's `/` is double
+  // division, which loses exactness once c·(c−1) exceeds 2^53, i.e.
+  // ~9.5e7 rows sharing one key; the shift is exact to c ≈ 3e9,
+  // matching the oracle's `//` semantics)
+  private[candidates] def pairs(c: Column): Column =
+    shiftright(c.cast("long") * (c.cast("long") - 1L), 1)
 
   private def ratioQ(num: Column, den: Column): Column =
     when(den === 0L, lit(0L)).otherwise(

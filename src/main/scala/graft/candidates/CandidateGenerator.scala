@@ -124,11 +124,22 @@ object CandidateGenerator {
       recallSampleSize: Int = 256): Selection = {
     def bigEnough: Boolean = minCorpusForBlocking <= 0 ||
       sources.forall(_.count() >= minCorpusForBlocking)
+    // the census needs an integral id column (selfRecallCensus's truth
+    // arithmetic); a source without one yields NO evidence for
+    // blocking, which means the reference-exact cross scan — not a
+    // crash (auto stays total over its pre-census input domain)
+    def censusable(s: DataFrame): Boolean =
+      s.schema.fields.find(_.name == "id").map(_.dataType).exists(
+        Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains)
     // self-ER passes the same frame twice — census each distinct
     // frame once (reference identity; DataFrame has no value equals)
     def recallOk: Boolean = minCorpusForBlocking <= 0 ||
       minPairCompleteness <= 0 || sources.distinct.forall { s =>
-        LshBlockingGenerator
+        censusable(s) && LshBlockingGenerator
           .selfRecallCensus(s, sampleSize = recallSampleSize)
           .head().getAs[Long]("pair_completeness_q") >=
           math.round(minPairCompleteness * 1e9)

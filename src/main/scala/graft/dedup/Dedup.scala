@@ -322,46 +322,103 @@ object Dedup {
       df.select(col(idCol), simhashPortable(col(textCol)).as("sig")),
       idCol, maxDistance, prefixBits, bits = 60)
 
+  /** [[simhashNearDuplicatesComplete]] `numBlocks` sentinel: size the
+    * block count to the corpus via [[autoBlocks]] (one count job).
+    */
+  val AutoBlocks: Int = 0
+
+  /** Corpus-sized block count for the complete scheme: the smallest
+    * `nb ≥ d+1` whose join-key width (the `nb−d` narrowest blocks
+    * concatenated) covers `log2(n) + log2(C(nb, d))` bits — the point
+    * where EXPECTED random-pair key collisions, summed over all
+    * C(nb, d) block-union tables (n²·C/2^width), stay at or below n,
+    * i.e. candidate volume stays near-linear. At d=3 over 60 bits the
+    * minimal nb=4 gives ~15-bit keys: fine to ~10⁵ docs, ~10⁸ chance
+    * pairs at 2M, ruinous at 10⁹ — Manku et al. §3's exact point:
+    * trading more (but bounded) joins for exponentially smaller
+    * buckets. Capped at `d + 5` extra blocks (C(d+5, d) tables — 56
+    * joins at d=3, the practical web-scale ceiling) and at `bits`.
+    */
+  def autoBlocks(n: Long, maxDistance: Int, bits: Int): Int = {
+    val d = maxDistance
+    val lo = d + 1
+    val hi = math.min(bits, d + 5)
+    def choose(nn: Int, kk: Int): Double =
+      (0 until kk).map(i => (nn - i).toDouble / (i + 1)).product
+    def keyWidth(nb: Int): Int =
+      Seq.tabulate(nb)(i => bits / nb + (if (i < bits % nb) 1 else 0))
+        .sorted.take(nb - d).sum
+    val need = math.log(math.max(n, 2).toDouble) / math.log(2.0)
+    (lo to hi).find(nb =>
+        keyWidth(nb) >= need + math.log(choose(nb, d)) / math.log(2.0))
+      .getOrElse(hi)
+  }
+
   /** GUARANTEED-complete SimHash near-dup pairs at Hamming ≤
     * `maxDistance` — the Manku–Jain–Sarma web-dedup scheme (WWW 2007,
     * public) replacing the prefix-bucket heuristic below, whose recall
     * silently excludes any pair differing inside the prefix window:
-    * split the signature into `maxDistance + 1` bit blocks; a pair
-    * within distance d differs in at most d blocks, so BY PIGEONHOLE
-    * it agrees exactly on at least one. Candidates are the union of
-    * per-block equi-joins (each a hash join on a ~bits/(d+1)-bit key),
-    * each pair emitted exactly once via the FIRST-shared-block rule
-    * (block k emits only when blocks 0..k-1 all differ — the
-    * range-join exactly-once rule, no distinct pass), then
+    * split the signature into `numBlocks ≥ maxDistance + 1` bit
+    * blocks; a pair within distance d differs in at most d blocks, so
+    * BY PIGEONHOLE it agrees fully on at least `numBlocks − d` — in
+    * particular on at least one of the C(numBlocks, d) possible
+    * (numBlocks − d)-block unions. Candidates are the union of
+    * per-block-union equi-joins (each a hash join on the union's
+    * concatenated bits), each pair emitted exactly once via the
+    * FIRST-shared-union rule (union t emits only when every earlier
+    * union has at least one differing block — the generalization of
+    * the first-shared-block rule, no distinct pass), then
     * exact-Hamming verified.
     *
-    * Scale shape: d+1 keyed shuffles of the signature frame; per-block
-    * bucket sizes follow the corpus's agreement on ~bits/(d+1) bits —
-    * at web scale Manku et al. run exactly this join fan-out. The
-    * prefix variant stays for cheap approximate censuses; THIS is the
-    * dedup-grade candidate generator.
+    * Scale shape: C(numBlocks, d) keyed shuffles of the signature
+    * frame. The knob trades join count against key width — the
+    * minimal `numBlocks = d+1` gives d+1 joins on ~bits/(d+1)-bit
+    * keys (candidate volume ~n²·(d+1)/2^(bits/(d+1)) from chance
+    * collisions — super-linear once n passes 2^(bits/(d+1))), while
+    * wider settings shrink buckets exponentially for boundedly more
+    * joins; [[AutoBlocks]] (the default) sizes it from one corpus
+    * count so candidates stay near-linear, Manku et al.'s own
+    * table-count trade. The prefix variant stays for cheap
+    * approximate censuses; THIS is the dedup-grade candidate
+    * generator.
     */
   def simhashNearDuplicatesComplete(sigs: DataFrame, idCol: String,
-      maxDistance: Int = 3, bits: Int = 60): DataFrame = {
+      maxDistance: Int = 3, bits: Int = 60,
+      numBlocks: Int = AutoBlocks): DataFrame = {
     require(maxDistance >= 0 && maxDistance < bits,
       "maxDistance must be in [0, bits)")
-    val nb = maxDistance + 1
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    val base = sigs.filter(col("sig").isNotNull)
+    val nb =
+      if (numBlocks != AutoBlocks) numBlocks
+      else autoBlocks(base.count(), maxDistance, bits)
+    require(nb > maxDistance && nb <= bits,
+      s"numBlocks must be in (maxDistance, bits], got $nb")
     val widths = Seq.tabulate(nb)(i => bits / nb + (if (i < bits % nb) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
     def blockOf(sig: Column, i: Int): Column =
-      shiftrightunsigned(sig, offsets(i))
+      // a full-width block (nb=1, bits=64) masks with (1L<<64)-1 = 0,
+      // silently collapsing every row into one bucket — the raw
+      // signature IS the key there
+      if (widths(i) == 64) sig
+      else shiftrightunsigned(sig, offsets(i))
         .bitwiseAND(lit((1L << widths(i)) - 1L))
-    val base = sigs.filter(col("sig").isNotNull)
-    (0 until nb).map { k =>
-      val a = base.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-        blockOf(col("sig"), k).as("__bk"))
-      val b = base.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-        blockOf(col("sig"), k).as("__bk"))
-      val earlierDiffer = (0 until k)
-        .map(i => blockOf(col("sig_a"), i) =!= blockOf(col("sig_b"), i))
+    // lexicographic union order; for nb = d+1 the unions are the
+    // singletons {0}..{d} and this reduces to the per-block scheme
+    val unions = (0 until nb).combinations(nb - maxDistance).toIndexedSeq
+    unions.zipWithIndex.map { case (kept, t) =>
+      val keyNames = kept.indices.map(j => s"__k$j")
+      def keyed(side: String) = base.select(
+        col(idCol).as(s"id_$side") +: col("sig").as(s"sig_$side") +:
+          kept.zipWithIndex.map { case (i, j) =>
+            blockOf(col("sig"), i).as(keyNames(j))
+          }: _*)
+      val earlierBroken = unions.take(t).map(u =>
+          u.map(i => blockOf(col("sig_a"), i) =!= blockOf(col("sig_b"), i))
+            .reduce(_ || _))
         .foldLeft(lit(true))(_ && _)
-      a.join(b, Seq("__bk"))
-        .filter(col("id_a") < col("id_b") && earlierDiffer)
+      keyed("a").join(keyed("b"), keyNames)
+        .filter(col("id_a") < col("id_b") && earlierBroken)
         .select(col("id_a"), col("id_b"),
           hamming(col("sig_a"), col("sig_b")).as("distance"))
     }.reduce(_ unionByName _)

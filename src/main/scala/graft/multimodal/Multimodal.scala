@@ -468,15 +468,23 @@ object Multimodal {
     *    the corpus; within-group losers come from that grouping, not a
     *    self-join.
     *  - At `maxHamming = 0` each group's min id survives directly.
-    *  - At `maxHamming = 1` the closure runs in HASH space: the
+    *  - At `maxHamming 1..3` the closure runs in HASH space: the
     *    distinct-hash table (orders of magnitude below the corpus —
     *    the 64-bit perceptual space collapses duplicates by design)
-    *    self-joins through the 65 XOR probe masks (each distance-≤1
-    *    hash pair surfaces from exactly one mask on one side),
-    *    [[graft.dedup.Components]] closes those HASH-node edges (node
-    *    id = the group's min row id), and a row survives iff its id is
-    *    its cluster's overall min. The corpus is touched twice: once
-    *    to hash-group, once for the final loser anti-join.
+    *    packs (hi, lo) into one 64-bit signature and runs the
+    *    pigeonhole-COMPLETE block scheme
+    *    ([[graft.dedup.Dedup.simhashNearDuplicatesComplete]] — the
+    *    same Manku–Jain–Sarma machinery as q195, block count sized to
+    *    the distinct-hash count): every hash pair within the ball
+    *    surfaces from exactly one block-union equi-join — XOR-mask
+    *    enumeration, the previous Hamming-1 design, stops being
+    *    viable past distance 1 (C(64,2) = 2016 masks); the block
+    *    scheme's join count is C(numBlocks, d), independent of the
+    *    ball volume. [[graft.dedup.Components]] closes those
+    *    HASH-node edges (node id = the group's min row id), and a row
+    *    survives iff its id is its cluster's overall min. The corpus
+    *    is touched twice: once to hash-group, once for the final
+    *    loser anti-join.
     *
     * Ownership follows [[graft.dedup.Dedup.dropNearDuplicates]]: the
     * one pinned loser frame is released by `close()`.
@@ -486,28 +494,21 @@ object Multimodal {
     */
   def perceptualDedup(hashed: DataFrame, idCol: String = "media_id",
       maxHamming: Int = 0): graft.dedup.Dedup.NearDupResult = {
-    require(maxHamming >= 0 && maxHamming <= 1,
-      "maxHamming 0 or 1 (wider balls: compose rounds or coarsen the hash)")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming 0..3 (wider balls: compose rounds or coarsen the hash)")
     val groups = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
       .agg(min(col(idCol)).as("__gid"))
     val (repOf, mapping) =
       if (maxHamming == 0) (groups.withColumn("__rep", col("__gid")), None)
       else {
-        val masks: Seq[(Long, Long)] = (0L, 0L) +:
-          ((0 until 32).map(j => (0L, 1L << j)) ++
-            (0 until 32).map(j => (1L << j, 0L)))
-        import hashed.sparkSession.implicits._
-        val maskDf = broadcast(masks.toDF("__mhi", "__mlo"))
-        val probed = groups.crossJoin(maskDf)
-          .select(col("__gid"),
-            col("ahash_hi").bitwiseXOR(col("__mhi")).as("__phi"),
-            col("ahash_lo").bitwiseXOR(col("__mlo")).as("__plo"))
-        val edges = probed.join(
-            groups.select(col("ahash_hi").as("__phi"),
-              col("ahash_lo").as("__plo"), col("__gid").as("__gid_b")),
-            Seq("__phi", "__plo"))
-          .filter(col("__gid") < col("__gid_b"))
-          .select(col("__gid").as("id_a"), col("__gid_b").as("id_b"))
+        // the two 32-bit halves pack losslessly into bits 0..63; all
+        // downstream block arithmetic is shiftrightunsigned + masks,
+        // so bit 63 (pixel 63) never meets signed-shift semantics
+        val sigs = groups.select(col("__gid"),
+          shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("sig"))
+        val edges = graft.dedup.Dedup.simhashNearDuplicatesComplete(
+            sigs, "__gid", maxDistance = maxHamming, bits = 64)
+          .select(col("id_a"), col("id_b"))
         val m = graft.dedup.Components.connectedComponents(edges)
         (groups.join(
             m.select(col("id").as("__gid"), col("rep").as("__rep0")),

@@ -1203,7 +1203,8 @@ object PipelineQueries {
       try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
-          e, "embedding", "vec_id", threshold = 0.4, numPlanes = 4)
+          e, "embedding", "vec_id", threshold = 0.4, numPlanes = 4,
+          probeBits = 0) // pinned: the oracle replays single-probe cells
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     // the handle's pinned loser frame backs the lazy census; in the
     // catalog the driver's per-query clearCache releases it (the q68
@@ -2639,7 +2640,8 @@ object PipelineQueries {
       try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
-          emb, "embedding", "vec_id", threshold = 0.999, numPlanes = 4)
+          emb, "embedding", "vec_id", threshold = 0.999, numPlanes = 4,
+          probeBits = 0) // pinned: the oracle replays single-probe cells
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     result.survivors.agg(
       count(lit(1)).as("n_survivors"),
@@ -5852,7 +5854,8 @@ object PipelineQueries {
     */
   def q173KnnGraph(s: SparkSession, dir: String): DataFrame =
     graft.similarity.Ann.knnGraph(t(s, dir, "embeddings"),
-        "embedding", "vec_id", k = 3, numPlanes = 4)
+        "embedding", "vec_id", k = 3, numPlanes = 4,
+        probeBits = 0) // pinned: the oracle replays single-probe cells
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("src"), col("rank"))
 
@@ -6047,7 +6050,8 @@ object PipelineQueries {
   def q185KnnGraphCensus(s: SparkSession, dir: String): DataFrame =
     graft.graph.GraphOps.degreeReciprocityCensus(
       graft.similarity.Ann.knnGraph(t(s, dir, "embeddings"),
-        "embedding", "vec_id", k = 3, numPlanes = 4))
+        "embedding", "vec_id", k = 3, numPlanes = 4,
+        probeBits = 0)) // pinned: the oracle replays single-probe cells
 
   val q185Sql: String =
     s"""$knnEdgeCtes,
@@ -6256,7 +6260,9 @@ object PipelineQueries {
         .agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
           count(lit(1)).as("n_hashes"),
-          coalesce(sum((col("c") * (col("c") - 1) / lit(2)).cast("long")),
+          // integer-exact c·(c−1)/2 (shift, not double division — the
+          // Blocking.pairs rule: exact to ~3e9 rows per hash)
+          coalesce(sum(shiftright(col("c") * (col("c") - 1L), 1)),
             lit(0L)).as("n_pairs_exact"))
         .head()
       val g = fp.select(col("ahash_hi"), col("ahash_lo")).distinct()

@@ -387,6 +387,29 @@ object Ann {
         col("cosine"))
   }
 
+  /** `probeBits` sentinel (the DEFAULT for [[knnGraph]] and
+    * [[SemDedup.nearDuplicatePairs]]): consult the [[autoProbe]]
+    * recall governor on a bounded deterministic sample instead of
+    * silently shipping single-probe recall (the q144 finding: 13% on
+    * the harness embeddings). Opt-OUT evidence, the round-8
+    * auto-generator pattern — pinning an explicit width (0 for
+    * cheapest, `planes` for brute force) skips the governor and its
+    * cost: one |sample| × corpus exact ground-truth scan plus one
+    * banded sweep, the honest price of a recall estimate.
+    */
+  val AutoProbe: Int = -1
+
+  /** Deterministic ~`sampleSize`-row probe gate over any id type: ids
+    * whose salted hash lands in stride 0. Stride, not TakeOrdered —
+    * a gate must be a pushable per-row predicate for
+    * [[lshRecallCurve]], and n/stride rows survive in expectation.
+    */
+  private[graft] def sampleGate(idCol: String, n: Long,
+      sampleSize: Int, seed: Long = 42L): Column = {
+    val stride = math.max(1L, n / math.max(1, sampleSize))
+    pmod(xxhash64(col(idCol).cast("string"), lit(seed)), lit(stride)) === 0L
+  }
+
   /** Approximate kNN GRAPH — every node's top-k same-cell neighbors —
     * at corpus scale: [[knnJoin]] broadcasts its probes, so using it
     * for a full graph is an n² corpus scan per corpus; here the corpus
@@ -410,11 +433,17 @@ object Ann {
     * distinct cells and a neighbor lives in exactly one, so no pair
     * duplicates. `probeBits = planes` degenerates to exact brute
     * force (every cell probed — the spec's equivalence anchor).
+    * The DEFAULT is [[AutoProbe]]: the [[autoProbe]] governor picks
+    * the smallest width whose sampled recall meets `targetRecallPct`
+    * — under-recall can no longer ship silently; pin an explicit
+    * width to skip the governor (and its sampled ground-truth cost).
     */
   def knnGraph(df: DataFrame, embCol: String, idCol: String, k: Int,
       numPlanes: Int = 0, targetCell: Int = 128,
-      probeBits: Int = 0): DataFrame = {
-    require(probeBits >= 0, "probeBits must be >= 0")
+      probeBits: Int = AutoProbe, targetRecallPct: Long = 80L,
+      probeSample: Int = 200): DataFrame = {
+    require(probeBits >= 0 || probeBits == AutoProbe,
+      "probeBits must be >= 0 (or Ann.AutoProbe)")
     // ids route through the long-keyed TopK aggregate; only integral
     // types round-trip the cast losslessly, so anything else (string
     // ids would silently become null dst edges) is rejected up front
@@ -427,14 +456,19 @@ object Ann {
         StructType(Seq(
           StructField("src", idType), StructField("rank", IntegerType),
           StructField("dst", idType), StructField("cosine", DoubleType))))
+    lazy val n = df.count()
     val planes =
       if (numPlanes > 0) numPlanes
-      else SemDedup.autoPlanes(df.count(), targetCell)
+      else SemDedup.autoPlanes(n, targetCell)
+    val resolvedProbe =
+      if (probeBits != AutoProbe) probeBits
+      else autoProbe(df, embCol, idCol, k,
+        sampleGate(idCol, n, probeSample), targetRecallPct, planes)._1
     val dim = df.select(size(col(embCol))).head().getInt(0)
     val b = df.select(col(idCol), col(embCol),
       lshBucketPortable(col(embCol), dim, planes).as("__bucket"))
     // probeBuckets(0, ...) IS the Hamming-ball mask set (xor with 0)
-    val masks = probeBuckets(0L, planes, math.min(probeBits, planes))
+    val masks = probeBuckets(0L, planes, math.min(resolvedProbe, planes))
     val probed =
       if (masks == Seq(0L))
         b.select(col("__bucket").as("__probe"), col(idCol).as("__src"),

@@ -82,13 +82,29 @@ object SemDedup {
     *   ×Σ C(planes, d)). A pair surfaces from the smaller id's probe
     *   of the larger id's (single) home cell, so no duplicates.
     *   `probeBits = planes` probes every cell — exact brute-force
-    *   threshold pairs, the spec's equivalence anchor.
+    *   threshold pairs, the spec's equivalence anchor. The DEFAULT is
+    *   [[Ann.AutoProbe]]: the [[Ann.autoProbe]] recall governor picks
+    *   the width on a bounded sample (kNN recall at k=10 as the
+    *   straddle-rate proxy — the same hyperplane physics governs
+    *   which cells a vector's true near neighbors land in), so
+    *   single-probe under-recall can no longer ship silently. Pin an
+    *   explicit width to skip the governor and its sampled
+    *   ground-truth cost.
+    * @param targetRecallPct governor target when `probeBits` is
+    *   [[Ann.AutoProbe]]; ignored for pinned widths
     */
   def nearDuplicatePairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double, numPlanes: Int = AutoPlanes,
-      maxBucketSize: Int = Int.MaxValue, probeBits: Int = 0): DataFrame = {
-    require(probeBits >= 0, "probeBits must be >= 0")
+      maxBucketSize: Int = Int.MaxValue, probeBits: Int = Ann.AutoProbe,
+      targetRecallPct: Long = 80L, probeSample: Int = 200): DataFrame = {
+    require(probeBits >= 0 || probeBits == Ann.AutoProbe,
+      "probeBits must be >= 0 (or Ann.AutoProbe)")
     val planes = resolvePlanes(df, numPlanes)
+    val resolvedProbe =
+      if (probeBits != Ann.AutoProbe) probeBits
+      else Ann.autoProbe(df, embCol, idCol, k = 10,
+        Ann.sampleGate(idCol, df.count(), probeSample),
+        targetRecallPct, planes)._1
     val dim = df.select(size(col(embCol))).head().getInt(0)
     val b0 = df.select(col(idCol), col(embCol),
       Ann.lshBucketPortable(col(embCol), dim, planes).as("__bucket"))
@@ -100,7 +116,7 @@ object SemDedup {
         b0.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= maxBucketSize).drop("__rn")
       }
-    val masks = Ann.probeBuckets(0L, planes, math.min(probeBits, planes))
+    val masks = Ann.probeBuckets(0L, planes, math.min(resolvedProbe, planes))
     val left =
       if (masks == Seq(0L))
         b.select(col("__bucket"), col(idCol).as("id_a"),
@@ -121,13 +137,18 @@ object SemDedup {
 
   /** Drop embedding near-duplicates, keeping each component's min-id
     * representative. Same ownership contract as
-    * [[Dedup.dropNearDuplicates]] / `Ann.IvfIndex`.
+    * [[Dedup.dropNearDuplicates]] / `Ann.IvfIndex`. `probeBits`
+    * defaults to the [[Ann.autoProbe]] governor (the
+    * [[nearDuplicatePairs]] contract) — the end-user deletion surface
+    * must not silently under-recall either.
     */
   def dropEmbeddingNearDuplicates(df: DataFrame, embCol: String,
       idCol: String, threshold: Double, numPlanes: Int = AutoPlanes,
-      maxBucketSize: Int = Int.MaxValue): Dedup.NearDupResult = {
+      maxBucketSize: Int = Int.MaxValue,
+      probeBits: Int = Ann.AutoProbe,
+      targetRecallPct: Long = 80L): Dedup.NearDupResult = {
     val edges = nearDuplicatePairs(df, embCol, idCol, threshold, numPlanes,
-        maxBucketSize)
+        maxBucketSize, probeBits, targetRecallPct)
       .select(col("id_a"), col("id_b"))
     val mapping = Components.connectedComponents(edges)
     val losers = mapping.filter(col("id") =!= col("rep"))

@@ -170,7 +170,13 @@ object StreamingOps {
     * within-batch duplicates collapse to the min-id row per hash, and
     * the survivors' hashes append to the history — so across the
     * stream each distinct perceptual image survives exactly once, at
-    * its first arrival. State is the hash table (two BIGINTs per
+    * its first arrival, UNDER foreachBatch's at-least-once contract:
+    * a crash between `sink` and the history append replays the batch
+    * and re-emits the same survivor rows (never different ones — the
+    * min-id collapse is deterministic). Sinks that need exactly-once
+    * must dedupe on (media_id) or commit idempotently per `batchId`,
+    * the standard foreachBatch discipline. State is the hash table
+    * (two BIGINTs per
     * DISTINCT image ever seen — bounded by content diversity, not
     * stream length); per-batch cost is the batch decode plus one
     * anti-join against the history and one hash-keyed min.

@@ -685,7 +685,7 @@ object ScaleSmoke {
           .repartition(32).cache()
         e.count()
         def run(): Unit = graft.similarity.SemDedup.nearDuplicatePairs(
-          e, "embedding", "vec_id", threshold = 0.4)
+          e, "embedding", "vec_id", threshold = 0.4, probeBits = 0)
           .agg(count(lit(1))).collect()
         run() // warm
         val t = time(run())
@@ -858,7 +858,7 @@ object ScaleSmoke {
     // measured the PR loop.
     leg("knn-graph pagerank")(scaledEmb) { e =>
       val edges = graft.similarity.Ann.knnGraph(e, "embedding", "vec_id",
-          k = 3)
+          k = 3, probeBits = 0)
         .select(col("src"), col("dst"))
       graft.graph.PageRank.rankInt(edges, iters = 2)
         .agg(sum(col("pr")), count(lit(1))).collect()
@@ -1135,7 +1135,7 @@ object ScaleSmoke {
     // never the n² pair space ⇒ ~linear in |E|
     leg("knn-graph census") { m =>
       val edges = graft.similarity.Ann.knnGraph(
-          scaledEmb(m), "embedding", "vec_id", k = 3)
+          scaledEmb(m), "embedding", "vec_id", k = 3, probeBits = 0)
         .select(col("src"), col("dst"))
         .repartition(32).cache()
       edges.count()

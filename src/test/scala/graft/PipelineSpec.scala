@@ -311,6 +311,39 @@ class PipelineSpec extends SparkSpec {
         maxDistance = 3, prefixBits = 16, bits = 60)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!prefixGot.contains((0L, 200L)))
+    // block-UNION tables (Manku §3, the large-corpus key widening):
+    // any numBlocks > d+1 must return the IDENTICAL pair set with
+    // exactly-once emission — the semantic result is scheme-free
+    Seq(5, 6, 8).foreach { nb =>
+      val wide = Dedup.simhashNearDuplicatesComplete(sigs, "doc_id",
+          maxDistance = 3, bits = 60, numBlocks = nb)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      assert(wide.map(_._1).distinct.length === wide.length, s"nb=$nb dup")
+      assert(wide.toSet === expected, s"nb=$nb differs")
+    }
+    // maxDistance=0 over full-width 64-bit signatures: the (1L<<64)-1
+    // mask pitfall — the raw signature must be the key, not a
+    // degenerate single bucket
+    val sigs64 = Seq((0L, -1L), (1L, -1L), (2L, 0x7FFFFFFFFFFFFFFFL))
+      .toDF("doc_id", "sig")
+    val exact64 = Dedup.simhashNearDuplicatesComplete(sigs64, "doc_id",
+        maxDistance = 0, bits = 64, numBlocks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact64.toSeq === Seq((0L, 1L)))
+  }
+
+  test("autoBlocks sizes the complete-scheme key width to the corpus") {
+    // small corpora keep the minimal d+1 split (cheapest: 4 joins)
+    assert(Dedup.autoBlocks(1000L, 3, 60) === 4)
+    // the 15-bit key drowns at ~10^6+: wider unions get chosen
+    assert(Dedup.autoBlocks(2_000_000L, 3, 60) > 4)
+    // ... monotonically (never narrower for a bigger corpus)
+    val seq = Seq(1e3, 1e5, 1e6, 1e8, 1e10).map(n =>
+      Dedup.autoBlocks(n.toLong, 3, 60))
+    assert(seq === seq.sorted)
+    // capped at d+5 even for absurd counts, and always > d
+    assert(Dedup.autoBlocks(Long.MaxValue, 3, 60) === 8)
+    assert(Dedup.autoBlocks(0L, 0, 64) === 1)
   }
 
   test("portable LSH bucket: literal md5 weights, groups identical vectors") {
@@ -701,6 +734,52 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("perceptual dedup at Hamming 2-3: pigeonhole blocks, completeness") {
+    import graft.multimodal.Multimodal
+    // hand-built hash frame planting pairs at every distance 0..4,
+    // including a pair straddling the hi/lo half boundary and one
+    // touching bit 63 (pixel 63 — the packed signature's sign bit)
+    val rnd = new scala.util.Random(47)
+    def rnd32() = rnd.nextLong() & 0xFFFFFFFFL
+    val cloud = (0L until 60L).map(i => (i, rnd32(), rnd32()))
+    val a = cloud.head
+    val planted = Seq(
+      (100L, a._2 ^ 3L, a._3),              // d=2, both flips in hi
+      (101L, a._2 ^ 1L, a._3 ^ (1L << 31)), // d=2 straddling hi/lo
+      (102L, a._2 ^ (1L << 31), a._3 ^ 3L), // d=3, bit 63 + two lo bits
+      // d=4 from row 0 AND >3 from every other planted clone (0xF00
+      // shares no flipped bits with them — a naive 0xF plant sits at
+      // distance 2 from the ^3 clone and merges transitively)
+      (103L, a._2 ^ 0xF00L, a._3))
+    val rows = cloud ++ planted
+    val df = rows.toDF("media_id", "ahash_hi", "ahash_lo")
+    def ham(x: (Long, Long), y: (Long, Long)): Int =
+      java.lang.Long.bitCount(x._1 ^ y._1) + java.lang.Long.bitCount(x._2 ^ y._2)
+    for (d <- 2 to 3) {
+      val r = Multimodal.perceptualDedup(df, "media_id", maxHamming = d)
+      val got = try r.survivors.select("media_id").collect()
+        .map(_.getLong(0)).toSet finally r.close()
+      // brute-force union-find ground truth at the same radius
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val root = find(p); parent(x) = root; root }
+      }
+      for ((ia, ha, la) <- rows; (ib, hb, lb) <- rows
+           if ia < ib && ham((ha, la), (hb, lb)) <= d) {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = rows.map(_._1).groupBy(find).values.map(_.min).toSet
+      assert(got === expected, s"maxHamming=$d")
+      assert(got.contains(0L) && !got.contains(100L) && !got.contains(101L),
+        s"maxHamming=$d planted d<=2 clones must collapse into row 0")
+      if (d == 3) assert(!got.contains(102L)) else assert(got.contains(102L))
+      assert(got.contains(103L), "d=4 clone must survive every ball")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("video keyframe hash equals the plain-PNG aHash of frame 0") {
     import graft.multimodal.Multimodal
     val ids = Seq(0L, 3L, 7L, 11L, 42L).toDF("doc_id")
@@ -909,7 +988,8 @@ class PipelineSpec extends SparkSpec {
       val sign = if (i < 3) 1f else -1f
       (i, u.map(x => x * sign * (1 << (i % 3).toInt).toFloat))
     }.toDF("vec_id", "embedding")
-    val got = Ann.knnGraph(embs, "embedding", "vec_id", k = 2, numPlanes = 1)
+    val got = Ann.knnGraph(embs, "embedding", "vec_id", k = 2, numPlanes = 1,
+        probeBits = 0) // pinned: the assertion is cell-LOCAL equality
       .collect().map(r =>
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     // flat reference over the SAME family structure with the SAME
@@ -939,10 +1019,46 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r =>
         (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
     assert(full === flatAll)
-    // a negative probe radius must fail loudly, not return an empty
-    // graph that downstream PageRank would happily consume
+    // a negative probe radius (other than the AutoProbe sentinel)
+    // must fail loudly, not return an empty graph that downstream
+    // PageRank would happily consume
     assertThrows[IllegalArgumentException](
-      Ann.knnGraph(embs, "embedding", "vec_id", k = 1, probeBits = -1))
+      Ann.knnGraph(embs, "embedding", "vec_id", k = 1, probeBits = -2))
+  }
+
+  test("knnGraph/semdedup DEFAULT consults the autoProbe recall governor") {
+    // clustered corpus whose twins straddle hyperplanes: single-probe
+    // recall misses the target, so the governed default must pick a
+    // width >= 1 and return MORE than the probeBits=0 edge set — the
+    // q144 13% finding can no longer ship silently
+    val rnd = new scala.util.Random(83)
+    val embs = (0L until 40L).flatMap { i =>
+      val a = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+      Seq((i * 2, a), (i * 2 + 1, a.map(x => x + rnd.nextFloat() * 0.05f)))
+    }.toDF("vec_id", "embedding")
+    val (chosen, curve) = Ann.autoProbe(embs, "embedding", "vec_id", k = 2,
+      Ann.sampleGate("vec_id", 80L, 200), targetRecallPct = 80L,
+      numPlanes = 4)
+    assert(chosen >= 1, curve.collect().mkString(";"))
+    def edges(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val defaulted = edges(Ann.knnGraph(embs, "embedding", "vec_id", k = 2,
+      numPlanes = 4))
+    val pinned0 = edges(Ann.knnGraph(embs, "embedding", "vec_id", k = 2,
+      numPlanes = 4, probeBits = 0))
+    val pinnedChosen = edges(Ann.knnGraph(embs, "embedding", "vec_id", k = 2,
+      numPlanes = 4, probeBits = chosen))
+    assert(defaulted === pinnedChosen) // the default IS the governed width
+    assert(defaulted !== pinned0)      // and not the silent single-probe
+    // same contract on the semantic-dedup pair surface
+    import graft.similarity.SemDedup
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sdDefault = pairs(SemDedup.nearDuplicatePairs(
+      embs, "embedding", "vec_id", 0.9, numPlanes = 4))
+    val sd0 = pairs(SemDedup.nearDuplicatePairs(
+      embs, "embedding", "vec_id", 0.9, numPlanes = 4, probeBits = 0))
+    assert(sd0.subsetOf(sdDefault) && sdDefault.size > sd0.size)
   }
 
   test("fused int8 scoring expression matches the declarative twin bit-for-bit") {
