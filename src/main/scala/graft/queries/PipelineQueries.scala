@@ -6604,7 +6604,225 @@ object PipelineQueries {
       |    * 1e9) AS BIGINT) END AS pair_completeness_q
       |FROM n, tp, cv""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+  /** End-to-end training-data pipeline COMPOSITION: the funnel a real
+    * corpus build runs — exact dedup → MinHash near-dup → semantic
+    * dedup → Gopher quality gate → benchmark decontamination → mix
+    * sampling → sequence packing — chained over the REAL operator
+    * surfaces (each proven alone by q30/q32/q76/q180/q58/q53/q71),
+    * with a per-stage survivor ledger (stage, n_in, n_out). Every
+    * stage uses its portable formulation (md5 hashes, pinned 4-plane
+    * cells, md5 sampling gates), so the DuckDB oracle replays the
+    * WHOLE funnel stage by stage — the hash match proves the
+    * operators COMPOSE (stage N's exact survivor set feeds stage
+    * N+1), not just that each works in isolation.
+    *
+    * Scale shape: the composition inherits each stage's own posture —
+    * one md5-key shuffle, banded LSH buckets + edge-sized closure,
+    * pinned-plane cells + edge-sized closure, scan-local quality
+    * gates, a broadcast benchmark-gram semi-join, a scan-local hash
+    * gate, and per-(lang) window packing. Nothing materializes pairs
+    * outside a bucket and nothing reaches the driver but the seven
+    * ledger counts.
+    */
+  def q196PipelineFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d0 = t(s, dir, "documents").filter(col("text").isNotNull)
+    val n0 = d0.count()
+    // 1. exact dedup (q30): min doc_id survives its md5(text) group
+    val d1 = d0.join(Dedup.exactSurvivors(d0, "text", "doc_id")
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val n1 = d1.count()
+    // 2. MinHash near-dup deletion (q32 candidates, q68 closure)
+    val r2 = Dedup.dropNearDuplicates(d1, "text", "doc_id", threshold = 0.7)
+    val d2 = r2.survivors
+    val n2 = d2.count()
+    // 3. semantic dedup over the joined embedding column (q76's
+    //    pinned 4-plane portable cells; probeBits pinned for replay)
+    val r3 = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
+      d2.join(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id")),
+      "embedding", "doc_id", threshold = 0.5, numPlanes = 4, probeBits = 0)
+    val d3 = r3.survivors.select(d2.columns.map(col).toIndexedSeq: _*)
+    val n3 = d3.count()
+    // 4. Gopher quality gate (q180's four rules)
+    val d4 = TextAnalysis.withGopherSignals(d3)
+      .filter(!col("g_fail_mwl") && !col("g_fail_len") &&
+        !col("g_fail_stop") && !col("g_fail_rep"))
+      .select(d3.columns.map(col).toIndexedSeq: _*)
+    val n4 = d4.count()
+    // 5. decontamination (q58): drop the benchmark source itself plus
+    //    any survivor sharing a distinct 5-gram with it (grams from
+    //    the RAW corpus — contamination is against the benchmark as
+    //    published, not its deduped remnant)
+    val bGrams = d0.filter(col("source") === "src19")
+      .select(explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
+      .distinct()
+    val train = d4.filter(col("source") =!= "src19")
+    val contaminated = train.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
+      .join(broadcast(bGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+    val d5 = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val n5 = d5.count()
+    // 6. mix sampling (q53's md5 gate)
+    val d6 = TextAnalysis.mixSample(d5, "source", "doc_id", funnelMixRates)
+    val n6 = d6.count()
+    // 7. sequence packing (q71): 512-token chunks per lang; the
+    //    ledger's final n_out is the CHUNK count the funnel emits
+    val nChunks = graft.operators.Packing.packingCensus(
+        d6.select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).as("sz")),
+        Seq("lang"), "doc_id", "sz", budget = 512)
+      .agg(coalesce(sum(col("n_chunks")), lit(0L))).head().getLong(0)
+    r2.close(); r3.close()
+    Seq(
+      (1, "exact_dedup", n0, n1),
+      (2, "neardup_minhash", n1, n2),
+      (3, "semdedup", n2, n3),
+      (4, "gopher_quality", n3, n4),
+      (5, "decontaminate", n4, n5),
+      (6, "mix_sample", n5, n6),
+      (7, "pack_512", n6, nChunks))
+      .toDF("stage", "stage_name", "n_in", "n_out")
+      .orderBy(col("stage"))
+  }
+
+  /** Funnel mix rates: every non-benchmark source enumerated (absent
+    * strata drop to 0 under [[TextAnalysis.mixSample]]), every third
+    * source downsampled — the oversampled-crawl-snapshot shape.
+    */
+  val funnelMixRates: Map[String, Double] =
+    (0 to 18).map(i => s"src$i" -> (if (i % 3 == 0) 0.5 else 1.0)).toMap
+
+  val q196Sql: String = {
+    val en = TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    def proj(p: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val gram5 =
+      """CASE WHEN len(tkl) >= 5
+        |  THEN list_transform(range(1, len(tkl) - 3),
+        |    i -> tkl[i] || ' ' || tkl[i+1] || ' ' || tkl[i+2] || ' ' || tkl[i+3] || ' ' || tkl[i+4])
+        |  ELSE [text] END""".stripMargin
+    val rate = funnelMixRates.toSeq.sortBy(_._1).map { case (sc, r) =>
+      s"WHEN '$sc' THEN CAST($r AS DOUBLE)"
+    }.mkString(" ")
+    s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+       |  WHERE text IS NOT NULL),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY md5(text)),
+       |d1 AS (SELECT d0.* FROM d0 JOIN ex USING (doc_id)),
+       |sh2 AS (SELECT doc_id, CASE WHEN len(tkl) >= 3
+       |    THEN list_transform(range(1, len(tkl) - 1),
+       |      i -> tkl[i] || ' ' || tkl[i+1] || ' ' || tkl[i+2])
+       |    ELSE [text] END AS sh
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tkl FROM d1)),
+       |sg2 AS (SELECT doc_id, sh,
+       |  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS h0,
+       |  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS h1,
+       |  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS h2,
+       |  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS h3
+       |  FROM sh2),
+       |k2 AS (SELECT doc_id, 0 AS band, h0 || '#' || h1 AS key FROM sg2
+       |  UNION ALL SELECT doc_id, 1, h2 || '#' || h3 FROM sg2),
+       |cd2 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM k2 a JOIN k2 b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |vr2 AS (SELECT ia, ib FROM cd2
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS sha FROM sg2) x ON x.doc_id = ia
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS shb FROM sg2) y ON y.doc_id = ib
+       |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= 0.7),
+       |sy2 AS (SELECT ia AS a, ib AS b FROM vr2
+       |  UNION SELECT ib, ia FROM vr2),
+       |rc2(a, b) AS (SELECT a, b FROM sy2
+       |  UNION SELECT r.a, s2.b FROM rc2 r JOIN sy2 s2 ON r.b = s2.a),
+       |lo2 AS (SELECT a AS doc_id FROM
+       |  (SELECT a, LEAST(a, MIN(b)) AS rep FROM rc2 GROUP BY a)
+       |  WHERE a <> rep),
+       |d2 AS (SELECT * FROM d1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM lo2)),
+       |bk3 AS (SELECT e.vec_id, e.embedding, ($bucket) AS bucket
+       |  FROM embeddings e JOIN d2 ON d2.doc_id = e.vec_id),
+       |e3 AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM bk3 a JOIN bk3 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+       |  (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')) *
+       |   sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')))
+       |    >= 0.5),
+       |sy3 AS (SELECT ia AS a, ib AS b FROM e3
+       |  UNION SELECT ib, ia FROM e3),
+       |rc3(a, b) AS (SELECT a, b FROM sy3
+       |  UNION SELECT r.a, s3.b FROM rc3 r JOIN sy3 s3 ON r.b = s3.a),
+       |lo3 AS (SELECT a AS doc_id FROM
+       |  (SELECT a, LEAST(a, MIN(b)) AS rep FROM rc3 GROUP BY a)
+       |  WHERE a <> rep),
+       |d3 AS (SELECT * FROM d2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM lo3)),
+       |g4 AS (SELECT doc_id, text, lang, source, n_chars,
+       |  len(tkl) AS nw,
+       |  list_aggregate(list_transform(tkl, w -> len(w)), 'sum') AS sc,
+       |  len(list_filter(tkl, x -> list_contains($en, x))) AS sth,
+       |  list_max(list_transform(list_distinct(tkl),
+       |    t2 -> len(list_filter(tkl, x -> x = t2)))) AS topc
+       |  FROM (SELECT d3.*, string_split(text, ' ') AS tkl FROM d3)),
+       |d4 AS (SELECT doc_id, text, lang, source, n_chars FROM g4
+       |  WHERE NOT (sc < 3 * nw OR sc > 10 * nw)
+       |    AND NOT (nw < 50 OR nw > 100000)
+       |    AND NOT (sth < 2) AND NOT (topc * 5 > nw)),
+       |bg5 AS (SELECT DISTINCT gram FROM
+       |  (SELECT unnest(list_distinct($gram5)) AS gram FROM
+       |    (SELECT text, string_split(text, ' ') AS tkl FROM d0
+       |     WHERE source = 'src19'))),
+       |tr5 AS (SELECT * FROM d4 WHERE source <> 'src19'),
+       |ct5 AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_id, unnest(list_distinct($gram5)) AS gram FROM
+       |    (SELECT doc_id, text, string_split(text, ' ') AS tkl FROM tr5)) gg
+       |  JOIN bg5 ON gg.gram = bg5.gram),
+       |d5 AS (SELECT * FROM tr5
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ct5)),
+       |d6 AS (SELECT * FROM d5
+       |  WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 10000)
+       |    < (CASE source $rate ELSE CAST(0.0 AS DOUBLE) END) * 10000),
+       |c7 AS (SELECT lang, sz, SUM(sz) OVER (PARTITION BY lang
+       |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM
+       |  (SELECT lang, doc_id, len(string_split(text, ' ')) AS sz FROM d6)),
+       |a7 AS (SELECT lang, CASE WHEN sz > 0 THEN (cum - 1) // 512
+       |    ELSE (cum - sz) // 512 END AS ce FROM c7),
+       |pk AS (SELECT CAST(COALESCE(SUM(mx + 1), 0) AS BIGINT) AS n_chunks
+       |  FROM (SELECT MAX(ce) AS mx FROM a7 GROUP BY lang))
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'exact_dedup' AS stage_name,
+       |    (SELECT COUNT(*) FROM d0) AS n_in,
+       |    (SELECT COUNT(*) FROM d1) AS n_out
+       |  UNION ALL SELECT 2, 'neardup_minhash',
+       |    (SELECT COUNT(*) FROM d1), (SELECT COUNT(*) FROM d2)
+       |  UNION ALL SELECT 3, 'semdedup',
+       |    (SELECT COUNT(*) FROM d2), (SELECT COUNT(*) FROM d3)
+       |  UNION ALL SELECT 4, 'gopher_quality',
+       |    (SELECT COUNT(*) FROM d3), (SELECT COUNT(*) FROM d4)
+       |  UNION ALL SELECT 5, 'decontaminate',
+       |    (SELECT COUNT(*) FROM d4), (SELECT COUNT(*) FROM d5)
+       |  UNION ALL SELECT 6, 'mix_sample',
+       |    (SELECT COUNT(*) FROM d5), (SELECT COUNT(*) FROM d6)
+       |  UNION ALL SELECT 7, 'pack_512',
+       |    (SELECT COUNT(*) FROM d6), (SELECT n_chunks FROM pk)
+       |) ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_pipeline_funnel" -> (q196PipelineFunnel _),
     "q195_simhash_complete" -> (q195SimhashComplete _),
     "q194_stream_perceptual_dedup" -> (q194StreamPerceptualDedup _),
     "q193_video_keyframe" -> (q193VideoKeyframe _),
@@ -6752,6 +6970,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q196_pipeline_funnel" -> q196Sql,
     "q195_simhash_complete" -> q195Sql,
     "q194_stream_perceptual_dedup" -> q194Sql,
     "q193_video_keyframe" -> q193Sql,

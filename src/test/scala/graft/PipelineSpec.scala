@@ -554,6 +554,24 @@ class PipelineSpec extends SparkSpec {
     assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
   }
 
+  test("pipeline funnel: stages chain exactly and never add rows") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.PipelineQueries
+      .q196PipelineFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq === Seq("exact_dedup", "neardup_minhash",
+      "semdedup", "gopher_quality", "decontaminate", "mix_sample", "pack_512"))
+    // stage N's input IS stage N-1's survivor set — the composition claim
+    assert(rows.zip(rows.tail).forall { case (a, b) => a._4 == b._3 })
+    // filter/dedup stages never add rows (pack emits chunks, exempt)
+    assert(rows.init.forall { case (_, _, nIn, nOut) => nOut <= nIn })
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull).count()
+    assert(rows.head._3 === nDocs)
+    assert(rows.last._4 > 0L)
+  }
+
   test("semantic dedup bucket cap bounds a degenerate cell deterministically") {
     import graft.similarity.SemDedup
     // 40 identical vectors: one cell, C(40,2)=780 pairs uncapped
