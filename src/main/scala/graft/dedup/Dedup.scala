@@ -196,6 +196,70 @@ object Dedup {
     NearDupResult(df.join(losers, Seq(idCol), "left_anti"), losers)
   }
 
+  /** Incremental near-dup maintenance — the posture a corpus at scale
+    * actually runs: a new crawl `batch` deduplicates against an
+    * ALREADY-DEDUPED `history` without ever re-scanning
+    * history×history. Candidates are batch×batch (the plain LSH
+    * bucket pass) plus batch×history band-key probes (ONE equi-join
+    * of the batch's band keys against the history's — history
+    * survivors are pairwise non-near-dup under this very band scheme,
+    * so no history-internal edge can exist and none is looked for).
+    * Exact-jaccard verification joins shingles back for REFERENCED
+    * ids only (semi-join pruned — un-candidated history rows are
+    * never shuffled past their band keys). A batch doc survives iff
+    * its component over the found edges contains no history doc and
+    * it is the component's min id.
+    *
+    * EQUIVALENCE CONTRACT (spec'd; q197's oracle replays it): when
+    * every history id sorts BELOW every batch id (min-id survivorship
+    * must favor the established corpus — the natural shape for
+    * monotonically assigned ids), `survivors` equals
+    * `dropNearDuplicates(history ∪ batch).survivors` restricted to
+    * the batch — the incremental path computes exactly the full
+    * replay's answer at batch-driven cost. Callers violating the id
+    * ordering get batch-internal dedup plus history-collision drops,
+    * but not the replay equivalence.
+    *
+    * Scale shape: history contributes one column-pruned sketch pass
+    * (band keys — persist them across batches via [[lshBandKeys]] to
+    * amortize, the `withBandKeys` pattern) and the keyed probe join;
+    * candidate and edge volume are batch-driven. Nothing quadratic in
+    * history, ever.
+    */
+  def incrementalNearDuplicates(history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.7,
+      numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3,
+      historyKeys: Option[DataFrame] = None): NearDupResult = {
+    val keysB = lshBandKeys(batch, textCol, idCol, numBands, rowsPerBand, k)
+    val keysH = historyKeys.getOrElse(
+      lshBandKeys(history, textCol, idCol, numBands, rowsPerBand, k))
+    val cross = keysH.select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(keysB.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val self = lshCandidatePairs(batch, textCol, idCol, numBands,
+      rowsPerBand, k)
+    // self pairs have both ids in batch, cross pairs one in history —
+    // disjoint by construction, no cross-set dedup needed
+    val cands = self.unionByName(cross)
+    val refIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("__rid"))
+      .distinct()
+    val pruned = history.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+      .join(refIds, col(idCol) === col("__rid"), "left_semi")
+    val edges = verifyJaccard(cands, pruned, textCol, idCol, threshold, k)
+      .select(col("id_a"), col("id_b"))
+    val mapping = Components.connectedComponents(edges)
+    val losers = mapping.filter(col("id") =!= col("rep"))
+      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id").as(idCol))
+      .persist()
+    losers.count() // materialize while the mapping cache is alive
+    mapping.unpersist()
+    NearDupResult(batch.join(losers, Seq(idCol), "left_anti"), losers)
+  }
+
   // ----------------------------------------------------------- winnowing
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
     * keep the minimum k-gram hash of every sliding window of `w`
@@ -354,6 +418,60 @@ object Dedup {
       .getOrElse(hi)
   }
 
+  /** Balanced bit-block layout for the complete scheme: block widths
+    * (wider blocks first) and their bit offsets.
+    */
+  private def blockLayout(bits: Int, nb: Int): (IndexedSeq[Int], IndexedSeq[Int]) = {
+    val widths = IndexedSeq.tabulate(nb)(i =>
+      bits / nb + (if (i < bits % nb) 1 else 0))
+    (widths, widths.scanLeft(0)(_ + _).init.toIndexedSeq)
+  }
+
+  private def blockBits(sig: Column, widths: IndexedSeq[Int],
+      offsets: IndexedSeq[Int], i: Int): Column =
+    // a full-width block (nb=1, bits=64) masks with (1L<<64)-1 = 0,
+    // silently collapsing every row into one bucket — the raw
+    // signature IS the key there
+    if (widths(i) == 64) sig
+    else shiftrightunsigned(sig, offsets(i))
+      .bitwiseAND(lit((1L << widths(i)) - 1L))
+
+  /** One-row census of the complete scheme's CANDIDATE volume — the
+    * pre-verification pair count Σ_tables Σ_keys C(c,2), computed from
+    * key-group cardinality arithmetic alone (zero pairs materialized,
+    * one keyed count-shuffle per block-union table). This is the
+    * number that decides whether a key width still fits a corpus size:
+    * the join in [[simhashNearDuplicatesComplete]] pays exactly these
+    * pairs in work, so a near-linear census at m× growth certifies the
+    * [[autoBlocks]] sizing without ever running the quadratic join a
+    * mis-sized key would produce. Output: n_rows, num_blocks,
+    * n_tables, candidate_pairs.
+    */
+  def simhashCompleteCandidateCensus(sigs: DataFrame,
+      maxDistance: Int = 3, bits: Int = 60,
+      numBlocks: Int = AutoBlocks): DataFrame = {
+    val base = sigs.filter(col("sig").isNotNull)
+    val nb =
+      if (numBlocks != AutoBlocks) numBlocks
+      else autoBlocks(base.count(), maxDistance, bits)
+    require(nb > maxDistance && nb <= bits,
+      s"numBlocks must be in (maxDistance, bits], got $nb")
+    val (widths, offsets) = blockLayout(bits, nb)
+    val unions = (0 until nb).combinations(nb - maxDistance).toIndexedSeq
+    val n = base.agg(count(lit(1)).as("n_rows"))
+    unions.map { kept =>
+      base.groupBy(kept.map(i =>
+          blockBits(col("sig"), widths, offsets, i)): _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(shiftright(col("c") * (col("c") - 1L), 1)),
+          lit(0L)).as("p"))
+    }.reduce(_ unionByName _)
+      .agg(sum(col("p")).as("candidate_pairs"))
+      .crossJoin(n)
+      .select(col("n_rows"), lit(nb).as("num_blocks"),
+        lit(unions.size).as("n_tables"), col("candidate_pairs"))
+  }
+
   /** GUARANTEED-complete SimHash near-dup pairs at Hamming ≤
     * `maxDistance` — the Manku–Jain–Sarma web-dedup scheme (WWW 2007,
     * public) replacing the prefix-bucket heuristic below, whose recall
@@ -394,15 +512,9 @@ object Dedup {
       else autoBlocks(base.count(), maxDistance, bits)
     require(nb > maxDistance && nb <= bits,
       s"numBlocks must be in (maxDistance, bits], got $nb")
-    val widths = Seq.tabulate(nb)(i => bits / nb + (if (i < bits % nb) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).init
+    val (widths, offsets) = blockLayout(bits, nb)
     def blockOf(sig: Column, i: Int): Column =
-      // a full-width block (nb=1, bits=64) masks with (1L<<64)-1 = 0,
-      // silently collapsing every row into one bucket — the raw
-      // signature IS the key there
-      if (widths(i) == 64) sig
-      else shiftrightunsigned(sig, offsets(i))
-        .bitwiseAND(lit((1L << widths(i)) - 1L))
+      blockBits(sig, widths, offsets, i)
     // lexicographic union order; for nb = d+1 the unions are the
     // singletons {0}..{d} and this reduces to the per-block scheme
     val unions = (0 until nb).combinations(nb - maxDistance).toIndexedSeq

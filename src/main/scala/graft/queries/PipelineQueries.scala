@@ -6625,9 +6625,30 @@ object PipelineQueries {
     * outside a bucket and nothing reaches the driver but the seven
     * ledger counts.
     */
-  def q196PipelineFunnel(s: SparkSession, dir: String): DataFrame = {
+  def q196PipelineFunnel(s: SparkSession, dir: String): DataFrame =
+    pipelineFunnel(s, t(s, dir, "documents"),
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      semPlanes = 4, semProbe = 0) // pinned: the oracle replays the cells
+
+  /** The q196 funnel over caller-supplied frames — the same body the
+    * catalog query and the ScaleSmoke composition leg run, so the
+    * growth measurement exercises the exact chained plan the oracle
+    * hash-checks. `docs` needs (doc_id, text, lang, source); `embs`
+    * (vec_id, embedding) with vec_id aligned to doc_id.
+    *
+    * `semPlanes`/`semProbe` set the semantic-dedup cell geometry: the
+    * catalog query pins (4, 0) so the DuckDB oracle replays the exact
+    * cells, but pinned planes are a REPLAY artifact, not a scale
+    * posture — fixed cell count means 16× corpus growth makes every
+    * cell 16× denser and the within-cell verify quadratic (the
+    * measured 27.7× funnel leg at 16×, vs linear once the leg passes
+    * AutoPlanes — production callers should leave the default).
+    */
+  def pipelineFunnel(s: SparkSession, docs: DataFrame, embs: DataFrame,
+      semPlanes: Int = graft.similarity.SemDedup.AutoPlanes,
+      semProbe: Int = 1): DataFrame = {
     import s.implicits._
-    val d0 = t(s, dir, "documents").filter(col("text").isNotNull)
+    val d0 = docs.filter(col("text").isNotNull)
     val n0 = d0.count()
     // 1. exact dedup (q30): min doc_id survives its md5(text) group
     val d1 = d0.join(Dedup.exactSurvivors(d0, "text", "doc_id")
@@ -6637,12 +6658,13 @@ object PipelineQueries {
     val r2 = Dedup.dropNearDuplicates(d1, "text", "doc_id", threshold = 0.7)
     val d2 = r2.survivors
     val n2 = d2.count()
-    // 3. semantic dedup over the joined embedding column (q76's
-    //    pinned 4-plane portable cells; probeBits pinned for replay)
+    // 3. semantic dedup over the joined embedding column (geometry
+    //    from semPlanes/semProbe — the catalog query pins q76's
+    //    4-plane single-probe cells for replay)
     val r3 = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
-      d2.join(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-        col("doc_id") === col("vec_id")),
-      "embedding", "doc_id", threshold = 0.5, numPlanes = 4, probeBits = 0)
+      d2.join(embs, col("doc_id") === col("vec_id")),
+      "embedding", "doc_id", threshold = 0.5, numPlanes = semPlanes,
+      probeBits = semProbe)
     val d3 = r3.survivors.select(d2.columns.map(col).toIndexedSeq: _*)
     val n3 = d3.count()
     // 4. Gopher quality gate (q180's four rules)
@@ -6821,7 +6843,174 @@ object PipelineQueries {
        |) ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q197
+  /** Incremental near-dup corpus maintenance
+    * ([[Dedup.incrementalNearDuplicates]]): the corpus splits at the
+    * doc_id midpoint into an established HISTORY (deduped first, the
+    * state a production corpus carries) and a new BATCH; the batch
+    * then deduplicates against history incrementally — batch×batch
+    * LSH plus batch×history band-key probes, history×history never
+    * rescanned. Output: the surviving batch doc_ids.
+    *
+    * The oracle is the SEMANTIC CONTRACT, not an implementation
+    * replay: DuckDB runs the full near-dup closure over
+    * (history-survivors ∪ batch) and restricts to the batch — so the
+    * hash match PROVES the incremental path computes exactly the full
+    * replay's answer at batch-driven cost (the only affordable shape
+    * when history is 100 TB and the batch is a day's crawl).
+    */
+  def q197IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d0 = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val r = d0.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .head()
+    val split = Math.floorDiv(r.getLong(0) + r.getLong(1), 2L)
+    val history = d0.filter(col("doc_id") <= split)
+    val batch = d0.filter(col("doc_id") > split)
+    val histSurv = Dedup.dropNearDuplicates(history, "text", "doc_id",
+      threshold = 0.7).survivors
+    Dedup.incrementalNearDuplicates(histSurv, batch, "text", "doc_id",
+        threshold = 0.7)
+      .survivors.select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** The portable MinHash(4)/2-band near-dup closure as a reusable CTE
+    * chain: emits `<p>sh … <p>surv` reading (doc_id, text) rows from
+    * CTE `src`; `<p>surv` is the survivor rows of `src`. The same
+    * machinery q196's funnel inlines, factored because q197 needs it
+    * twice (history pass, then the full-replay contract).
+    */
+  private def minhashDedupCtes(p: String, src: String,
+      threshold: Double): String =
+    s"""${p}sh AS (SELECT doc_id, CASE WHEN len(tkl) >= 3
+       |    THEN list_transform(range(1, len(tkl) - 1),
+       |      i -> tkl[i] || ' ' || tkl[i+1] || ' ' || tkl[i+2])
+       |    ELSE [text] END AS sh
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS tkl FROM $src)),
+       |${p}sg AS (SELECT doc_id, sh,
+       |  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS h0,
+       |  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS h1,
+       |  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS h2,
+       |  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS h3
+       |  FROM ${p}sh),
+       |${p}k AS (SELECT doc_id, 0 AS band, h0 || '#' || h1 AS key FROM ${p}sg
+       |  UNION ALL SELECT doc_id, 1, h2 || '#' || h3 FROM ${p}sg),
+       |${p}cd AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM ${p}k a JOIN ${p}k b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |${p}vr AS (SELECT ia, ib FROM ${p}cd
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS sha FROM ${p}sg) x ON x.doc_id = ia
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS shb FROM ${p}sg) y ON y.doc_id = ib
+       |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= $threshold),
+       |${p}sy AS (SELECT ia AS a, ib AS b FROM ${p}vr
+       |  UNION SELECT ib, ia FROM ${p}vr),
+       |${p}rc(a, b) AS (SELECT a, b FROM ${p}sy
+       |  UNION SELECT r.a, s.b FROM ${p}rc r JOIN ${p}sy s ON r.b = s.a),
+       |${p}lo AS (SELECT a AS doc_id FROM
+       |  (SELECT a, LEAST(a, MIN(b)) AS rep FROM ${p}rc GROUP BY a)
+       |  WHERE a <> rep),
+       |${p}surv AS (SELECT * FROM $src
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ${p}lo))""".stripMargin
+
+  val q197Sql: String =
+    s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |bnd AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS split FROM d0),
+       |h0 AS (SELECT d0.* FROM d0, bnd WHERE doc_id <= split),
+       |${minhashDedupCtes("h", "h0", 0.7)},
+       |u0 AS (SELECT * FROM hsurv
+       |  UNION ALL SELECT d0.* FROM d0, bnd WHERE doc_id > split),
+       |${minhashDedupCtes("u", "u0", 0.7)}
+       |SELECT doc_id FROM usurv, bnd WHERE doc_id > split
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q198
+  /** Incremental SEMANTIC dedup
+    * ([[graft.similarity.SemDedup.incrementalEmbeddingNearDuplicates]])
+    * — the embedding-space twin of q197: history (vec_id ≤ midpoint)
+    * is semantically deduped first under the q76 pinned portable cell
+    * scheme (4 md5-hyperplanes, single-probe), then the batch
+    * deduplicates against it incrementally — batch×batch cells plus
+    * history-probe×batch-home joins, history×history never
+    * re-verified. Output: surviving batch vec_ids. The oracle is the
+    * full-replay semantic contract (dedup over history-survivors ∪
+    * batch, restricted to the batch), exactly like q197's.
+    */
+  def q198IncrementalSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val r = e0.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+      .head()
+    val split = Math.floorDiv(r.getLong(0) + r.getLong(1), 2L)
+    val history = e0.filter(col("vec_id") <= split)
+    val batch = e0.filter(col("vec_id") > split)
+    // closure shuffles are edge-sized — the q68/q76 sizing rule
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val histSurv = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
+        history, "embedding", "vec_id", threshold = 0.3, numPlanes = 4,
+        probeBits = 0).survivors
+      graft.similarity.SemDedup.incrementalEmbeddingNearDuplicates(
+          histSurv, batch, "embedding", "vec_id", threshold = 0.3,
+          numPlanes = 4, probeBits = 0)
+        .survivors.select(col("vec_id")).orderBy(col("vec_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Portable 4-plane semantic-dedup closure as a reusable CTE chain
+    * (the q196 bk3/e3/rc3 machinery, factored): emits
+    * `<p>bk … <p>surv` reading (vec_id, embedding) rows from CTE
+    * `src`.
+    */
+  private def semDedupCtes(p: String, src: String,
+      threshold: Double): String = {
+    def proj(pl: Int): String =
+      s"""list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$pl|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    val bucket = (0 until 4).map(pl =>
+      s"(CASE WHEN ${proj(pl)} >= 0 THEN CAST(${1L << pl} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""${p}bk AS (SELECT e.vec_id, e.embedding, ($bucket) AS bucket
+       |  FROM $src e),
+       |${p}ed AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM ${p}bk a JOIN ${p}bk b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+       |  (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')) *
+       |   sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')))
+       |    >= $threshold),
+       |${p}sy AS (SELECT ia AS a, ib AS b FROM ${p}ed
+       |  UNION SELECT ib, ia FROM ${p}ed),
+       |${p}rc(a, b) AS (SELECT a, b FROM ${p}sy
+       |  UNION SELECT r.a, s.b FROM ${p}rc r JOIN ${p}sy s ON r.b = s.a),
+       |${p}lo AS (SELECT a AS vec_id FROM
+       |  (SELECT a, LEAST(a, MIN(b)) AS rep FROM ${p}rc GROUP BY a)
+       |  WHERE a <> rep),
+       |${p}surv AS (SELECT * FROM $src
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM ${p}lo))""".stripMargin
+  }
+
+  val q198Sql: String =
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT vec_id, embedding FROM embeddings),
+       |bnd AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS split FROM e0),
+       |h0 AS (SELECT e0.* FROM e0, bnd WHERE vec_id <= split),
+       |${semDedupCtes("h", "h0", 0.3)},
+       |u0 AS (SELECT * FROM hsurv
+       |  UNION ALL SELECT e0.* FROM e0, bnd WHERE vec_id > split),
+       |${semDedupCtes("u", "u0", 0.3)}
+       |SELECT vec_id FROM usurv, bnd WHERE vec_id > split
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_incremental_semdedup" -> (q198IncrementalSemDedup _),
+    "q197_incremental_neardup" -> (q197IncrementalNearDup _),
     "q196_pipeline_funnel" -> (q196PipelineFunnel _),
     "q195_simhash_complete" -> (q195SimhashComplete _),
     "q194_stream_perceptual_dedup" -> (q194StreamPerceptualDedup _),
@@ -6970,6 +7159,8 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q198_incremental_semdedup" -> q198Sql,
+    "q197_incremental_neardup" -> q197Sql,
     "q196_pipeline_funnel" -> q196Sql,
     "q195_simhash_complete" -> q195Sql,
     "q194_stream_perceptual_dedup" -> q194Sql,

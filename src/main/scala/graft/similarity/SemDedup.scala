@@ -158,4 +158,72 @@ object SemDedup {
     mapping.unpersist()
     Dedup.NearDupResult(df.join(losers, Seq(idCol), "left_anti"), losers)
   }
+
+  /** Incremental semantic dedup — the embedding-space twin of
+    * [[Dedup.incrementalNearDuplicates]]: a new `batch` deduplicates
+    * against an ALREADY-DEDUPED `history` without ever re-verifying
+    * history×history (history survivors are pairwise non-near-dup
+    * under this very cell scheme, so no history-internal edge can
+    * exist). Candidates are batch×batch (the plain
+    * [[nearDuplicatePairs]] pass) plus history-probe×batch-home cell
+    * joins — the exact hist×batch candidate set the full replay would
+    * generate, since a pair there surfaces from the SMALLER (history)
+    * id's probe of the larger id's home cell.
+    *
+    * EQUIVALENCE CONTRACT (spec'd; q198's oracle replays it): with
+    * every history id below every batch id AND the SAME pinned
+    * `numPlanes`/`probeBits` used for the history's own dedup,
+    * `survivors` equals `dropEmbeddingNearDuplicates(history ∪
+    * batch).survivors` restricted to the batch. Pinning is REQUIRED
+    * here (enforced): the density-derived AutoPlanes/AutoProbe
+    * defaults change with corpus size, so across-batch cell structure
+    * would silently drift and break the replay equivalence — the
+    * maintenance posture trades the governor for a stable index
+    * geometry, exactly like a persisted ANN index does.
+    *
+    * Scale shape: history contributes one cell-assignment scan and
+    * the keyed probe join; edge volume is batch-driven. Nothing
+    * quadratic in history, ever.
+    */
+  def incrementalEmbeddingNearDuplicates(history: DataFrame,
+      batch: DataFrame, embCol: String, idCol: String, threshold: Double,
+      numPlanes: Int, probeBits: Int,
+      maxBucketSize: Int = Int.MaxValue): Dedup.NearDupResult = {
+    require(numPlanes > 0 && probeBits >= 0,
+      "incremental maintenance needs PINNED planes and probe width — " +
+        "density-derived defaults change with corpus size and would " +
+        "break the full-replay equivalence across batches")
+    val dim = batch.select(size(col(embCol))).head().getInt(0)
+    def cells(df: DataFrame): DataFrame = df.select(col(idCol), col(embCol),
+      Ann.lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
+    val masks = Ann.probeBuckets(0L, numPlanes,
+      math.min(probeBits, numPlanes))
+    val h = cells(history)
+    val hProbes =
+      if (masks == Seq(0L))
+        h.select(col("__bucket"), col(idCol).as("id_a"),
+          col(embCol).as("__ea"))
+      else
+        h.select(explode(array(masks.map(m =>
+            col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"),
+          col(idCol).as("id_a"), col(embCol).as("__ea"))
+    val cross = hProbes
+      .join(cells(batch).select(col("__bucket").as("__bucket_b"),
+        col(idCol).as("id_b"), col(embCol).as("__eb")),
+        col("__bucket") === col("__bucket_b"))
+      .withColumn("cosine", Ann.cosine(col("__ea"), col("__eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val self = nearDuplicatePairs(batch, embCol, idCol, threshold,
+        numPlanes, maxBucketSize, probeBits)
+      .select(col("id_a"), col("id_b"))
+    val mapping = Components.connectedComponents(self.unionByName(cross))
+    val losers = mapping.filter(col("id") =!= col("rep"))
+      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id").as(idCol))
+      .persist()
+    losers.count() // materialize while the mapping cache is alive
+    mapping.unpersist()
+    Dedup.NearDupResult(batch.join(losers, Seq(idCol), "left_anti"), losers)
+  }
 }

@@ -1143,6 +1143,126 @@ object ScaleSmoke {
     } { edges =>
       graft.graph.GraphOps.degreeReciprocityCensus(edges).collect()
     }
+    // q187 OR-completeness census: per-key joins RESTRICTED to
+    // within-truth-group pairs (the documented bounded-truth contract
+    // — groups of ≤2 here, the clone-probe shape), keyed shuffles on
+    // (truth, band key) ⇒ ~linear in corpus size even as the corpus
+    // around the truth set grows m×
+    leg("or completeness") { m =>
+      corpus(m)
+        .withColumn("k1", substring(col("text"), 1, 8))
+        .withColumn("k2", substring(col("text"), 10, 8))
+        .withColumn("truth", shiftright(col("doc_id"), 1))
+    } { d =>
+      graft.candidates.Blocking.orPairCompleteness(
+        d, Seq("k1", "k2"), "truth", "doc_id").collect()
+    }
+    // q188 self-recall census (the evidence gate inside
+    // CandidateGenerator.auto): one TakeOrdered sample scan over the
+    // corpus, then all sketch/band/census work on the FIXED 256-row
+    // probe set ⇒ the corpus term is the scan, ~linear
+    leg("self recall census") { m =>
+      corpus(m).select(col("doc_id").as("id"), col("text"))
+    } { d =>
+      graft.candidates.LshBlockingGenerator.selfRecallCensus(d).collect()
+    }
+    // q189 autoProbe SELECTION pass itself (the recall-curve build,
+    // not the knnGraph it feeds): the probe set is gated to a FIXED
+    // count as the corpus grows (the production posture — the sampled
+    // ground truth is bounded by design), so the exact side is
+    // probe×corpus scans and the banded side keyed joins ⇒ ~linear
+    leg("autoprobe selection") { m =>
+      scaledEmb(m)
+    } { e =>
+      val n = e.count()
+      val gate = math.max(1L, n / 200L)
+      graft.similarity.Ann.autoProbe(e, "embedding", "vec_id", k = 10,
+        probeGate = pmod(col("vec_id"), lit(gate)) === 0L,
+        targetRecallPct = 40L)._2.collect()
+    }
+    // q196 pipeline funnel END-TO-END: the seven-stage composition
+    // (exact dedup → minhash near-dup → semdedup → gopher → decontam →
+    // mix → pack) as ONE chained job — the composition inherits each
+    // stage's posture, so growth at-or-below linear here certifies the
+    // stages still compose when the corpus scales, not just alone.
+    // Replica ids keep doc_id/vec_id alignment (both ×m+rep).
+    // PRODUCTION geometry (AutoPlanes cells, probe width 1 — the width
+    // q189's governor picks on this corpus): the catalog query's
+    // pinned 4-plane cells are a replay artifact that goes quadratic
+    // in cell density (measured 27.7 at 16× before this leg switched).
+    if (on("pipeline funnel")) {
+      val ts = mults.map { m =>
+        val d = corpus(m); d.count()
+        val e = scaledEmb(m); e.count()
+        def run(): Unit = graft.queries.PipelineQueries
+          .pipelineFunnel(spark, d, e).collect()
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"pipeline funnel"}%-22s " +
+        ts.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${ts.last / ts.head}%5.1f")
+    }
+    // q197 incremental near-dup: FIXED batch against m×-growing
+    // history — the 100 TB maintenance posture. History contributes
+    // one band-key sketch pass and the keyed probe join (both linear);
+    // candidates and edges stay batch-driven. Every batch doc here
+    // collides with a history replica (worst-case edge volume for the
+    // batch size), so growth at-or-below linear certifies the claim
+    // that history×history is never rescanned.
+    if (on("incremental neardup")) {
+      val ts = mults.map { m =>
+        val d = corpus(m).select(col("doc_id"), col("text")); d.count()
+        val batch = corpus(1)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+          .cache()
+        batch.count()
+        def run(): Unit = {
+          val r = Dedup.incrementalNearDuplicates(d, batch,
+            "text", "doc_id", threshold = 0.7)
+          try r.survivors.count() finally r.close()
+        }
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"incremental neardup"}%-22s " +
+        ts.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${ts.last / ts.head}%5.1f")
+    }
+    // Manku key-width claim, measured as CANDIDATE VOLUME (the number
+    // the join pays, from cardinality arithmetic — zero pairs
+    // materialized): autoBlocks must keep candidates near-linear while
+    // the minimal nb=d+1 layout's chance collisions (n²·(d+1)/2^15 at
+    // 60/4 bits) go super-linear. Run with large mults (4 32 256) to
+    // see the divergence; the census itself stays cheap either way.
+    if (on("simhash cand census")) {
+      val rows = mults.map { m =>
+        val sigs = corpus(m).filter(col("text").isNotNull)
+          .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig"))
+          .repartition(32).cache()
+        sigs.count()
+        val auto = Dedup.simhashCompleteCandidateCensus(sigs).head()
+        val minimal = Dedup
+          .simhashCompleteCandidateCensus(sigs, numBlocks = 4).head()
+        sigs.unpersist()
+        spark.catalog.clearCache()
+        (m, auto.getLong(0), auto.getInt(1), auto.getLong(3),
+          minimal.getLong(3))
+      }
+      println(f"${"simhash cand census"}%-22s  n / nb / auto-cands / minimal-cands")
+      rows.foreach { case (m, n, nb, a, mn) =>
+        println(f"  ${m + "x"}%6s n=$n%9d nb=$nb%2d auto=$a%12d minimal=$mn%12d")
+      }
+      val (growth2, aGrow, mGrow) = (rows.last._2.toDouble / rows.head._2,
+        rows.last._4.toDouble / math.max(rows.head._4, 1L),
+        rows.last._5.toDouble / math.max(rows.head._5, 1L))
+      println(f"  [cand growth] corpus ${growth2}%.0fx: auto ${aGrow}%.1fx, " +
+        f"minimal ${mGrow}%.1fx")
+    }
     spark.stop()
   }
 }

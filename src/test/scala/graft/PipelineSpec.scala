@@ -109,6 +109,87 @@ class PipelineSpec extends SparkSpec {
     assert(verified === Set((0L, 1L)))
   }
 
+  test("incremental near-dup == full replay restricted to the batch") {
+    import spark.implicits._
+    def doc(words: String*): String = words.mkString(" ")
+    val base = "the quick brown fox jumps over the lazy dog again and again".split(" ")
+    def variant(drop: Int): String =
+      doc(base.zipWithIndex.filter(_._2 != drop).map(_._1).toIndexedSeq: _*)
+    // history 0..9 (two of them near-dups of each other), batch
+    // 100..109 with: an exact clone of a history doc, a near-dup of a
+    // history doc, a batch-internal dup pair, and fresh docs
+    val history = Seq(
+      (0L, doc(base.toIndexedSeq: _*)), (1L, variant(3)), // near-dups
+      (2L, "completely different text about spark catalyst planning"),
+      (3L, "third unrelated document mentioning parquet column pruning"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, doc(base.toIndexedSeq: _*)),  // exact clone of doc 0
+      (101L, variant(5)),                  // near-dup of doc 0
+      (102L, "fresh batch document with novel content entirely its own"),
+      (103L, "fresh batch document with novel content entirely its own"),
+      (104L, "another genuinely new batch document nothing matches"))
+      .toDF("doc_id", "text")
+    val histR = Dedup.dropNearDuplicates(history, "text", "doc_id", 0.5)
+    val histSurv = histR.survivors.cache()
+    val inc = Dedup.incrementalNearDuplicates(histSurv, batch,
+      "text", "doc_id", 0.5)
+    val got = inc.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val full = Dedup.dropNearDuplicates(histSurv.unionByName(batch),
+      "text", "doc_id", 0.5)
+    val want = full.survivors.filter(col("doc_id") >= 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // the contract bites: history collisions killed 100/101, the
+    // batch-internal pair kept its min, fresh docs survived
+    assert(!got.contains(100L) && !got.contains(101L))
+    assert(got.contains(102L) && !got.contains(103L))
+    assert(got.contains(104L))
+    // prekeyed history (the amortization path) gives the same answer
+    val keys = Dedup.lshBandKeys(histSurv, "text", "doc_id").cache()
+    val inc2 = Dedup.incrementalNearDuplicates(histSurv, batch,
+      "text", "doc_id", 0.5, historyKeys = Some(keys))
+    assert(inc2.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet === got)
+    inc2.close(); keys.unpersist(); full.close(); inc.close()
+    histSurv.unpersist(); histR.close()
+  }
+
+  test("incremental semantic dedup == full replay restricted to the batch") {
+    import spark.implicits._
+    import graft.similarity.SemDedup
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    def jitter(v: Seq[Float]): Seq[Float] = v.map(x => x + 0.001f)
+    val h0 = vec(); val h1 = vec()
+    // history 0..4 (1 a clone of 0), batch 100..104 with a clone of a
+    // history vector, a batch-internal clone pair, and fresh vectors
+    val history = Seq((0L, h0), (1L, jitter(h0)), (2L, h1),
+      (3L, vec()), (4L, vec())).toDF("vec_id", "embedding")
+    val b0 = vec()
+    val batch = Seq((100L, jitter(h1)), (101L, b0), (102L, jitter(b0)),
+      (103L, vec()), (104L, vec())).toDF("vec_id", "embedding")
+    val histR = SemDedup.dropEmbeddingNearDuplicates(history, "embedding",
+      "vec_id", threshold = 0.99, numPlanes = 3, probeBits = 1)
+    val histSurv = histR.survivors.cache()
+    val inc = SemDedup.incrementalEmbeddingNearDuplicates(histSurv, batch,
+      "embedding", "vec_id", threshold = 0.99, numPlanes = 3, probeBits = 1)
+    val got = inc.survivors.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val full = SemDedup.dropEmbeddingNearDuplicates(
+      histSurv.unionByName(batch), "embedding", "vec_id",
+      threshold = 0.99, numPlanes = 3, probeBits = 1)
+    val want = full.survivors.filter(col("vec_id") >= 100L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // the contract bites: 100 died to history, 102 to its batch twin
+    assert(!got.contains(100L))
+    assert(got.contains(101L) && !got.contains(102L))
+    assert(got.contains(103L) && got.contains(104L))
+    full.close(); inc.close(); histSurv.unpersist(); histR.close()
+  }
+
   test("winnowing: shared runs fingerprint together; guarantees coverage") {
     val fps = docs.select(col("doc_id"),
       Dedup.winnowFingerprints(col("text")).as("fps")).collect()
@@ -344,6 +425,33 @@ class PipelineSpec extends SparkSpec {
     // capped at d+5 even for absurd counts, and always > d
     assert(Dedup.autoBlocks(Long.MaxValue, 3, 60) === 8)
     assert(Dedup.autoBlocks(0L, 0, 64) === 1)
+  }
+
+  test("candidate census counts exactly the pairs the complete join pays") {
+    val rnd = new scala.util.Random(7)
+    val sigsSeq = (0L until 90L).map(i =>
+      (i, rnd.nextLong() & ((1L << 60) - 1))) ++
+      Seq((200L, 0L), (201L, 0L), (202L, 1L)) // forced key collisions
+    val sigs = sigsSeq.toDF("doc_id", "sig")
+    Seq(4, 6).foreach { nb =>
+      val got = Dedup.simhashCompleteCandidateCensus(sigs,
+        maxDistance = 3, bits = 60, numBlocks = nb).head()
+      // pure-Scala replay of the same layout arithmetic
+      val widths = IndexedSeq.tabulate(nb)(i =>
+        60 / nb + (if (i < 60 % nb) 1 else 0))
+      val offsets = widths.scanLeft(0)(_ + _).init
+      def block(sig: Long, i: Int): Long =
+        (sig >>> offsets(i)) & ((1L << widths(i)) - 1L)
+      val expected = (0 until nb).combinations(nb - 3).map { kept =>
+        sigsSeq.groupBy { case (_, s) => kept.map(block(s, _)) }
+          .values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+      }.sum
+      assert(got.getLong(0) === sigsSeq.size.toLong)
+      assert(got.getInt(1) === nb)
+      assert(got.getLong(3) === expected, s"nb=$nb")
+      // identical sigs collide in EVERY table
+      assert(got.getLong(3) >= got.getInt(2).toLong)
+    }
   }
 
   test("portable LSH bucket: literal md5 weights, groups identical vectors") {
