@@ -225,6 +225,14 @@ object Dedup {
     * amortize, the `withBandKeys` pattern) and the keyed probe join;
     * candidate and edge volume are batch-driven. Nothing quadratic in
     * history, ever.
+    *
+    * Relation to [[IncrementalDedup.nearDupNewDocs]] (the streaming
+    * state-table face): that one verifies by minhash SIGNATURE
+    * AGREEMENT against a compact band-key state table — the right
+    * trade per trigger, but an estimate, so it cannot promise replay
+    * equivalence. THIS operator verifies exact jaccard against the
+    * history text and carries the full-replay contract — the
+    * batch-maintenance surface you reconcile a corpus with.
     */
   def incrementalNearDuplicates(history: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.7,

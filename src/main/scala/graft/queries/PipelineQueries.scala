@@ -6648,66 +6648,106 @@ object PipelineQueries {
       semPlanes: Int = graft.similarity.SemDedup.AutoPlanes,
       semProbe: Int = 1): DataFrame = {
     import s.implicits._
-    val d0 = docs.filter(col("text").isNotNull)
-    val n0 = d0.count()
-    // 1. exact dedup (q30): min doc_id survives its md5(text) group
-    val d1 = d0.join(Dedup.exactSurvivors(d0, "text", "doc_id")
-      .select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val n1 = d1.count()
-    // 2. MinHash near-dup deletion (q32 candidates, q68 closure)
-    val r2 = Dedup.dropNearDuplicates(d1, "text", "doc_id", threshold = 0.7)
-    val d2 = r2.survivors
-    val n2 = d2.count()
-    // 3. semantic dedup over the joined embedding column (geometry
-    //    from semPlanes/semProbe — the catalog query pins q76's
-    //    4-plane single-probe cells for replay)
-    val r3 = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
-      d2.join(embs, col("doc_id") === col("vec_id")),
-      "embedding", "doc_id", threshold = 0.5, numPlanes = semPlanes,
-      probeBits = semProbe)
-    val d3 = r3.survivors.select(d2.columns.map(col).toIndexedSeq: _*)
-    val n3 = d3.count()
-    // 4. Gopher quality gate (q180's four rules)
-    val d4 = TextAnalysis.withGopherSignals(d3)
-      .filter(!col("g_fail_mwl") && !col("g_fail_len") &&
-        !col("g_fail_stop") && !col("g_fail_rep"))
-      .select(d3.columns.map(col).toIndexedSeq: _*)
-    val n4 = d4.count()
-    // 5. decontamination (q58): drop the benchmark source itself plus
-    //    any survivor sharing a distinct 5-gram with it (grams from
-    //    the RAW corpus — contamination is against the benchmark as
-    //    published, not its deduped remnant)
-    val bGrams = d0.filter(col("source") === "src19")
-      .select(explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
-      .distinct()
-    val train = d4.filter(col("source") =!= "src19")
-    val contaminated = train.select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
-      .join(broadcast(bGrams), Seq("g"))
-      .select(col("doc_id")).distinct()
-    val d5 = train.join(contaminated, Seq("doc_id"), "left_anti")
-    val n5 = d5.count()
-    // 6. mix sampling (q53's md5 gate)
-    val d6 = TextAnalysis.mixSample(d5, "source", "doc_id", funnelMixRates)
-    val n6 = d6.count()
-    // 7. sequence packing (q71): 512-token chunks per lang; the
-    //    ledger's final n_out is the CHUNK count the funnel emits
-    val nChunks = graft.operators.Packing.packingCensus(
-        d6.select(col("lang"), col("doc_id"),
-          size(split(col("text"), " ")).as("sz")),
-        Seq("lang"), "doc_id", "sz", budget = 512)
-      .agg(coalesce(sum(col("n_chunks")), lit(0L))).head().getLong(0)
-    r2.close(); r3.close()
-    Seq(
-      (1, "exact_dedup", n0, n1),
-      (2, "neardup_minhash", n1, n2),
-      (3, "semdedup", n2, n3),
-      (4, "gopher_quality", n3, n4),
-      (5, "decontaminate", n4, n5),
-      (6, "mix_sample", n5, n6),
-      (7, "pack_512", n6, nChunks))
-      .toDF("stage", "stage_name", "n_in", "n_out")
-      .orderBy(col("stage"))
+    // Inter-stage checkpoints: each stage's survivor set is consumed
+    // by its own count AND by every downstream stage's action, so an
+    // unpinned chain re-executes stage k once per downstream stage —
+    // O(stages²) recompute (measured: 15.1 s → ~2× less with pins at
+    // sf0.1). Pins are released before return (the ledger is a local
+    // Seq by then); a disk-backed pipeline would write intermediate
+    // tables here instead, same idea.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pinned += df.cache(); df }
+    // dev-only stage profiler (GRAFT_FUNNEL_TIMING=1): prints wall per
+    // stage to stderr; zero cost when unset
+    var t0 = System.nanoTime()
+    def lap(stage: String): Unit =
+      if (sys.env.contains("GRAFT_FUNNEL_TIMING")) {
+        val t1 = System.nanoTime()
+        System.err.println(f"[funnel] $stage ${(t1 - t0) / 1e9}%.2fs")
+        t0 = t1
+      }
+    try {
+      val d0 = pin(docs.filter(col("text").isNotNull))
+      val n0 = d0.count()
+      lap("d0_scan")
+      // 1. exact dedup (q30): min doc_id survives its md5(text) group
+      val d1 = pin(d0.join(Dedup.exactSurvivors(d0, "text", "doc_id")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      val n1 = d1.count()
+      lap("s1_exact")
+      // 2+3. the two closure stages run their edge-sized shuffles at 8
+      // partitions (the q68/q76 sizing rule — duplicate-pair edge sets
+      // are orders of magnitude below the corpus; each closure round is
+      // ~6 shuffles, so the default-partition overhead multiplies)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val (r2, r3) =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          // 2. MinHash near-dup deletion (q32 candidates, q68 closure)
+          val a = Dedup.dropNearDuplicates(d1, "text", "doc_id",
+            threshold = 0.7)
+          // 3. semantic dedup over the joined embedding column
+          //    (geometry from semPlanes/semProbe — the catalog query
+          //    pins q76's 4-plane single-probe cells for replay)
+          val b = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
+            a.survivors.join(embs, col("doc_id") === col("vec_id")),
+            "embedding", "doc_id", threshold = 0.5, numPlanes = semPlanes,
+            probeBits = semProbe)
+          (a, b)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val d2 = pin(r2.survivors)
+      val n2 = d2.count()
+      lap("s2_minhash")
+      val d3 = pin(r3.survivors.select(d2.columns.map(col).toIndexedSeq: _*))
+      val n3 = d3.count()
+      lap("s3_semdedup")
+      // 4. Gopher quality gate (q180's four rules)
+      val d4 = pin(TextAnalysis.withGopherSignals(d3)
+        .filter(!col("g_fail_mwl") && !col("g_fail_len") &&
+          !col("g_fail_stop") && !col("g_fail_rep"))
+        .select(d3.columns.map(col).toIndexedSeq: _*))
+      val n4 = d4.count()
+      lap("s4_gopher")
+      // 5. decontamination (q58): drop the benchmark source itself plus
+      //    any survivor sharing a distinct 5-gram with it (grams from
+      //    the RAW corpus — contamination is against the benchmark as
+      //    published, not its deduped remnant)
+      val bGrams = d0.filter(col("source") === "src19")
+        .select(explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
+        .distinct()
+      val train = d4.filter(col("source") =!= "src19")
+      val contaminated = train.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
+        .join(broadcast(bGrams), Seq("g"))
+        .select(col("doc_id")).distinct()
+      val d5 = pin(train.join(contaminated, Seq("doc_id"), "left_anti"))
+      val n5 = d5.count()
+      lap("s5_decontam")
+      // 6. mix sampling (q53's md5 gate)
+      val d6 = pin(TextAnalysis.mixSample(d5, "source", "doc_id",
+        funnelMixRates))
+      val n6 = d6.count()
+      lap("s6_mix")
+      // 7. sequence packing (q71): 512-token chunks per lang; the
+      //    ledger's final n_out is the CHUNK count the funnel emits
+      val nChunks = graft.operators.Packing.packingCensus(
+          d6.select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).as("sz")),
+          Seq("lang"), "doc_id", "sz", budget = 512)
+        .agg(coalesce(sum(col("n_chunks")), lit(0L))).head().getLong(0)
+      lap("s7_pack")
+      r2.close(); r3.close()
+      Seq(
+        (1, "exact_dedup", n0, n1),
+        (2, "neardup_minhash", n1, n2),
+        (3, "semdedup", n2, n3),
+        (4, "gopher_quality", n3, n4),
+        (5, "decontaminate", n4, n5),
+        (6, "mix_sample", n5, n6),
+        (7, "pack_512", n6, nChunks))
+        .toDF("stage", "stage_name", "n_in", "n_out")
+        .orderBy(col("stage"))
+    } finally pinned.foreach(_.unpersist(false))
   }
 
   /** Funnel mix rates: every non-benchmark source enumerated (absent

@@ -1233,6 +1233,36 @@ object ScaleSmoke {
         ts.map(t => f"$t%7.2fs").mkString(" ") +
         f"   ${ts.last / ts.head}%5.1f")
     }
+    // q198 incremental SEMANTIC dedup: same posture as the minhash
+    // twin — fixed batch, m×-growing history, pinned cell geometry
+    // (the maintenance contract): history contributes one cell
+    // assignment scan + the keyed probe join ⇒ at-or-below linear.
+    // Planes sized for the LARGEST history so cells stay sane as m
+    // grows (pinned geometry is the operator's own requirement).
+    if (on("incremental semdedup")) {
+      val planes = graft.similarity.SemDedup.autoPlanes(
+        spark.read.parquet(s"$sfDir/embeddings.parquet").count() * mults.last)
+      val ts = mults.map { m =>
+        val h = scaledEmb(m); h.count()
+        val batch = scaledEmb(1)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+          .cache()
+        batch.count()
+        def run(): Unit = {
+          val r = graft.similarity.SemDedup.incrementalEmbeddingNearDuplicates(
+            h, batch, "embedding", "vec_id", threshold = 0.3,
+            numPlanes = planes, probeBits = 1)
+          try r.survivors.count() finally r.close()
+        }
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"incremental semdedup"}%-22s " +
+        ts.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${ts.last / ts.head}%5.1f")
+    }
     // Manku key-width claim, measured as CANDIDATE VOLUME (the number
     // the join pays, from cardinality arithmetic — zero pairs
     // materialized): autoBlocks must keep candidates near-linear while

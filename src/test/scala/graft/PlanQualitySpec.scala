@@ -705,4 +705,31 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
     } finally r.close()
   }
+
+  test("q197/q198: incremental dedup plans are keyed joins, no cartesians") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    val hist = docs.filter(col("doc_id") < 25L)
+    val batch = docs.filter(col("doc_id") >= 25L)
+    val r = graft.dedup.Dedup.incrementalNearDuplicates(hist, batch,
+      "text", "doc_id", threshold = 0.7)
+    try {
+      val p = plan(r.survivors)
+      assert(p.contains("LeftAnti"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    } finally r.close()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val r2 = graft.similarity.SemDedup.incrementalEmbeddingNearDuplicates(
+      e.filter(col("vec_id") < 25L), e.filter(col("vec_id") >= 25L),
+      "embedding", "vec_id", threshold = 0.3, numPlanes = 4, probeBits = 1)
+    try {
+      val p2 = plan(r2.survivors)
+      assert(p2.contains("LeftAnti"), p2)
+      assert(!p2.contains("CartesianProduct"), p2)
+      assert(!p2.contains("BroadcastNestedLoopJoin"), p2)
+    } finally r2.close()
+  }
 }
