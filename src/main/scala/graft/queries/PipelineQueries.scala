@@ -7048,7 +7048,47 @@ object PipelineQueries {
        |SELECT vec_id FROM usurv, bnd WHERE vec_id > split
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+  /** Fraction-threshold decontamination census
+    * ([[graft.text.Decontaminate.overlapCensus]]): for every train doc
+    * sharing at least one distinct 3-gram with the src19 benchmark,
+    * its (n_grams, n_matched, overlap_q) — the production decontam
+    * rule (contaminated when ≥ minFrac of the doc's distinct grams hit
+    * the benchmark set), vs q58's maximal-safety ANY-shared rule. At
+    * sf0.01: 375 docs have hits but only 17 exceed 10% overlap — the
+    * fraction rule is what keeps a corpus from losing every doc that
+    * quotes a common phrase. overlap_q is 1e-9-quantized integer, so
+    * the threshold boundary hash-matches the oracle exactly.
+    */
+  def q199DecontamFraction(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    val bg = graft.text.Decontaminate.gramSet(
+      d.filter(col("source") === "src19"), "text", 3)
+    graft.text.Decontaminate.overlapCensus(
+        d.filter(col("source") =!= "src19"), "text", "doc_id", bg, 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q199Sql: String =
+    """WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, source, unnest(list_distinct(
+      |    CASE WHEN len(tk) >= 3
+      |      THEN list_transform(range(1, len(tk) - 1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |      ELSE [text] END)) AS g FROM d),
+      |bg AS (SELECT DISTINCT g FROM g WHERE source = 'src19'),
+      |tg AS (SELECT doc_id, g FROM g WHERE source <> 'src19'),
+      |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+      |mt AS (SELECT doc_id, COUNT(*) AS n_matched FROM tg
+      |  JOIN bg USING (g) GROUP BY doc_id)
+      |SELECT pd.doc_id, n_grams, n_matched,
+      |  CAST(FLOOR(CAST(n_matched AS DOUBLE) / CAST(n_grams AS DOUBLE)
+      |    * 1e9) AS BIGINT) AS overlap_q
+      |FROM pd JOIN mt USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_decontam_fraction" -> (q199DecontamFraction _),
     "q198_incremental_semdedup" -> (q198IncrementalSemDedup _),
     "q197_incremental_neardup" -> (q197IncrementalNearDup _),
     "q196_pipeline_funnel" -> (q196PipelineFunnel _),
@@ -7199,6 +7239,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q199_decontam_fraction" -> q199Sql,
     "q198_incremental_semdedup" -> q198Sql,
     "q197_incremental_neardup" -> q197Sql,
     "q196_pipeline_funnel" -> q196Sql,

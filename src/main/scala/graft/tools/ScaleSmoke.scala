@@ -1233,6 +1233,18 @@ object ScaleSmoke {
         ts.map(t => f"$t%7.2fs").mkString(" ") +
         f"   ${ts.last / ts.head}%5.1f")
     }
+    // q199 fraction decontamination: one distinct-gram explode over the
+    // train side + a broadcast benchmark gram join + per-doc count agg
+    // ⇒ ~linear (the benchmark side is FIXED — production shape)
+    leg("decontam fraction") { m =>
+      corpus(m)
+    } { d =>
+      val bg = graft.text.Decontaminate.gramSet(
+        d.filter(col("source") === "src19").limit(2000), "text", 3)
+      graft.text.Decontaminate.overlapCensus(
+          d.filter(col("source") =!= "src19"), "text", "doc_id", bg, 3)
+        .agg(count(lit(1)), sum(col("n_matched"))).collect()
+    }
     // q198 incremental SEMANTIC dedup: same posture as the minhash
     // twin — fixed batch, m×-growing history, pinned cell geometry
     // (the maintenance contract): history contributes one cell

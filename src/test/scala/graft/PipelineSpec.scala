@@ -190,6 +190,43 @@ class PipelineSpec extends SparkSpec {
     full.close(); inc.close(); histSurv.unpersist(); histR.close()
   }
 
+  test("decontamination: fraction rule spares quoters, catches embedders") {
+    import spark.implicits._
+    import graft.text.Decontaminate
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+    val bg = Decontaminate.gramSet(bench, "text", 3).cache()
+    // 8 distinct 3-grams in the benchmark doc
+    assert(bg.count() === 8L)
+    val train = Seq(
+      // embeds half the benchmark: 4 of its 11 grams match (36.4%)
+      (1L, "alpha beta gamma delta epsilon zeta own words following here six more tokens"),
+      // quotes one phrase: 1 matching gram among many
+      (2L, "totally unrelated text that happens to say alpha beta gamma once in passing somewhere"),
+      (3L, "nothing shared at all with the benchmark document body"))
+      .toDF("doc_id", "text")
+    val census = Decontaminate.overlapCensus(train, "text", "doc_id", bg, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(census.keySet === Set(1L, 2L)) // doc 3 has no hits
+    assert(census(1L)._2 === 4L)
+    assert(census(2L)._2 === 1L)
+    // 10% threshold: the embedder dies, the quoter survives —
+    // while the ANY rule would kill both
+    val kept = Decontaminate.dropContaminated(train, "text", "doc_id",
+        bg, 3, minFracQ = 100000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+    val anyRule = Decontaminate.contaminatedAnyShared(train, "text",
+        "doc_id", bg, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(anyRule === Set(1L, 2L))
+    // quantization boundary is exact: doc 1 overlap = 4/11
+    assert(census(1L)._1 === 11L)
+    assert(census(1L)._3 === math.floor(4.0 / 11.0 * 1e9).toLong)
+    bg.unpersist()
+  }
+
   test("winnowing: shared runs fingerprint together; guarantees coverage") {
     val fps = docs.select(col("doc_id"),
       Dedup.winnowFingerprints(col("text")).as("fps")).collect()
