@@ -129,12 +129,8 @@ object CandidateGenerator {
     // blocking, which means the reference-exact cross scan — not a
     // crash (auto stays total over its pre-census input domain)
     def censusable(s: DataFrame): Boolean =
-      s.schema.fields.find(_.name == "id").map(_.dataType).exists(
-        Seq[org.apache.spark.sql.types.DataType](
-          org.apache.spark.sql.types.ByteType,
-          org.apache.spark.sql.types.ShortType,
-          org.apache.spark.sql.types.IntegerType,
-          org.apache.spark.sql.types.LongType).contains)
+      s.schema.fields.find(_.name == "id").map(_.dataType)
+        .exists(graft.operators.TopK.integralKeyType)
     // self-ER passes the same frame twice — census each distinct
     // frame once (reference identity; DataFrame has no value equals)
     def recallOk: Boolean = minCorpusForBlocking <= 0 ||
@@ -279,10 +275,7 @@ object LshBlockingGenerator {
     // cast to null and silently collapse every pair into one truth
     // group (the knnGraph id rule)
     val idType = source.schema("id").dataType
-    require(Seq(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(idType),
+    require(graft.operators.TopK.integralKeyType(idType),
       s"selfRecallCensus requires an integral id column, got $idType")
     val text = TextSim.recordText(
       source.columns.filter(_ != "id").map(col).toIndexedSeq)

@@ -99,8 +99,19 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    lshCandidatePairsFromKeys(
+      lshBandKeys(df, textCol, idCol, numBands, rowsPerBand, k),
+      idCol, maxBucketSize)
+
+  /** The bucket-pass half of [[lshCandidatePairs]] over an existing
+    * [[lshBandKeys]] frame — callers that already paid the sketch pass
+    * (e.g. [[incrementalNearDuplicates]], which keys the batch once
+    * for both its history probe and its self pairs) reuse it here
+    * instead of sketching twice.
+    */
+  def lshCandidatePairsFromKeys(keys: DataFrame, idCol: String,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val keys = lshBandKeys(df, textCol, idCol, numBands, rowsPerBand, k)
     val buckets = keys.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
     val capped =
@@ -216,9 +227,13 @@ object Dedup {
     * monotonically assigned ids), `survivors` equals
     * `dropNearDuplicates(history ∪ batch).survivors` restricted to
     * the batch — the incremental path computes exactly the full
-    * replay's answer at batch-driven cost. Callers violating the id
-    * ordering get batch-internal dedup plus history-collision drops,
-    * but not the replay equivalence.
+    * replay's answer at batch-driven cost. The strict ordering also
+    * means the id SETS are disjoint — a history id reused by a batch
+    * row (a re-crawl overwriting in place) must go through an upsert
+    * first, since two texts under one id would make the per-id
+    * shingle lookup ambiguous. Callers violating the id ordering get
+    * batch-internal dedup plus history-collision drops, but not the
+    * replay equivalence.
     *
     * Scale shape: history contributes one column-pruned sketch pass
     * (band keys — persist them across batches via [[lshBandKeys]] to
@@ -238,34 +253,44 @@ object Dedup {
       textCol: String, idCol: String, threshold: Double = 0.7,
       numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3,
       historyKeys: Option[DataFrame] = None): NearDupResult = {
+    // pinned so the sketch fold (the expensive per-row md5-min pass)
+    // runs ONCE for the two consumers below (history probe + self
+    // pairs) — lazy reuse would re-sketch per consumer; released
+    // before return (this operator is internally eager: losers
+    // materialize below)
     val keysB = lshBandKeys(batch, textCol, idCol, numBands, rowsPerBand, k)
-    val keysH = historyKeys.getOrElse(
-      lshBandKeys(history, textCol, idCol, numBands, rowsPerBand, k))
-    val cross = keysH.select(col(idCol).as("id_a"), col("band"), col("key"))
-      .join(keysB.select(col(idCol).as("id_b"), col("band"), col("key")),
-        Seq("band", "key"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val self = lshCandidatePairs(batch, textCol, idCol, numBands,
-      rowsPerBand, k)
-    // self pairs have both ids in batch, cross pairs one in history —
-    // disjoint by construction, no cross-set dedup needed
-    val cands = self.unionByName(cross)
-    val refIds = cands
-      .select(explode(array(col("id_a"), col("id_b"))).as("__rid"))
-      .distinct()
-    val pruned = history.select(col(idCol), col(textCol))
-      .unionByName(batch.select(col(idCol), col(textCol)))
-      .join(refIds, col(idCol) === col("__rid"), "left_semi")
-    val edges = verifyJaccard(cands, pruned, textCol, idCol, threshold, k)
-      .select(col("id_a"), col("id_b"))
-    val mapping = Components.connectedComponents(edges)
-    val losers = mapping.filter(col("id") =!= col("rep"))
-      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .select(col("id").as(idCol))
       .persist()
-    losers.count() // materialize while the mapping cache is alive
-    mapping.unpersist()
-    NearDupResult(batch.join(losers, Seq(idCol), "left_anti"), losers)
+    try {
+      val keysH = historyKeys.getOrElse(
+        lshBandKeys(history, textCol, idCol, numBands, rowsPerBand, k))
+      val cross = keysH.select(col(idCol).as("id_a"), col("band"), col("key"))
+        .join(keysB.select(col(idCol).as("id_b"), col("band"), col("key")),
+          Seq("band", "key"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val self = lshCandidatePairsFromKeys(keysB, idCol)
+      // self pairs have both ids in batch, cross pairs one in history —
+      // disjoint by construction (the id-ordering contract implies the
+      // id SETS are disjoint; a shared id with different text would
+      // make verifyJaccard's per-id shingle lookup ambiguous), no
+      // cross-set dedup needed
+      val cands = self.unionByName(cross)
+      val refIds = cands
+        .select(explode(array(col("id_a"), col("id_b"))).as("__rid"))
+        .distinct()
+      val pruned = history.select(col(idCol), col(textCol))
+        .unionByName(batch.select(col(idCol), col(textCol)))
+        .join(refIds, col(idCol) === col("__rid"), "left_semi")
+      val edges = verifyJaccard(cands, pruned, textCol, idCol, threshold, k)
+        .select(col("id_a"), col("id_b"))
+      val mapping = Components.connectedComponents(edges)
+      val losers = mapping.filter(col("id") =!= col("rep"))
+        .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .select(col("id").as(idCol))
+        .persist()
+      losers.count() // materialize while the mapping cache is alive
+      mapping.unpersist()
+      NearDupResult(batch.join(losers, Seq(idCol), "left_anti"), losers)
+    } finally keysB.unpersist(false)
   }
 
   // ----------------------------------------------------------- winnowing

@@ -51,6 +51,19 @@ class TopKAgg(k: Int) extends Aggregator[Scored, ArrayBuffer[Scored], Seq[Scored
 
 object TopK {
 
+  /** Id/key types the aggregate's `cast("long")` round-trips
+    * losslessly — THE precondition behind every integral-id require in
+    * the library (knnGraph's edge ids, selfRecallCensus's truth
+    * arithmetic, autoProbe's recall curve): any other type casts to
+    * null and silently corrupts the result instead of failing.
+    */
+  def integralKeyType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(dt)
+
   /** Exact top-`k` rows per group by (`scoreCol` DESC, `idCol` ASC),
     * emitted as (groupCols..., rank, id, score) with rank 1-based.
     * One ObjectHashAggregate pair (partial + final) — the map-side

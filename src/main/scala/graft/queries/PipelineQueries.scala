@@ -6698,7 +6698,11 @@ object PipelineQueries {
       val d2 = pin(r2.survivors)
       val n2 = d2.count()
       lap("s2_minhash")
-      val d3 = pin(r3.survivors.select(d2.columns.map(col).toIndexedSeq: _*))
+      // losers anti-join, NOT r3.survivors: the semdedup input is the
+      // embedding INNER join, so a doc with no embedding row is absent
+      // from r3.survivors — but it cannot be a semantic near-dup and
+      // must pass through (the oracle's d3 = d2 minus losers semantic)
+      val d3 = pin(d2.join(r3.losers, Seq("doc_id"), "left_anti"))
       val n3 = d3.count()
       lap("s3_semdedup")
       // 4. Gopher quality gate (q180's four rules)
@@ -6708,18 +6712,16 @@ object PipelineQueries {
         .select(d3.columns.map(col).toIndexedSeq: _*))
       val n4 = d4.count()
       lap("s4_gopher")
-      // 5. decontamination (q58): drop the benchmark source itself plus
-      //    any survivor sharing a distinct 5-gram with it (grams from
-      //    the RAW corpus — contamination is against the benchmark as
-      //    published, not its deduped remnant)
-      val bGrams = d0.filter(col("source") === "src19")
-        .select(explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
-        .distinct()
+      // 5. decontamination (q58's ANY-shared rule via the
+      //    Decontaminate module): drop the benchmark source itself
+      //    plus any survivor sharing a distinct 5-gram with it (grams
+      //    from the RAW corpus — contamination is against the
+      //    benchmark as published, not its deduped remnant)
+      val bGrams = graft.text.Decontaminate.gramSet(
+        d0.filter(col("source") === "src19"), "text", 5)
       val train = d4.filter(col("source") =!= "src19")
-      val contaminated = train.select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
-        .join(broadcast(bGrams), Seq("g"))
-        .select(col("doc_id")).distinct()
+      val contaminated = graft.text.Decontaminate.contaminatedAnyShared(
+        train, "text", "doc_id", bGrams, 5)
       val d5 = pin(train.join(contaminated, Seq("doc_id"), "left_anti"))
       val n5 = d5.count()
       lap("s5_decontam")

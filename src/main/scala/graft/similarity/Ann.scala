@@ -448,7 +448,7 @@ object Ann {
     // types round-trip the cast losslessly, so anything else (string
     // ids would silently become null dst edges) is rejected up front
     val idType = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+    require(graft.operators.TopK.integralKeyType(idType),
       s"knnGraph requires an integral id column, got $idCol: $idType")
     if (df.isEmpty)
       return df.sparkSession.createDataFrame(

@@ -99,6 +99,17 @@ object SemDedup {
       targetRecallPct: Long = 80L, probeSample: Int = 200): DataFrame = {
     require(probeBits >= 0 || probeBits == Ann.AutoProbe,
       "probeBits must be >= 0 (or Ann.AutoProbe)")
+    // the governor's recall curve routes ids through the long-keyed
+    // TopK aggregate (the knnGraph id rule) — a string id would cast
+    // to null and the curve would read 0 recall at every width,
+    // silently selecting the widest (most expensive) probe. Reject
+    // up front; non-integral-id callers pin an explicit width.
+    if (probeBits == Ann.AutoProbe) {
+      val idType = df.schema(idCol).dataType
+      require(graft.operators.TopK.integralKeyType(idType),
+        s"probeBits = AutoProbe needs an integral id column (got " +
+          s"$idType); pin an explicit probe width for other id types")
+    }
     val planes = resolvePlanes(df, numPlanes)
     val resolvedProbe =
       if (probeBits != Ann.AutoProbe) probeBits
@@ -184,6 +195,12 @@ object SemDedup {
     * Scale shape: history contributes one cell-assignment scan and
     * the keyed probe join; edge volume is batch-driven. Nothing
     * quadratic in history, ever.
+    *
+    * `maxBucketSize` caps only the batch-SELF pass (the
+    * [[nearDuplicatePairs]] contract); the history-probe join is never
+    * capped — a missed history match would resurrect a duplicate —
+    * and the replay equivalence above is stated for the UNCAPPED
+    * setting, the oracle-exact one.
     */
   def incrementalEmbeddingNearDuplicates(history: DataFrame,
       batch: DataFrame, embCol: String, idCol: String, threshold: Double,
@@ -193,6 +210,13 @@ object SemDedup {
       "incremental maintenance needs PINNED planes and probe width — " +
         "density-derived defaults change with corpus size and would " +
         "break the full-replay equivalence across batches")
+    // an empty crawl window is the routine idle case for a
+    // maintenance op — all of the batch (nothing) survives
+    if (batch.isEmpty) {
+      val losers = batch.select(col(idCol)).persist()
+      losers.count()
+      return Dedup.NearDupResult(batch, losers)
+    }
     val dim = batch.select(size(col(embCol))).head().getInt(0)
     def cells(df: DataFrame): DataFrame = df.select(col(idCol), col(embCol),
       Ann.lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))

@@ -53,18 +53,24 @@ object Decontaminate {
     * at least one benchmark gram hit. `overlap_q` is the 1e-9
     * quantized fraction of the doc's distinct n-grams found in the
     * benchmark set.
+    *
+    * One train-side explode feeds BOTH counts through a left join
+    * with a hit marker (a separate inner-join branch would run the
+    * tokenize+shingle pass twice). The benchmark side carries no
+    * broadcast hint: gram sets of real eval suites are usually small
+    * enough that Catalyst/AQE broadcasts them on its own, and a
+    * benchmark too large for the driver then degrades to a shuffled
+    * join instead of failing the job.
     */
   def overlapCensus(train: DataFrame, textCol: String, idCol: String,
-      benchGrams: DataFrame, n: Int): DataFrame = {
-    val grams = train.select(col(idCol),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
-    val perDoc = grams.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"))
-    val matched = grams.join(broadcast(benchGrams), Seq("g"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
-    perDoc.join(matched, Seq(idCol))
+      benchGrams: DataFrame, n: Int): DataFrame =
+    train.select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .join(benchGrams.withColumn("__hit", lit(1)), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_matched"))
+      .filter(col("n_matched") > 0L)
       .withColumn("overlap_q", quantized(col("n_matched"), col("n_grams")))
-  }
 
   /** Train docs contaminated under the ANY-shared-gram rule (q58):
     * ids of docs sharing at least one distinct n-gram with the
@@ -74,7 +80,7 @@ object Decontaminate {
       idCol: String, benchGrams: DataFrame, n: Int): DataFrame =
     train.select(col(idCol),
         explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
-      .join(broadcast(benchGrams), Seq("g"))
+      .join(benchGrams, Seq("g"), "left_semi")
       .select(col(idCol)).distinct()
 
   /** Drop train docs whose benchmark n-gram overlap fraction reaches

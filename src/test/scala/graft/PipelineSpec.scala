@@ -190,6 +190,33 @@ class PipelineSpec extends SparkSpec {
     full.close(); inc.close(); histSurv.unpersist(); histR.close()
   }
 
+  test("incremental dedup edge cases: empty batch survives; AutoProbe rejects string ids") {
+    import spark.implicits._
+    import graft.similarity.SemDedup
+    val hist = Seq((0L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val empty = hist.filter(col("vec_id") < 0L)
+    // the routine idle case for a maintenance op: nothing arrives,
+    // nothing survives, nothing crashes
+    val r = SemDedup.incrementalEmbeddingNearDuplicates(hist, empty,
+      "embedding", "vec_id", threshold = 0.9, numPlanes = 2, probeBits = 0)
+    try assert(r.survivors.count() === 0L) finally r.close()
+    val histT = Seq((0L, "some history text here")).toDF("doc_id", "text")
+    val r2 = graft.dedup.Dedup.incrementalNearDuplicates(histT,
+      histT.filter(col("doc_id") < 0L), "text", "doc_id")
+    try assert(r2.survivors.count() === 0L) finally r2.close()
+    // the AutoProbe governor routes ids through the long-keyed TopK —
+    // string ids must be rejected loudly, not silently curve to zero
+    val strIds = Seq(("a", Seq(1.0f, 2.0f)), ("b", Seq(2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.nearDuplicatePairs(strIds, "embedding", "vec_id", 0.9)
+    }
+    assert(e.getMessage.contains("integral id"))
+    // pinned widths keep working for string ids
+    assert(SemDedup.nearDuplicatePairs(strIds, "embedding", "vec_id",
+      0.99, numPlanes = 2, probeBits = 0).count() === 0L)
+  }
+
   test("decontamination: fraction rule spares quoters, catches embedders") {
     import spark.implicits._
     import graft.text.Decontaminate
