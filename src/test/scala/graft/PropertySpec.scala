@@ -309,4 +309,48 @@ class PropertySpec extends SparkSpec {
     assert(got === want)
     assert(got.zip(words).forall { case (s, w) => s.mkString == w })
   }
+
+  test("incremental near-dup == full replay, over random corpora with planted dups") {
+    // THE q197 contract, property-checked: for corpora with random
+    // near-dup structure crossing the history/batch split, the
+    // incremental path equals the full replay restricted to the batch.
+    // Few samples, small corpora — each sample runs three full dedups
+    // (history, incremental, replay) through the component closure.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.dedup.Dedup
+    val base = ("the quick brown fox jumps over the lazy dog near the " +
+      "river bank every single morning before work starts").split(" ")
+    def variant(rnd: scala.util.Random): String = {
+      val drop = rnd.nextInt(base.length)
+      base.zipWithIndex.filter(_._2 != drop).map(_._1).mkString(" ")
+    }
+    def fresh(rnd: scala.util.Random, i: Long): String =
+      s"unique document number $i " + Seq.fill(10)(
+        ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(5)))
+        .mkString(" ")
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // ids 0..19 history, 100..119 batch; ~half of each side is a
+      // near-dup variant of the shared base text (cross-split dup
+      // structure guaranteed), the rest unique
+      def mk(idBase: Long): Seq[(Long, String)] =
+        (0 until 20).map(i => (idBase + i,
+          if (rnd.nextBoolean()) variant(rnd) else fresh(rnd, idBase + i)))
+      val history = mk(0L).toDF("doc_id", "text")
+      val batch = mk(100L).toDF("doc_id", "text")
+      val histR = Dedup.dropNearDuplicates(history, "text", "doc_id", 0.6)
+      val histSurv = histR.survivors.cache()
+      val inc = Dedup.incrementalNearDuplicates(histSurv, batch,
+        "text", "doc_id", 0.6)
+      val got = inc.survivors.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val full = Dedup.dropNearDuplicates(histSurv.unionByName(batch),
+        "text", "doc_id", 0.6)
+      val want = full.survivors.filter(col("doc_id") >= 100L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"seed=$seed")
+      full.close(); inc.close(); histSurv.unpersist(); histR.close()
+    }
+  }
 }
