@@ -732,4 +732,23 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p2.contains("BroadcastNestedLoopJoin"), p2)
     } finally r2.close()
   }
+
+  test("q199: decontam census is ONE train-side explode, no cartesians") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val bg = graft.text.Decontaminate.gramSet(
+      docs.filter(col("source") === "src19"), "text", 3)
+    val p = plan(graft.text.Decontaminate.overlapCensus(
+      docs.filter(col("source") =!= "src19"), "text", "doc_id", bg, 3))
+    // one Generate for the train explode, one for the benchmark gram
+    // set — a third would mean the census regressed to the two-branch
+    // shape that scanned the train corpus twice. Formatted explain
+    // prints each node once in the tree and once as a detail header
+    // "(N) Generate"; count the headers.
+    val generates = "\\(\\d+\\) Generate".r.findAllIn(p).length
+    assert(generates === 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
