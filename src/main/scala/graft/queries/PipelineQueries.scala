@@ -7089,7 +7089,54 @@ object PipelineQueries {
       |    * 1e9) AS BIGINT) AS overlap_q
       |FROM pd JOIN mt USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+  /** The decontamination DROP surface
+    * ([[graft.text.Decontaminate.dropContaminated]]) end-to-end at the
+    * 5% threshold (50000000 quantized — 161 of the 375 gram-sharing
+    * docs at sf0.01): survivors of the q199 census rule, as the
+    * per-source ledger (source, n_in, n_out) so the hash pins which
+    * sources lost how much — the number a pipeline operator actually
+    * watches after a decontam pass.
+    */
+  def q200DecontamDrop(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    val bg = graft.text.Decontaminate.gramSet(
+      d.filter(col("source") === "src19"), "text", 3)
+    val train = d.filter(col("source") =!= "src19")
+    val kept = graft.text.Decontaminate.dropContaminated(
+      train, "text", "doc_id", bg, 3, minFracQ = 50000000L)
+    train.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+      .join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_out")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_in"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"))
+      .orderBy(col("source"))
+  }
+
+  val q200Sql: String =
+    """WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, source, unnest(list_distinct(
+      |    CASE WHEN len(tk) >= 3
+      |      THEN list_transform(range(1, len(tk) - 1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |      ELSE [text] END)) AS g FROM d),
+      |bg AS (SELECT DISTINCT g FROM g WHERE source = 'src19'),
+      |tg AS (SELECT doc_id, g FROM g WHERE source <> 'src19'),
+      |ov AS (SELECT tg.doc_id, COUNT(*) AS n_grams,
+      |    COUNT(bg.g) AS n_matched
+      |  FROM tg LEFT JOIN bg ON tg.g = bg.g GROUP BY tg.doc_id),
+      |bad AS (SELECT doc_id FROM ov WHERE n_matched > 0 AND
+      |  CAST(FLOOR(CAST(n_matched AS DOUBLE) / CAST(n_grams AS DOUBLE)
+      |    * 1e9) AS BIGINT) >= 50000000),
+      |tr AS (SELECT * FROM d WHERE source <> 'src19')
+      |SELECT source, COUNT(*) AS n_in,
+      |  CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM bad)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      |FROM tr GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_decontam_drop" -> (q200DecontamDrop _),
     "q199_decontam_fraction" -> (q199DecontamFraction _),
     "q198_incremental_semdedup" -> (q198IncrementalSemDedup _),
     "q197_incremental_neardup" -> (q197IncrementalNearDup _),
@@ -7241,6 +7288,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q200_decontam_drop" -> q200Sql,
     "q199_decontam_fraction" -> q199Sql,
     "q198_incremental_semdedup" -> q198Sql,
     "q197_incremental_neardup" -> q197Sql,
