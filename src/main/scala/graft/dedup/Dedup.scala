@@ -235,6 +235,15 @@ object Dedup {
     * batch-internal dedup plus history-collision drops, but not the
     * replay equivalence.
     *
+    * `historyWins = true` switches the survivor rule to FIRST-ARRIVAL
+    * (the streaming semantic): a batch doc dies whenever its component
+    * touches any history doc, regardless of id order — so ids only
+    * need to be DISJOINT, not ordered. The ordered-id min-id contract
+    * above then coincides with this rule; with interleaved ids (the
+    * multi-source ingest shape) only this rule keeps the established
+    * corpus stable. q201 oracle-checks it with odd/even interleaved
+    * ids.
+    *
     * Scale shape: history contributes one column-pruned sketch pass
     * (band keys — persist them across batches via [[lshBandKeys]] to
     * amortize, the `withBandKeys` pattern) and the keyed probe join;
@@ -252,7 +261,8 @@ object Dedup {
   def incrementalNearDuplicates(history: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.7,
       numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3,
-      historyKeys: Option[DataFrame] = None): NearDupResult = {
+      historyKeys: Option[DataFrame] = None,
+      historyWins: Boolean = false): NearDupResult = {
     // pinned so the sketch fold (the expensive per-row md5-min pass)
     // runs ONCE for the two consumers below (history probe + self
     // pairs) — lazy reuse would re-sketch per consumer; released
@@ -283,10 +293,33 @@ object Dedup {
       val edges = verifyJaccard(cands, pruned, textCol, idCol, threshold, k)
         .select(col("id_a"), col("id_b"))
       val mapping = Components.connectedComponents(edges)
-      val losers = mapping.filter(col("id") =!= col("rep"))
-        .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .select(col("id").as(idCol))
-        .persist()
+      val loserRows =
+        if (!historyWins)
+          // min-id rule (the id-ordering contract): batch doc survives
+          // iff it is its component's overall min
+          mapping.filter(col("id") =!= col("rep"))
+            .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+            .select(col("id").as(idCol))
+        else {
+          // FIRST-ARRIVAL rule (streaming semantics, no id-ordering
+          // assumption): a batch doc dies iff its component touches
+          // ANY history doc — regardless of id order — or another
+          // batch doc with a smaller id claims the batch-only
+          // component. One marked per-component aggregate.
+          val marked = mapping.join(
+            batch.select(col(idCol).as("id"), lit(true).as("__isBatch")),
+            Seq("id"), "left")
+          val perRep = marked.groupBy(col("rep")).agg(
+            max(when(col("__isBatch").isNull, 1).otherwise(0))
+              .as("__hasHist"),
+            min(when(col("__isBatch").isNotNull, col("id")))
+              .as("__minBatch"))
+          marked.filter(col("__isBatch").isNotNull)
+            .join(perRep, Seq("rep"))
+            .filter(col("__hasHist") === 1 || col("id") =!= col("__minBatch"))
+            .select(col("id").as(idCol))
+        }
+      val losers = loserRows.persist()
       losers.count() // materialize while the mapping cache is alive
       mapping.unpersist()
       NearDupResult(batch.join(losers, Seq(idCol), "left_anti"), losers)

@@ -7135,7 +7135,52 @@ object PipelineQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out
       |FROM tr GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+  /** FIRST-ARRIVAL incremental near-dup
+    * ([[Dedup.incrementalNearDuplicates]] with `historyWins = true`) —
+    * the streaming-ingest semantic: history is the ODD doc_ids
+    * (deduped first), the batch the EVEN ones, so ids INTERLEAVE and
+    * the min-id rule would wrongly let a small-id batch doc evict an
+    * established history doc. Under first-arrival the established
+    * corpus is stable: a batch doc dies whenever its component touches
+    * history, else the min batch id survives its batch-only component.
+    * Output: surviving batch doc_ids. The oracle replays the closure
+    * over (history-survivors ∪ batch) and applies the same
+    * per-component rule — has-history kills, min-batch survives.
+    */
+  def q201FirstArrivalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d0 = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val history = d0.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+    val batch = d0.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+    val histSurv = Dedup.dropNearDuplicates(history, "text", "doc_id",
+      threshold = 0.7).survivors
+    Dedup.incrementalNearDuplicates(histSurv, batch, "text", "doc_id",
+        threshold = 0.7, historyWins = true)
+      .survivors.select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  val q201Sql: String =
+    s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |h0 AS (SELECT * FROM d0 WHERE doc_id % 2 = 1),
+       |${minhashDedupCtes("h", "h0", 0.7)},
+       |u0 AS (SELECT * FROM hsurv
+       |  UNION ALL SELECT * FROM d0 WHERE doc_id % 2 = 0),
+       |${minhashDedupCtes("u", "u0", 0.7)},
+       |urep AS (SELECT a AS id, LEAST(a, MIN(b)) AS rep FROM urc GROUP BY a),
+       |rep2 AS (SELECT u0.doc_id AS id, COALESCE(urep.rep, u0.doc_id) AS rep
+       |  FROM u0 LEFT JOIN urep ON u0.doc_id = urep.id),
+       |agg AS (SELECT rep,
+       |    MAX(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS has_hist,
+       |    MIN(CASE WHEN id % 2 = 0 THEN id END) AS min_batch
+       |  FROM rep2 GROUP BY rep)
+       |SELECT r.id AS doc_id FROM rep2 r JOIN agg USING (rep)
+       |WHERE r.id % 2 = 0 AND agg.has_hist = 0 AND r.id = agg.min_batch
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_first_arrival_dedup" -> (q201FirstArrivalDedup _),
     "q200_decontam_drop" -> (q200DecontamDrop _),
     "q199_decontam_fraction" -> (q199DecontamFraction _),
     "q198_incremental_semdedup" -> (q198IncrementalSemDedup _),
@@ -7288,6 +7333,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q201_first_arrival_dedup" -> q201Sql,
     "q200_decontam_drop" -> q200Sql,
     "q199_decontam_fraction" -> q199Sql,
     "q198_incremental_semdedup" -> q198Sql,

@@ -190,6 +190,34 @@ class PipelineSpec extends SparkSpec {
     full.close(); inc.close(); histSurv.unpersist(); histR.close()
   }
 
+  test("first-arrival rule keeps history stable under interleaved ids") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val history = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, base), // exact clone of history doc 1 — but with a SMALLER id
+      (2L, "completely different text about catalyst plan optimization"),
+      (4L, "completely different text about catalyst plan optimization"))
+      .toDF("doc_id", "text")
+    // min-id rule: batch doc 0 beats history doc 1 (0 < 1) — the
+    // ordered-id contract does NOT hold for interleaved ids, so the
+    // established corpus would churn
+    val minId = Dedup.incrementalNearDuplicates(history, batch,
+      "text", "doc_id", 0.7)
+    val gotMin = minId.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotMin.contains(0L))
+    minId.close()
+    // first-arrival: the history doc wins regardless of id; the
+    // batch-only clone pair keeps its min
+    val fa = Dedup.incrementalNearDuplicates(history, batch,
+      "text", "doc_id", 0.7, historyWins = true)
+    val gotFa = fa.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotFa === Set(2L))
+    fa.close()
+  }
+
   test("incremental dedup edge cases: empty batch survives; AutoProbe rejects string ids") {
     import spark.implicits._
     import graft.similarity.SemDedup
