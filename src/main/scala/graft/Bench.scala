@@ -23,6 +23,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // conf-registered (NOT addListener): streaming queries run on
+      // ConfScope forks, whose managers deliver progress events only
+      // to their own session's listeners — the class-name route makes
+      // every session (forks included) attach an instance, and the
+      // companion accumulates the totals across them
+      .config("spark.sql.streaming.streamingQueryListeners",
+        "graft.tools.BenchStreamMetrics")
     scratch.foreach(d => builder.config("spark.local.dir", d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,27 +70,10 @@ object Bench {
     // of triggerExecution is the fixed machinery — so the JSON records,
     // per streaming query, batches / input rows / addBatch seconds /
     // fixed seconds. A fixed term that grows with sf would falsify the
-    // assertion from the BENCH file alone.
-    val sBatches = new java.util.concurrent.atomic.AtomicLong
-    val sRows = new java.util.concurrent.atomic.AtomicLong
-    val sAddBatchMs = new java.util.concurrent.atomic.AtomicLong
-    val sTriggerMs = new java.util.concurrent.atomic.AtomicLong
-    spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          val p = e.progress
-          sBatches.incrementAndGet()
-          sRows.addAndGet(p.numInputRows)
-          def d(k: String): Long =
-            Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
-          sAddBatchMs.addAndGet(d("addBatch"))
-          sTriggerMs.addAndGet(d("triggerExecution"))
-          ()
-        }
-      })
+    // assertion from the BENCH file alone. Collected by the
+    // conf-registered graft.tools.BenchStreamMetrics (see builder
+    // above) so ConfScope-forked streaming queries are counted too.
+    import graft.tools.BenchStreamMetrics
     def metricSnapshot(): (Double, Double, Double, Long, Long, Double, Double) = {
       if (!org.apache.spark.GraftCoreBridge.flushListenerBus(spark.sparkContext))
         // a short flush bleeds this query's task metrics into the next
@@ -91,7 +81,9 @@ object Bench {
         System.err.println("BENCH WARNING: listener bus flush timed out; " +
           "the adjacent cpu/gc deltas are unreliable")
       (cpuNs.get / 1e9, runMs.get / 1e3, gcMs.get / 1e3,
-        sBatches.get, sRows.get, sAddBatchMs.get / 1e3, sTriggerMs.get / 1e3)
+        BenchStreamMetrics.batches.get, BenchStreamMetrics.rows.get,
+        BenchStreamMetrics.addBatchMs.get / 1e3,
+        BenchStreamMetrics.triggerMs.get / 1e3)
     }
 
     // Each query runs THREE times and records the min: the bench host
@@ -141,6 +133,9 @@ object Bench {
     }
     def obj(f: ((String, Run, Seq[Run], Option[String])) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def obj3(f: ((String, Run, Seq[Run], Option[String])) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + r3(f(r))).mkString("{", ",", "}")
     val qs = obj(_._2.wall)
     // task-metric split of the SAME run the headline number comes from
     val cpu = obj(_._2.cpu)
@@ -157,7 +152,35 @@ object Bench {
         ",\"fixed_sec\":" + r._2.fixedSec + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":$cpu,"task_run_sec":$taskRun,"gc_sec":$gc,"streaming":$streaming,"runs":$runs,"failures":$failures,"sf":"$sfDir"}""")
+    // Output layout (the round-9 attribution lesson: BENCH_r04-r09
+    // carried only a 2000-char stdout TAIL, so a single long line lost
+    // its head — totals, failures, and the wall/cpu split of whichever
+    // queries sorted early — and the q84 13.5× drift could not be
+    // classified from the artifact):
+    //  line 1 (head): totals + failures + slowest-12 wall/cpu/gc split
+    //    FIRST, then the rounded per-query wall and cpu maps — a
+    //    head-truncated capture still answers "what regressed and was
+    //    it cpu or wait".
+    //  line 2 (detail): full-precision maps + per-run walls + streaming
+    //    split, also written to target/bench_last.json.
+    //  line 3 (tail): ultra-compact summary, ≤ ~1 KB, so a TAIL capture
+    //    of any length ≥ 1 KB always holds a complete parseable JSON
+    //    record with the attribution split of the slowest queries.
+    val slowest = results.sortBy(-_._2.wall).take(12).map { r =>
+      "\"" + r._1 + "\":{\"wall\":" + r3(r._2.wall) +
+        ",\"cpu\":" + r3(r._2.cpu) + ",\"gc\":" + r3(r._2.gc) + "}"
+    }.mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failures":$failures,"slowest":$slowest,"queries":${obj3(_._2.wall)},"cpu_sec":${obj3(_._2.cpu)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failures":$failures,"queries":$qs,"cpu_sec":$cpu,"task_run_sec":$taskRun,"gc_sec":$gc,"streaming":$streaming,"runs":$runs,"sf":"$sfDir"}"""
+    val tail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failures":$failures,"slowest":$slowest,"sf":"$sfDir"}"""
+    println(head)
+    println(detail)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_last.json"), detail + "\n")
+    } catch { case _: Throwable => () } // read-only cwd: stdout already has it
+    println(tail)
     spark.stop()
   }
 }

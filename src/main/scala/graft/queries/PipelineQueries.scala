@@ -621,14 +621,12 @@ object PipelineQueries {
     // = 32 commits+fsyncs per batch for a few thousand window-key rows.
     // 8 partitions matches this stream's state volume — the number the
     // job would be deployed with on a cluster — and removes the
-    // fsync-bound variance the bench tail showed at 32.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val result =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        StreamingOps.runToCompletion(
-          StreamingOps.windowedTypeStats(stream), s"stream_win_${dir.hashCode.abs}")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // fsync-bound variance the bench tail showed at 32. ConfScope-
+    // forked: the stream plans/runs at 8, the caller's conf untouched.
+    val result = StreamingOps.runToCompletion(
+      StreamingOps.windowedTypeStats(
+        graft.operators.ConfScope.shufflePartitions(stream, 8)),
+      s"stream_win_${dir.hashCode.abs}")
     result
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n"), col("sum_value").cast("double").as("sum_value"))
@@ -707,14 +705,10 @@ object PipelineQueries {
     // 8 partitions is the right order for this stream's volume — on a
     // real cluster this is the spark.sql.shuffle.partitions the
     // streaming job would be deployed with, sized to state volume, not
-    // to the batch analytics default.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val result =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        StreamingOps.runToCompletionAppend(joined,
-          s"stream_ij_${dir.hashCode.abs}")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // to the batch analytics default. ConfScope-forked.
+    val result = StreamingOps.runToCompletionAppend(
+      graft.operators.ConfScope.shufflePartitions(joined, 8),
+      s"stream_ij_${dir.hashCode.abs}")
     result
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -768,17 +762,15 @@ object PipelineQueries {
     var nSurvivors = 0L
     // state-volume sizing (the q48/q59 rule): each micro-batch's
     // within-batch dedup shuffle and partial-sketch build handle a few
-    // thousand rows — 8 partitions, not the 32 batch-analytics default
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = StreamingOps.bloomDedupStream(stream, "text",
-          expectedItems = 100000L, fpp = 1e-9) { (unseen, _) =>
-        nBatches += 1
-        nSurvivors += unseen.count()
-      }
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // thousand rows — 8 partitions, not the 32 batch-analytics
+    // default. ConfScope-forked, never the caller's conf.
+    val q = StreamingOps.bloomDedupStream(
+        graft.operators.ConfScope.shufflePartitions(stream, 8), "text",
+        expectedItems = 100000L, fpp = 1e-9) { (unseen, _) =>
+      nBatches += 1
+      nSurvivors += unseen.count()
+    }
+    try q.processAllAvailable() finally q.stop()
     import s.implicits._
     Seq((nSurvivors, nBatches)).toDF("n_unique_docs", "n_batches")
   }
@@ -881,13 +873,10 @@ object PipelineQueries {
     // iteration shuffles are EDGE-sized (the duplicate graph), orders of
     // magnitude below the corpus scan — size them to that state volume,
     // not the analytics default (the q59 streaming-join precedent); each
-    // closure round is ~6 shuffles, so the overhead multiplies
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val mapping =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.dedup.Components.connectedComponents(edges)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // closure round is ~6 shuffles, so the overhead multiplies. Scoped
+    // via ConfScope (forked session), never the caller's conf.
+    val mapping = graft.dedup.Components.connectedComponents(
+      graft.operators.ConfScope.shufflePartitions(edges, 8))
     mapping.select(col("id").as("doc_id"), col("rep"))
       .orderBy(col("doc_id"))
   }
@@ -1068,13 +1057,9 @@ object PipelineQueries {
     val edges = Dedup.nearDuplicates(d, "text", "doc_id", threshold = 0.7)
       .select(col("id_a"), col("id_b"))
     // closure shuffles are edge-sized — size them to that state volume
-    // (the q68 precedent)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val mapping =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.dedup.Components.connectedComponents(edges)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // (the q68 precedent), ConfScope-forked, never the caller's conf
+    val mapping = graft.dedup.Components.connectedComponents(
+      graft.operators.ConfScope.shufflePartitions(edges, 8))
     graft.operators.Split.leakageSafeSplit(d, mapping, "doc_id")
       .withColumn("naive_split",
         graft.operators.Split.splitOf(col("doc_id"), "split42"))
@@ -1197,15 +1182,12 @@ object PipelineQueries {
     */
   def q76SemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // closure shuffles are edge-sized — the q68 sizing rule
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val result =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
-          e, "embedding", "vec_id", threshold = 0.4, numPlanes = 4,
-          probeBits = 0) // pinned: the oracle replays single-probe cells
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // closure shuffles are edge-sized — the q68 sizing rule,
+    // ConfScope-forked, never the caller's conf
+    val result = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
+      graft.operators.ConfScope.shufflePartitions(e, 8),
+      "embedding", "vec_id", threshold = 0.4, numPlanes = 4,
+      probeBits = 0) // pinned: the oracle replays single-probe cells
     // the handle's pinned loser frame backs the lazy census; in the
     // catalog the driver's per-query clearCache releases it (the q68
     // mapping precedent) — library users call result.close()
@@ -2363,14 +2345,12 @@ object PipelineQueries {
       .option("maxFilesPerTrigger", "1").parquet(in)
     val table = s"$tmp/table"
     // state-volume sizing (the q48/q59 rule) for the per-batch merge
-    // join: the update batch is a few thousand rows — 8 partitions
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = StreamingOps.upsertStream(
-        stream, table, Seq("doc_id"), "source", "version")
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // join: the update batch is a few thousand rows — 8 partitions,
+    // ConfScope-forked, never the caller's conf
+    val q = StreamingOps.upsertStream(
+      graft.operators.ConfScope.shufflePartitions(stream, 8),
+      table, Seq("doc_id"), "source", "version")
+    try q.processAllAvailable() finally q.stop()
     table
   }
 
@@ -2635,14 +2615,11 @@ object PipelineQueries {
     val media = graft.multimodal.Multimodal.synthesizeGroupedPngs(ids, "doc_id")
     val emb = graft.multimodal.Multimodal.decodeImageEmbedding(media)
       .withColumnRenamed("media_id", "vec_id")
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val result =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
-          emb, "embedding", "vec_id", threshold = 0.999, numPlanes = 4,
-          probeBits = 0) // pinned: the oracle replays single-probe cells
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // edge-sized closure shuffles (q68/q76 rule), ConfScope-forked
+    val result = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
+      graft.operators.ConfScope.shufflePartitions(emb, 8),
+      "embedding", "vec_id", threshold = 0.999, numPlanes = 4,
+      probeBits = 0) // pinned: the oracle replays single-probe cells
     result.survivors.agg(
       count(lit(1)).as("n_survivors"),
       sum(col("vec_id")).as("survivor_id_sum"))
@@ -2807,19 +2784,18 @@ object PipelineQueries {
     var nBatches = 0L
     var nSurvivors = 0L
     var idSum = 0L
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = StreamingOps.nearDupDedupStream(stream, "text", "doc_id",
-          s"$tmp/history", threshold = 0.7) { (survivors, _) =>
-        nBatches += 1
-        val r = survivors.agg(count(lit(1)),
-          coalesce(sum(col("doc_id")), lit(0L))).head()
-        nSurvivors += r.getLong(0)
-        idSum += r.getLong(1)
-      }
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // per-batch state shuffles at 8 (q48/q59 rule), ConfScope-forked
+    val q = StreamingOps.nearDupDedupStream(
+        graft.operators.ConfScope.shufflePartitions(stream, 8),
+        "text", "doc_id",
+        s"$tmp/history", threshold = 0.7) { (survivors, _) =>
+      nBatches += 1
+      val r = survivors.agg(count(lit(1)),
+        coalesce(sum(col("doc_id")), lit(0L))).head()
+      nSurvivors += r.getLong(0)
+      idSum += r.getLong(1)
+    }
+    try q.processAllAvailable() finally q.stop()
     import s.implicits._
     Seq((nSurvivors, idSum, nBatches))
       .toDF("n_survivors", "survivor_id_sum", "n_batches")
@@ -3188,14 +3164,11 @@ object PipelineQueries {
     */
   def q114StreamTopK(s: SparkSession, dir: String): DataFrame = {
     val stream = StreamingOps.eventsStream(s, dir)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val result =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        StreamingOps.runToCompletion(
-          StreamingOps.windowedTopK(stream, k = 3),
-          s"stream_topk_${dir.hashCode.abs}")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // state-store sizing (q48/q59 rule), ConfScope-forked
+    val result = StreamingOps.runToCompletion(
+      StreamingOps.windowedTopK(
+        graft.operators.ConfScope.shufflePartitions(stream, 8), k = 3),
+      s"stream_topk_${dir.hashCode.abs}")
     result
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_start"),
         posexplode(col("topk")))
@@ -3310,18 +3283,15 @@ object PipelineQueries {
     val stream = StreamingOps.eventsStream(s, dir)
     val dim = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val result =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        StreamingOps.runToCompletion(
-          stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
-            .groupBy(col("c_mktsegment").as("mktsegment"), col("event_type"))
-            .agg(count(lit(1)).as("n"),
-              sum(col("value").cast("decimal(12,2)")).cast("double")
-                .as("sum_value")),
-          s"stream_enrich_${dir.hashCode.abs}")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // state-store sizing (q48/q59 rule), ConfScope-forked
+    val result = StreamingOps.runToCompletion(
+      graft.operators.ConfScope.shufflePartitions(stream, 8)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("sum_value")),
+      s"stream_enrich_${dir.hashCode.abs}")
     result.orderBy(col("mktsegment"), col("event_type"))
   }
 
@@ -4059,15 +4029,13 @@ object PipelineQueries {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val table = s"$tmp/table"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // state-volume sizing (the q48/q59/q99 rule): per-batch joins
-      // move a few thousand rows
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = StreamingOps.scd2Stream(stream, table, Seq("c_custkey"),
-        Seq("c_mktsegment", "c_nationkey"), "version")
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // state-volume sizing (the q48/q59/q99 rule): per-batch joins
+    // move a few thousand rows — 8 partitions, ConfScope-forked
+    val q = StreamingOps.scd2Stream(
+      graft.operators.ConfScope.shufflePartitions(stream, 8),
+      table, Seq("c_custkey"),
+      Seq("c_mktsegment", "c_nationkey"), "version")
+    try q.processAllAvailable() finally q.stop()
     s.read.parquet(table)
       .groupBy(col("is_current"))
       .agg(count(lit(1)).as("n_rows"),
@@ -4372,16 +4340,14 @@ object PipelineQueries {
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = StreamingOps.driftMonitorStream(stream, "text", "chunk",
-          refRows, refTotal) { (out, _) =>
-        out.collect().foreach(r =>
-          buf += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
-      }
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // per-batch histogram shuffles at 8 (q48/q59 rule), ConfScope-forked
+    val q = StreamingOps.driftMonitorStream(
+        graft.operators.ConfScope.shufflePartitions(stream, 8),
+        "text", "chunk", refRows, refTotal) { (out, _) =>
+      out.collect().foreach(r =>
+        buf += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    }
+    try q.processAllAvailable() finally q.stop()
     import s.implicits._
     buf.sortBy(_._1).toSeq
       .toDF("chunk", "n_tokens", "n_buckets", "drift_q")
@@ -4647,15 +4613,13 @@ object PipelineQueries {
     val nPii = regexp_count(col("text"), lit(TextAnalysis.emailPattern)) +
       regexp_count(col("text"), lit(TextAnalysis.ipv4Pattern)) +
       regexp_count(col("text"), lit(TextAnalysis.phonePattern))
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = StreamingOps.incrementalStatsStream(stream, "source", Seq(
+    // per-batch census shuffles at 8 (q48/q59 rule), ConfScope-forked
+    val q = StreamingOps.incrementalStatsStream(
+      graft.operators.ConfScope.shufflePartitions(stream, 8), "source", Seq(
         "n_docs" -> count(lit(1)),
         "sum_tokens" -> sum(size(TextAnalysis.tokens(col("text"))).cast("long")),
         "n_pii_docs" -> sum(when(nPii > 0, 1L).otherwise(0L))), table)()
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
     s.read.parquet(table).orderBy(col("source"))
   }
 
@@ -4877,13 +4841,10 @@ object PipelineQueries {
       .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
     val joined = StreamingOps.intervalJoinOuter(purchases, clicks,
       "user_id", "p_ts", "c_ts", lookback = "30 minutes")
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val result =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        StreamingOps.runToCompletionAppend(joined,
-          s"stream_oj_${dir.hashCode.abs}")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // state-store sizing (q48/q59 rule), ConfScope-forked
+    val result = StreamingOps.runToCompletionAppend(
+      graft.operators.ConfScope.shufflePartitions(joined, 8),
+      s"stream_oj_${dir.hashCode.abs}")
     result.filter(expr("unix_micros(p_ts)") < maxUs - 7200000000L)
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("c_id").isNotNull, 1L).otherwise(0L)).as("n_matched_pairs"),
@@ -5041,15 +5002,11 @@ object PipelineQueries {
         col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .filter(Ann.cosine(col("emb_a"), col("emb_b")) >= 0.4)
       .select(col("id_a"), col("id_b"))
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // edge-sized closure shuffles (q68 rule), ConfScope-forked
     val mapping =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.dedup.Components.connectedComponents(edges)
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
-        b.unpersist()
-      }
+      try graft.dedup.Components.connectedComponents(
+        graft.operators.ConfScope.shufflePartitions(edges, 8))
+      finally b.unpersist()
     mapping.filter(col("id") =!= col("rep"))
       .select(col("rep").as("anchor_id"), col("id").as("pos_id"))
       .orderBy(col("anchor_id"), col("pos_id"))
@@ -6678,24 +6635,24 @@ object PipelineQueries {
       // 2+3. the two closure stages run their edge-sized shuffles at 8
       // partitions (the q68/q76 sizing rule — duplicate-pair edge sets
       // are orders of magnitude below the corpus; each closure round is
-      // ~6 shuffles, so the default-partition overhead multiplies)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val (r2, r3) =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          // 2. MinHash near-dup deletion (q32 candidates, q68 closure)
-          val a = Dedup.dropNearDuplicates(d1, "text", "doc_id",
-            threshold = 0.7)
-          // 3. semantic dedup over the joined embedding column
-          //    (geometry from semPlanes/semProbe — the catalog query
-          //    pins q76's 4-plane single-probe cells for replay)
-          val b = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
-            a.survivors.join(embs, col("doc_id") === col("vec_id")),
-            "embedding", "doc_id", threshold = 0.5, numPlanes = semPlanes,
-            probeBits = semProbe)
-          (a, b)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val d2 = pin(r2.survivors)
+      // ~6 shuffles, so the default-partition overhead multiplies).
+      // Scoped via ConfScope's forked session, NOT a session-conf
+      // mutation: a concurrent query planned while these stages run
+      // keeps the caller's own width.
+      val d1s = graft.operators.ConfScope.shufflePartitions(d1, 8)
+      // 2. MinHash near-dup deletion (q32 candidates, q68 closure)
+      val r2 = Dedup.dropNearDuplicates(d1s, "text", "doc_id",
+        threshold = 0.7)
+      // 3. semantic dedup over the joined embedding column
+      //    (geometry from semPlanes/semProbe — the catalog query
+      //    pins q76's 4-plane single-probe cells for replay)
+      val r3 = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
+        r2.survivors.join(embs, col("doc_id") === col("vec_id")),
+        "embedding", "doc_id", threshold = 0.5, numPlanes = semPlanes,
+        probeBits = semProbe)
+      // scope exit: survivors re-bind to the caller's session so the
+      // downstream corpus-scale stages plan at the caller's width
+      val d2 = pin(graft.operators.ConfScope.bindTo(r2.survivors, s))
       val n2 = d2.count()
       lap("s2_minhash")
       // losers anti-join, NOT r3.survivors: the semdedup input is the
@@ -6986,18 +6943,17 @@ object PipelineQueries {
     val split = Math.floorDiv(r.getLong(0) + r.getLong(1), 2L)
     val history = e0.filter(col("vec_id") <= split)
     val batch = e0.filter(col("vec_id") > split)
-    // closure shuffles are edge-sized — the q68/q76 sizing rule
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val histSurv = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
-        history, "embedding", "vec_id", threshold = 0.3, numPlanes = 4,
-        probeBits = 0).survivors
-      graft.similarity.SemDedup.incrementalEmbeddingNearDuplicates(
-          histSurv, batch, "embedding", "vec_id", threshold = 0.3,
-          numPlanes = 4, probeBits = 0)
-        .survivors.select(col("vec_id")).orderBy(col("vec_id"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // closure shuffles are edge-sized — the q68/q76 sizing rule,
+    // ConfScope-forked, never the caller's conf
+    val histSurv = graft.similarity.SemDedup.dropEmbeddingNearDuplicates(
+      graft.operators.ConfScope.shufflePartitions(history, 8),
+      "embedding", "vec_id", threshold = 0.3, numPlanes = 4,
+      probeBits = 0).survivors
+    graft.similarity.SemDedup.incrementalEmbeddingNearDuplicates(
+        histSurv, graft.operators.ConfScope.shufflePartitions(batch, 8),
+        "embedding", "vec_id", threshold = 0.3,
+        numPlanes = 4, probeBits = 0)
+      .survivors.select(col("vec_id")).orderBy(col("vec_id"))
   }
 
   /** Portable 4-plane semantic-dedup closure as a reusable CTE chain

@@ -40,16 +40,18 @@ object FunnelProbe {
     }
     spark.catalog.clearCache()
     d1.cache(); d1.count()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     time("drop @8parts cleared") {
-      val r = Dedup.dropNearDuplicates(d1, "text", "doc_id", 0.7)
+      val r = Dedup.dropNearDuplicates(
+        graft.operators.ConfScope.shufflePartitions(d1, 8),
+        "text", "doc_id", 0.7)
       try r.survivors.count() finally r.close()
     }
     spark.catalog.clearCache()
     d1.cache(); d1.count()
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     time("drop @32parts cleared") {
-      val r = Dedup.dropNearDuplicates(d1, "text", "doc_id", 0.7)
+      val r = Dedup.dropNearDuplicates(
+        graft.operators.ConfScope.shufflePartitions(d1, 32),
+        "text", "doc_id", 0.7)
       try r.survivors.count() finally r.close()
     }
     spark.stop()
