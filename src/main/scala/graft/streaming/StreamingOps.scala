@@ -170,21 +170,29 @@ object StreamingOps {
     * within-batch duplicates collapse to the min-id row per hash, and
     * the survivors' hashes append to the history — so across the
     * stream each distinct perceptual image survives exactly once, at
-    * its first arrival, UNDER foreachBatch's at-least-once contract:
-    * a crash between `sink` and the history append replays the batch
-    * and re-emits the same survivor rows (never different ones — the
-    * min-id collapse is deterministic). Sinks that need exactly-once
-    * must dedupe on (media_id) or commit idempotently per `batchId`,
-    * the standard foreachBatch discipline. State is the hash table
-    * (two BIGINTs per
-    * DISTINCT image ever seen — bounded by content diversity, not
+    * its first arrival.
+    *
+    * EXACTLY-ONCE under foreachBatch replay: the history is
+    * partitioned by `batch_id`, each batch's hashes commit atomically
+    * into their own partition (overwrite + `_SUCCESS` marker), and a
+    * replayed batchId whose partition already committed is SKIPPED
+    * outright — the sink saw its survivors before the commit, so the
+    * sink-visible survivor stream carries each row once. A replay of
+    * an UNcommitted batch recomputes the identical survivor rows (the
+    * min-id collapse is deterministic) against a history read that
+    * excludes its own partial partition, then overwrites it — the one
+    * residual duplicate window is a crash BETWEEN the sink returning
+    * and the partition commit, the same window any non-transactional
+    * sink pair has; sinks closing it dedupe on (media_id), which is
+    * stable across replays here. State is the hash table (two BIGINTs
+    * per DISTINCT image ever seen — bounded by content diversity, not
     * stream length); per-batch cost is the batch decode plus one
     * anti-join against the history and one hash-keyed min.
     */
   def perceptualDedupStream(media: DataFrame, historyDir: String)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      perceptualDedupBatch(batch, historyDir)(sink(_, id))
+      perceptualDedupBatch(batch, historyDir, Some(id))(sink(_, id))
     }.start()
 
   /** One micro-batch of the incremental perceptual dedup — the core
@@ -193,19 +201,45 @@ object StreamingOps {
     * same body: decode+hash, history anti-join, within-batch min-id
     * collapse, hash append. `sink` sees the survivor frame while it is
     * pinned; it is released before return.
+    *
+    * With `batchId` set the history append is IDEMPOTENT per id (the
+    * [[perceptualDedupStream]] exactly-once contract): hashes land in
+    * partition `batch_id=<id>`, a committed partition short-circuits
+    * the whole batch, and the history read excludes the batch's own
+    * (possibly partially written) partition. `None` keeps the legacy
+    * flat append for ad-hoc backfills that manage their own replay.
     */
-  def perceptualDedupBatch(batch: DataFrame, historyDir: String)(
+  def perceptualDedupBatch(batch: DataFrame, historyDir: String,
+      batchId: Option[Long] = None)(
       sink: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
-    val dir = new java.io.File(historyDir)
-    val hasState = dir.exists() &&
-      dir.listFiles() != null && dir.listFiles().exists(
-        _.getName.endsWith(".parquet"))
+    val rootPath = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = batchId.exists(id => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$historyDir/batch_id=$id/_SUCCESS")))
+    if (committed) return // replayed, already emitted + committed
+    val hasState = fs.exists(rootPath) && {
+      val it = fs.listFiles(rootPath, true) // recursive: partition dirs
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
     val hashed = graft.multimodal.Multimodal.withAverageHash(batch)
     val fresh =
       if (!hasState) hashed
-      else hashed.join(spark.read.parquet(historyDir),
-        Seq("ahash_hi", "ahash_lo"), "left_anti")
+      else {
+        val h0 = spark.read.option("basePath", historyDir).parquet(historyDir)
+        val hist = (batchId, h0.columns.contains("batch_id")) match {
+          // exclude own partition: a crash mid-write leaves part files
+          // without _SUCCESS, and anti-joining against them would drop
+          // this replay's own survivors
+          case (Some(id), true) => h0.filter(col("batch_id") =!= id)
+          case _ => h0
+        }
+        hashed.join(hist.select(col("ahash_hi"), col("ahash_lo")),
+          Seq("ahash_hi", "ahash_lo"), "left_anti")
+      }
     val survivors = fresh
       .groupBy(col("ahash_hi"), col("ahash_lo"))
       .agg(min(col("media_id")).as("media_id"))
@@ -214,8 +248,12 @@ object StreamingOps {
       survivors.count()
       sink(survivors.select(col("media_id"), col("ahash_hi"),
         col("ahash_lo")))
-      survivors.select(col("ahash_hi"), col("ahash_lo"))
-        .write.mode("append").parquet(historyDir)
+      val hashes = survivors.select(col("ahash_hi"), col("ahash_lo"))
+      batchId match {
+        case Some(id) => hashes.write.mode("overwrite")
+          .parquet(s"$historyDir/batch_id=$id")
+        case None => hashes.write.mode("append").parquet(historyDir)
+      }
     } finally survivors.unpersist()
   }
 

@@ -231,6 +231,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("perceptual dedup replay: committed batchId skips, partial commit recomputes identically") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // three ids with pairwise-distinct aHashes (same probe as above)
+    val pool = Multimodal.withAverageHash(Multimodal.synthesizePngs(
+        (0L until 30L).toDF("doc_id"), "doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+    val picked = pool.foldLeft(Vector.empty[Long]) { (acc, kv) =>
+      if (acc.size < 3 &&
+          !acc.exists(a => pool.find(_._1 == a).get._2 == kv._2)) acc :+ kv._1
+      else acc
+    }
+    assert(picked.size === 3)
+    val imgs = Multimodal.synthesizePngs(picked.toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content"))
+      .toMap
+    val Seq(a, b, c) = picked.toSeq
+    val hist = java.nio.file.Files.createTempDirectory("pdedup-replay")
+      .toString + "/history"
+    def fire(batchId: Long, rows: Seq[(Long, Array[Byte])]): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      StreamingOps.perceptualDedupBatch(
+        rows.toDF("media_id", "content"), hist, Some(batchId)) { sv =>
+        out ++= sv.select("media_id").collect().map(_.getLong(0))
+      }
+      out.toSeq.sorted
+    }
+    val b0 = Seq((10L, imgs(a)), (11L, imgs(a)), (12L, imgs(b)))
+    assert(fire(0L, b0) === Seq(10L, 12L)) // within-batch collapse
+    // REPLAY of the committed batch 0: nothing emitted, history intact
+    val histRows = spark.read.parquet(hist).count()
+    assert(fire(0L, b0) === Seq.empty, "committed batch must skip")
+    assert(spark.read.parquet(hist).count() === histRows)
+    // batch 1, then simulate a crash BEFORE its commit completed:
+    // delete the _SUCCESS marker so the partition looks mid-write
+    val b1 = Seq((13L, imgs(a)), (14L, imgs(c)))
+    assert(fire(1L, b1) === Seq(14L)) // image a dropped via history
+    val marker = new java.io.File(s"$hist/batch_id=1/_SUCCESS")
+    assert(marker.delete(), "fixture: marker must exist")
+    // replay recomputes the IDENTICAL survivors (own partial partition
+    // excluded from the history read — image c must not drop against
+    // its own half-written hashes) and commits this time
+    assert(fire(1L, b1) === Seq(14L))
+    assert(new java.io.File(s"$hist/batch_id=1/_SUCCESS").exists())
+    // and a third fire of batch 1 now skips
+    assert(fire(1L, b1) === Seq.empty)
+    // cross-batch semantics still hold for a later batch
+    assert(fire(2L, Seq((20L, imgs(a)), (21L, imgs(b)), (22L, imgs(c))))
+      === Seq.empty)
+  }
+
   test("outer interval join: unmatched left emits nulls after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[(Long, Timestamp, Long)]
