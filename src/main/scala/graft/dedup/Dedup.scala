@@ -244,6 +244,14 @@ object Dedup {
     * corpus stable. q201 oracle-checks it with odd/even interleaved
     * ids.
     *
+    * The min-id path GUARDS its ordering contract (long-typed ids):
+    * one column-pruned max(history)/min(batch) agg runs up front, and
+    * a violation logs a WARN naming the offending ids — or throws
+    * when `enforceIdOrder = true` — instead of letting established
+    * history docs silently churn out of the replay equivalence.
+    * Non-long id types skip the guard (the contract is still the
+    * caller's to honor).
+    *
     * Scale shape: history contributes one column-pruned sketch pass
     * (band keys — persist them across batches via [[lshBandKeys]] to
     * amortize, the `withBandKeys` pattern) and the keyed probe join;
@@ -262,7 +270,26 @@ object Dedup {
       textCol: String, idCol: String, threshold: Double = 0.7,
       numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3,
       historyKeys: Option[DataFrame] = None,
-      historyWins: Boolean = false): NearDupResult = {
+      historyWins: Boolean = false,
+      enforceIdOrder: Boolean = false): NearDupResult = {
+    if (!historyWins &&
+        history.schema(idCol).dataType ==
+          org.apache.spark.sql.types.LongType &&
+        batch.schema(idCol).dataType ==
+          org.apache.spark.sql.types.LongType) {
+      // one column-pruned job; empty sides are vacuously ordered
+      val r = history.agg(max(col(idCol)).as("__mh"))
+        .crossJoin(batch.agg(min(col(idCol)).as("__mb"))).head()
+      if (!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) >= r.getLong(1)) {
+        val msg = s"incrementalNearDuplicates min-id contract violated: " +
+          s"max(history.$idCol) = ${r.getLong(0)} >= " +
+          s"min(batch.$idCol) = ${r.getLong(1)} — interleaved ids evict " +
+          "established history docs under the min-id rule; use " +
+          "historyWins = true (first-arrival) for multi-source ingest"
+        if (enforceIdOrder) throw new IllegalArgumentException(msg)
+        else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+    }
     // pinned so the sketch fold (the expensive per-row md5-min pass)
     // runs ONCE for the two consumers below (history probe + self
     // pairs) — lazy reuse would re-sketch per consumer; released

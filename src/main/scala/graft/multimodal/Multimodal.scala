@@ -503,9 +503,16 @@ object Multimodal {
       else {
         // the two 32-bit halves pack losslessly into bits 0..63; all
         // downstream block arithmetic is shiftrightunsigned + masks,
-        // so bit 63 (pixel 63) never meets signed-shift semantics
+        // so bit 63 (pixel 63) never meets signed-shift semantics.
+        // Both halves are masked to their stated 32 bits first: the
+        // input contract is "anything with idCol/ahash_hi/ahash_lo",
+        // and a caller-supplied frame with wider halves would
+        // otherwise bleed hi bits across the OR and merge unrelated
+        // signatures
+        val m32 = lit(0xFFFFFFFFL)
         val sigs = groups.select(col("__gid"),
-          shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("sig"))
+          shiftleft(col("ahash_hi").bitwiseAND(m32), 32)
+            .bitwiseOR(col("ahash_lo").bitwiseAND(m32)).as("sig"))
         val edges = graft.dedup.Dedup.simhashNearDuplicatesComplete(
             sigs, "__gid", maxDistance = maxHamming, bits = 64)
           .select(col("id_a"), col("id_b"))

@@ -620,6 +620,14 @@ object Ann {
     // curve frame is still returned so the caller sees the void
     val chosen = levels.find(_._2 >= targetRecallPct).map(_._1)
       .getOrElse(levels.lastOption.map(_._1).getOrElse(0))
+    // the governor is the DEFAULT at the knnGraph/semdedup entry
+    // points, so its choice — and the sampled ground-truth cost it
+    // paid — must be visible in production logs, pinnable afterwards
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"autoProbe chose probeBits=$chosen (planes=$planes, " +
+        s"target=$targetRecallPct%, curve=${levels.map { case (b, r) =>
+          s"$b->$r%" }.mkString("[", " ", "]")}); pin probeBits=$chosen " +
+        "to skip the governor's sampled ground-truth scan on re-runs")
     (chosen, curve)
   }
 

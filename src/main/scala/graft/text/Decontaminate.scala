@@ -61,12 +61,20 @@ object Decontaminate {
     * enough that Catalyst/AQE broadcasts them on its own, and a
     * benchmark too large for the driver then degrades to a shuffled
     * join instead of failing the job.
+    *
+    * The benchmark side is re-deduplicated here ([[gramSet]] output is
+    * already distinct, but a caller-supplied frame may not be): a
+    * duplicate gram row would fan out its matching train rows through
+    * the left join and silently inflate n_grams AND n_matched — wrong
+    * counts, not just a wrong ratio. Negligible next to the train
+    * explode.
     */
   def overlapCensus(train: DataFrame, textCol: String, idCol: String,
       benchGrams: DataFrame, n: Int): DataFrame =
     train.select(col(idCol),
         explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
-      .join(benchGrams.withColumn("__hit", lit(1)), Seq("g"), "left")
+      .join(benchGrams.select(col("g")).distinct()
+        .withColumn("__hit", lit(1)), Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_matched"))
       .filter(col("n_matched") > 0L)

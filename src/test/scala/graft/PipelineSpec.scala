@@ -216,6 +216,20 @@ class PipelineSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(gotFa === Set(2L))
     fa.close()
+    // the ordering guard: enforceIdOrder turns the silent churn into a
+    // loud failure naming the offending ids and the first-arrival fix
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDuplicates(history, batch,
+        "text", "doc_id", 0.7, enforceIdOrder = true)
+    }
+    assert(e.getMessage.contains("min-id contract violated"))
+    assert(e.getMessage.contains("historyWins"))
+    // ordered ids pass the guard untouched
+    val ok = Dedup.incrementalNearDuplicates(history,
+      batch.filter(col("doc_id") > 1L), "text", "doc_id", 0.7,
+      enforceIdOrder = true)
+    assert(ok.survivors.count() === 1L) // 2 survives, clone 4 drops
+    ok.close()
   }
 
   test("incremental dedup edge cases: empty batch survives; AutoProbe rejects string ids") {
