@@ -7135,7 +7135,79 @@ object PipelineQueries {
        |WHERE r.id % 2 = 0 AND agg.has_hist = 0 AND r.id = agg.min_batch
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q202
+  /** Streaming incremental SEMANTIC dedup
+    * ([[StreamingOps.semDedupStream]]): the embeddings table arrives
+    * as 4 mtime-ordered micro-batches split by vec_id QUARTILE
+    * (ntile over ordered ids), each deduplicating against the
+    * emitted-survivor history under the q76 pinned portable cell
+    * geometry (4 md5-hyperplanes, single-probe, cosine ≥ 0.4) with
+    * first-arrival survivorship and the batch_id-partitioned
+    * exactly-once history commit. Ids are ordered ACROSS batches, so
+    * first-arrival coincides with min-id and the oracle replays the
+    * staged composition: dedup(b1) → dedup(survivors ∪ b2) → … — the
+    * q198 full-replay contract applied per micro-batch. Output: every
+    * emitted survivor id, ordered.
+    */
+  def q202StreamSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val staged = e.withColumn("__q", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))))
+    val tmp = java.nio.file.Files.createTempDirectory("q202").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (1 to 4).foreach { kk =>
+      val stage = s"$tmp/stage$kk"
+      staged.filter(col("__q") === kk).drop("__q").coalesce(1)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
+    }
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // per-batch closure shuffles at 8 (q48/q59 rule), ConfScope-forked
+    val q = StreamingOps.semDedupStream(
+        graft.operators.ConfScope.shufflePartitions(stream, 8),
+        "embedding", "vec_id", s"$tmp/history", threshold = 0.4,
+        numPlanes = 4, probeBits = 0) { (sv, _) =>
+      ids ++= sv.select(col("vec_id")).collect().map(_.getLong(0))
+    }
+    try q.processAllAvailable() finally q.stop()
+    ids.toSeq.sorted.toDF("vec_id")
+  }
+
+  val q202Sql: String =
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT vec_id, embedding,
+       |  ntile(4) OVER (ORDER BY vec_id) AS q FROM embeddings),
+       |b1 AS (SELECT vec_id, embedding FROM e0 WHERE q = 1),
+       |b2 AS (SELECT vec_id, embedding FROM e0 WHERE q = 2),
+       |b3 AS (SELECT vec_id, embedding FROM e0 WHERE q = 3),
+       |b4 AS (SELECT vec_id, embedding FROM e0 WHERE q = 4),
+       |${semDedupCtes("a", "b1", 0.4)},
+       |m1 AS (SELECT * FROM asurv),
+       |u2 AS (SELECT * FROM m1 UNION ALL SELECT * FROM b2),
+       |${semDedupCtes("c", "u2", 0.4)},
+       |m2 AS (SELECT * FROM m1 UNION ALL
+       |  SELECT s.* FROM csurv s JOIN b2 USING (vec_id)),
+       |u3 AS (SELECT * FROM m2 UNION ALL SELECT * FROM b3),
+       |${semDedupCtes("d", "u3", 0.4)},
+       |m3 AS (SELECT * FROM m2 UNION ALL
+       |  SELECT s.* FROM dsurv s JOIN b3 USING (vec_id)),
+       |u4 AS (SELECT * FROM m3 UNION ALL SELECT * FROM b4),
+       |${semDedupCtes("f", "u4", 0.4)},
+       |m4 AS (SELECT * FROM m3 UNION ALL
+       |  SELECT s.* FROM fsurv s JOIN b4 USING (vec_id))
+       |SELECT vec_id FROM m4 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_stream_semdedup" -> (q202StreamSemDedup _),
     "q201_first_arrival_dedup" -> (q201FirstArrivalDedup _),
     "q200_decontam_drop" -> (q200DecontamDrop _),
     "q199_decontam_fraction" -> (q199DecontamFraction _),
@@ -7289,6 +7361,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q202_stream_semdedup" -> q202Sql,
     "q201_first_arrival_dedup" -> q201Sql,
     "q200_decontam_drop" -> q200Sql,
     "q199_decontam_fraction" -> q199Sql,

@@ -201,11 +201,22 @@ object SemDedup {
     * capped — a missed history match would resurrect a duplicate —
     * and the replay equivalence above is stated for the UNCAPPED
     * setting, the oracle-exact one.
+    *
+    * `historyWins = true` switches to FIRST-ARRIVAL survivorship (the
+    * [[Dedup.incrementalNearDuplicates]] twin, q201's rule): a batch
+    * vector dies whenever its component touches ANY history vector,
+    * regardless of id order, so ids only need to be DISJOINT — the
+    * rule a STREAM needs (interleaved ids across micro-batches would
+    * otherwise let a smaller-id batch vector survive alongside its
+    * already-emitted history near-dup, a duplicate in the emitted
+    * stream). With every history id below every batch id the two
+    * rules coincide.
     */
   def incrementalEmbeddingNearDuplicates(history: DataFrame,
       batch: DataFrame, embCol: String, idCol: String, threshold: Double,
       numPlanes: Int, probeBits: Int,
-      maxBucketSize: Int = Int.MaxValue): Dedup.NearDupResult = {
+      maxBucketSize: Int = Int.MaxValue,
+      historyWins: Boolean = false): Dedup.NearDupResult = {
     require(numPlanes > 0 && probeBits >= 0,
       "incremental maintenance needs PINNED planes and probe width — " +
         "density-derived defaults change with corpus size and would " +
@@ -242,10 +253,32 @@ object SemDedup {
         numPlanes, maxBucketSize, probeBits)
       .select(col("id_a"), col("id_b"))
     val mapping = Components.connectedComponents(self.unionByName(cross))
-    val losers = mapping.filter(col("id") =!= col("rep"))
-      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .select(col("id").as(idCol))
-      .persist()
+    val loserRows =
+      if (!historyWins)
+        // min-id rule (the id-ordering contract): batch vector
+        // survives iff it is its component's overall min
+        mapping.filter(col("id") =!= col("rep"))
+          .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .select(col("id").as(idCol))
+      else {
+        // FIRST-ARRIVAL rule (streaming semantics): a batch vector
+        // dies iff its component touches any history vector — or a
+        // smaller-id batch vector claims the batch-only component
+        // (the Dedup.incrementalNearDuplicates historyWins block)
+        val marked = mapping.join(
+          batch.select(col(idCol).as("id"), lit(true).as("__isBatch")),
+          Seq("id"), "left")
+        val perRep = marked.groupBy(col("rep")).agg(
+          max(when(col("__isBatch").isNull, 1).otherwise(0))
+            .as("__hasHist"),
+          min(when(col("__isBatch").isNotNull, col("id")))
+            .as("__minBatch"))
+        marked.filter(col("__isBatch").isNotNull)
+          .join(perRep, Seq("rep"))
+          .filter(col("__hasHist") === 1 || col("id") =!= col("__minBatch"))
+          .select(col("id").as(idCol))
+      }
+    val losers = loserRows.persist()
     losers.count() // materialize while the mapping cache is alive
     mapping.unpersist()
     Dedup.NearDupResult(batch.join(losers, Seq(idCol), "left_anti"), losers)

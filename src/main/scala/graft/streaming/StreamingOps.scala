@@ -257,6 +257,80 @@ object StreamingOps {
     } finally survivors.unpersist()
   }
 
+  /** Streaming INCREMENTAL SEMANTIC dedup — the embedding-space face
+    * of [[nearDupDedupStream]] and the stream wrapper over
+    * [[graft.similarity.SemDedup.incrementalEmbeddingNearDuplicates]]:
+    * each micro-batch of (id, embedding) rows deduplicates against the
+    * history of every previously-emitted survivor under PINNED cell
+    * geometry — the operator enforces the pinning, and a stream is
+    * exactly why: density-derived plane/probe defaults would drift
+    * across micro-batches and silently change which cells collide, the
+    * persisted-ANN-index rule. Survivorship is FIRST-ARRIVAL
+    * (`historyWins = true`): an already-emitted vector's near-dup
+    * arriving later always dies, regardless of id order.
+    *
+    * State is a disk-resident (id, embedding) survivor table, one
+    * batch_id partition per micro-batch with the
+    * [[perceptualDedupStream]] exactly-once commit discipline
+    * (committed batchId → skip; partial partition → excluded from the
+    * history read, recomputed, overwritten). Per-batch cost: one
+    * cell-assignment scan of the history plus the keyed probe join —
+    * batch-driven edge volume, nothing quadratic in history.
+    */
+  def semDedupStream(docs: DataFrame, embCol: String, idCol: String,
+      historyDir: String, threshold: Double, numPlanes: Int,
+      probeBits: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      semDedupBatch(batch, embCol, idCol, historyDir, threshold,
+        numPlanes, probeBits, Some(id))(sink(_, id))
+    }.start()
+
+  /** One micro-batch of [[semDedupStream]], exposed for backfills and
+    * scale legs (the [[perceptualDedupBatch]] pattern). With `batchId`
+    * set the survivor-table append is idempotent per id.
+    */
+  def semDedupBatch(batch: DataFrame, embCol: String, idCol: String,
+      historyDir: String, threshold: Double, numPlanes: Int,
+      probeBits: Int, batchId: Option[Long] = None)(
+      sink: DataFrame => Unit): Unit = {
+    val spark = batch.sparkSession
+    val rootPath = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = batchId.exists(id => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$historyDir/batch_id=$id/_SUCCESS")))
+    if (committed) return // replayed, already emitted + committed
+    val hasState = fs.exists(rootPath) && {
+      val it = fs.listFiles(rootPath, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    val hist =
+      if (!hasState) batch.filter(lit(false)).select(col(idCol), col(embCol))
+      else {
+        val h0 = spark.read.option("basePath", historyDir).parquet(historyDir)
+        val scoped = (batchId, h0.columns.contains("batch_id")) match {
+          case (Some(id), true) => h0.filter(col("batch_id") =!= id)
+          case _ => h0
+        }
+        scoped.select(col(idCol), col(embCol))
+      }
+    val r = graft.similarity.SemDedup.incrementalEmbeddingNearDuplicates(
+      hist, batch, embCol, idCol, threshold, numPlanes, probeBits,
+      historyWins = true)
+    try {
+      sink(r.survivors)
+      val rows = r.survivors.select(col(idCol), col(embCol))
+      batchId match {
+        case Some(id) => rows.write.mode("overwrite")
+          .parquet(s"$historyDir/batch_id=$id")
+        case None => rows.write.mode("append").parquet(historyDir)
+      }
+    } finally r.close()
+  }
+
   /** Streaming distribution-drift monitor: each micro-batch's token
     * stream is folded into a fixed `nBuckets`-bucket histogram (the
     * q81 hash-bucket census) and compared against a broadcast REFERENCE

@@ -282,6 +282,45 @@ class StreamingSpec extends SparkSpec {
       === Seq.empty)
   }
 
+  test("semantic dedup stream: first-arrival across batches, idempotent replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val docs = input.toDF().toDF("vec_id", "embedding")
+    val hist = java.nio.file.Files.createTempDirectory("semstream")
+      .toString + "/history"
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val aNear = Seq(0.99f, 0.1f, 0.0f, 0.0f) // cosine ~0.995 with a
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.0f) // orthogonal to a
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingOps.semDedupStream(docs, "embedding", "vec_id",
+        hist, threshold = 0.9, numPlanes = 2, probeBits = 2) { (sv, _) =>
+      emitted ++= sv.select("vec_id").collect().map(_.getLong(0))
+    }
+    try {
+      // batch 1: a twice (within-batch collapse) + b
+      input.addData((10L, a), (11L, aNear), (12L, b))
+      q.processAllAvailable()
+      assert(emitted.sorted === Seq(10L, 12L))
+      // batch 2: near-dup of a with a SMALLER id — first-arrival must
+      // keep the established survivor 10 and kill 5, id order be damned
+      input.addData((5L, aNear))
+      q.processAllAvailable()
+      assert(emitted.sorted === Seq(10L, 12L))
+    } finally q.stop()
+    // replay idempotency (the perceptualDedupBatch contract): re-firing
+    // a committed batchId emits nothing and leaves history unchanged
+    import spark.implicits._
+    val histRows = spark.read.parquet(hist).count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    StreamingOps.semDedupBatch(
+      Seq((10L, a), (11L, aNear), (12L, b)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", hist, 0.9, 2, 2, Some(0L)) { sv =>
+      out ++= sv.select("vec_id").collect().map(_.getLong(0))
+    }
+    assert(out.isEmpty)
+    assert(spark.read.parquet(hist).count() === histRows)
+  }
+
   test("outer interval join: unmatched left emits nulls after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[(Long, Timestamp, Long)]
