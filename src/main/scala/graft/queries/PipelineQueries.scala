@@ -7206,7 +7206,67 @@ object PipelineQueries {
        |  SELECT s.* FROM fsurv s JOIN b4 USING (vec_id))
        |SELECT vec_id FROM m4 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q203
+  /** Decontamination at reference-realistic gram size — n = 13, the
+    * GPT-3 appendix-C window (q58/q199/q200 exercise the machinery at
+    * n = 3..5): the benchmark is a corpus SLICE (doc_id % 29 — an eval
+    * suite published from corpus passages, the shape that actually
+    * contaminates at 13-gram granularity; cross-source 13-gram hits
+    * don't exist in this corpus and wouldn't in any non-contaminated
+    * one), the train side is everything else, and the drop rule is
+    * overlap_q ≥ 50% of a doc's distinct 13-grams. Documents shorter
+    * than 13 tokens contribute their whole text (the gramSet
+    * degenerate case, exercised — the corpus has sub-13-token docs).
+    * Output: the full hit census with each doc's quantized overlap and
+    * its drop verdict under [[graft.text.Decontaminate
+    * .dropContaminated]] — census and drop surface must agree row by
+    * row, and the integer-quantized threshold compare makes the ≥
+    * boundary (an exactly-50% doc exists at sf0.1) hash-exact against
+    * the oracle.
+    */
+  def q203DecontamGram13(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    val bench = d.filter(pmod(col("doc_id"), lit(29L)) === 0L)
+    val train = d.filter(pmod(col("doc_id"), lit(29L)) =!= 0L)
+    val bg = graft.text.Decontaminate.gramSet(bench, "text", 13)
+    val census = graft.text.Decontaminate.overlapCensus(
+      train, "text", "doc_id", bg, 13)
+    val surv = graft.text.Decontaminate.dropContaminated(
+      train, "text", "doc_id", bg, 13, minFracQ = 500000000L)
+    census
+      .join(surv.select(col("doc_id"), lit(1L).as("__kept")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_matched"),
+        col("overlap_q"),
+        when(col("__kept").isNull, 1L).otherwise(0L).as("dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q203Sql: String = {
+    val g13 = (1 to 12).foldLeft("tk[i]")((acc, j) => s"$acc || ' ' || tk[i+$j]")
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+       |    doc_id % 29 = 0 AS isb
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, isb, unnest(list_distinct(
+       |    CASE WHEN len(tk) >= 13
+       |      THEN list_transform(range(1, len(tk) - 11), i -> $g13)
+       |      ELSE [text] END)) AS g FROM d),
+       |bg AS (SELECT DISTINCT g FROM g WHERE isb),
+       |tg AS (SELECT doc_id, g FROM g WHERE NOT isb),
+       |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+       |mt AS (SELECT doc_id, COUNT(*) AS n_matched FROM tg
+       |  JOIN bg USING (g) GROUP BY doc_id)
+       |SELECT pd.doc_id, n_grams, n_matched,
+       |  CAST(FLOOR(CAST(n_matched AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    * 1e9) AS BIGINT) AS overlap_q,
+       |  CAST(CASE WHEN CAST(FLOOR(CAST(n_matched AS DOUBLE)
+       |      / CAST(n_grams AS DOUBLE) * 1e9) AS BIGINT) >= 500000000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS dropped
+       |FROM pd JOIN mt USING (doc_id) ORDER BY pd.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_decontam_gram13" -> (q203DecontamGram13 _),
     "q202_stream_semdedup" -> (q202StreamSemDedup _),
     "q201_first_arrival_dedup" -> (q201FirstArrivalDedup _),
     "q200_decontam_drop" -> (q200DecontamDrop _),
@@ -7361,6 +7421,7 @@ object PipelineQueries {
     "q132_reservoir" -> (q132Reservoir _))
 
   val oracles: Map[String, String] = Map(
+    "q203_decontam_gram13" -> q203Sql,
     "q202_stream_semdedup" -> q202Sql,
     "q201_first_arrival_dedup" -> q201Sql,
     "q200_decontam_drop" -> q200Sql,

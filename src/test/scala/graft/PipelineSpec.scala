@@ -296,6 +296,30 @@ class PipelineSpec extends SparkSpec {
     bg.unpersist()
   }
 
+  test("decontamination: a doc EXACTLY at minFracQ drops; one quantum below survives") {
+    import spark.implicits._
+    import graft.text.Decontaminate
+    val bench = Seq((900L, "alpha beta gamma")).toDF("doc_id", "text")
+    val bg = Decontaminate.gramSet(bench, "text", 3) // one gram
+    val train = Seq(
+      // 2 distinct grams, 1 matched → overlap_q = 500000000 exactly
+      (1L, "alpha beta gamma delta"),
+      // 3 distinct grams, 1 matched → floor(1e9/3) = 333333333
+      (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val census = Decontaminate.overlapCensus(train, "text", "doc_id", bg, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(census === Map(1L -> 500000000L, 2L -> 333333333L))
+    // threshold AT the quantized value: the >= compare includes it
+    def kept(minFracQ: Long): Set[Long] =
+      Decontaminate.dropContaminated(train, "text", "doc_id", bg, 3,
+        minFracQ).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(500000000L) === Set(2L)) // doc 1 exactly at 50% → drops
+    assert(kept(500000001L) === Set(1L, 2L)) // one quantum above → survives
+    assert(kept(333333333L) === Set.empty) // doc 2 exactly at floor(1/3)
+    assert(kept(333333334L) === Set(2L))
+  }
+
   test("winnowing: shared runs fingerprint together; guarantees coverage") {
     val fps = docs.select(col("doc_id"),
       Dedup.winnowFingerprints(col("text")).as("fps")).collect()
