@@ -194,7 +194,12 @@ object SemDedup {
     *
     * Scale shape: history contributes one cell-assignment scan and
     * the keyed probe join; edge volume is batch-driven. Nothing
-    * quadratic in history, ever.
+    * quadratic in history, ever. The probe join's hot-cell worst case
+    * carries the [[Dedup.incrementalNearDuplicates]] skew contract:
+    * AQE's skew split divides a degenerate cell's reducer partition
+    * at production sizes (plan-pinned in PlanQualitySpec), and
+    * [[graft.operators.Skew.saltedJoin]] on the cell key is the
+    * explicit lever below its thresholds.
     *
     * `maxBucketSize` caps only the batch-SELF pass (the
     * [[nearDuplicatePairs]] contract); the history-probe join is never

@@ -1233,6 +1233,53 @@ object ScaleSmoke {
         ts.map(t => f"$t%7.2fs").mkString(" ") +
         f"   ${ts.last / ts.head}%5.1f")
     }
+    // HOT-BAND-KEY probe (the q197 batch×history join's degenerate
+    // case): the probe join is UNCAPPED by correctness — a capped
+    // history probe would resurrect dupes — so its worst case is one
+    // band key carried by every history doc. Manufactured exactly via
+    // the historyKeys seam: 10⁴·m history docs (distinct word-soup
+    // texts, so verification kills every candidate) all declaring one
+    // REAL batch band key. Work = the hot-key probe join + the
+    // referenced-id shingle verify, both linear in history BY SHAPE;
+    // at-or-below-linear growth certifies the fan-out rides the normal
+    // shuffle path. The reducer-level escape hatches are pinned in
+    // PlanQualitySpec ("AQE skew-split spreads a degenerate hot band
+    // key"): AQE splits the hot partition at production sizes, and
+    // Skew.saltedJoin is the explicit lever below its thresholds.
+    if (on("hot-key probe")) {
+      val batch = corpus(1).select(col("doc_id"), col("text")).cache()
+      batch.count()
+      val hot = Dedup.lshBandKeys(batch, "text", "doc_id")
+        .select(col("band"), col("key")).head()
+      val ts = mults.map { m =>
+        val n = 10000L * m
+        // ids BELOW the batch's (the min-id ordering contract) and
+        // pairwise-distinct soup texts: jaccard ≈ 0 against everything
+        val hist = spark.range(n).select(
+          (col("id") - n).as("doc_id"),
+          concat_ws(" ", (0 until 25).map(j =>
+            concat(lit("w"), pmod(col("id") * 31L + lit(j * 7919L),
+              lit(1000003L)).cast("string"))): _*).as("text"))
+          .cache()
+        hist.count()
+        val keys = hist.select(col("doc_id"),
+          lit(hot.getInt(0)).as("band"), lit(hot.getString(1)).as("key"))
+        def run(): Unit = {
+          val r = Dedup.incrementalNearDuplicates(hist, batch,
+            "text", "doc_id", threshold = 0.7, historyKeys = Some(keys))
+          try r.survivors.count() finally r.close()
+        }
+        run() // warm
+        val t = time(run())
+        hist.unpersist()
+        t
+      }
+      batch.unpersist()
+      spark.catalog.clearCache()
+      println(f"${"hot-key probe"}%-22s " +
+        ts.map(t => f"$t%7.2fs").mkString(" ") +
+        f"   ${ts.last / ts.head}%5.1f")
+    }
     // q199 fraction decontamination: one distinct-gram explode over the
     // train side + a broadcast benchmark gram join + per-doc count agg
     // ⇒ ~linear (the benchmark side is FIXED — production shape)

@@ -751,4 +751,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q197 probe join: AQE skew-split spreads a degenerate hot band key") {
+    // The batch×history band-key probe join in Dedup
+    // .incrementalNearDuplicates (and SemDedup's cell twin) is UNCAPPED
+    // by correctness — a capped history probe would resurrect dupes —
+    // so one band key carried by 10⁴ history docs is its worst case.
+    // This pins the runtime escape hatch: with the batch side too big
+    // to broadcast the join shuffles both sides on (band, key), the hot
+    // key lands in one reducer partition, and AQE's skew split divides
+    // it. Thresholds are lowered to make the optimizer fire at test
+    // bytes; at production partition sizes the defaults (256 MB / 5×
+    // median) fire on exactly this shape. Sub-threshold pathologies
+    // have the explicit lever: graft.operators.Skew.saltedJoin on the
+    // same keys (asserted pair-complete below).
+    import org.apache.spark.sql.functions._
+    val n = 40000L
+    // the exact probe shape from Dedup.scala (keysH ⋈ keysB on
+    // band+key); keys are DATA-DEPENDENT so constant folding cannot
+    // degenerate the equi-join — 99% of history rows share the hot key
+    def hotKey(id: org.apache.spark.sql.Column) =
+      when(pmod(id, lit(100L)) < 99L, lit("HOT#KEY"))
+        .otherwise(concat(lit("cold#"), id.cast("string")))
+    def keysH(s: org.apache.spark.sql.SparkSession) = s.range(n)
+      .select(col("id").as("id_a"), pmod(col("id"), lit(1L)).cast("int")
+        .as("band"), hotKey(col("id")).as("key"))
+    def keysB(s: org.apache.spark.sql.SparkSession) = s.range(4)
+      .select((col("id") + 1000000L).as("id_b"),
+        pmod(col("id"), lit(1L)).cast("int").as("band"),
+        when(col("id") === 0L, lit("HOT#KEY"))
+          .otherwise(concat(lit("b#"), col("id").cast("string"))).as("key"))
+    val fork = spark.newSession()
+    fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    fork.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16kb")
+    fork.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8kb")
+    fork.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    val joined = keysH(fork).join(keysB(fork), Seq("band", "key"))
+    // execute THIS frame's plan (a count() would plan separately) so
+    // the adaptive plan finalizes with the runtime skew decision in it
+    assert(joined.collect().length === (n / 100L * 99L).toInt)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("skew=true"), p)
+    // the explicit salt lever is pair-complete on the same shape
+    val salted = graft.operators.Skew.saltedJoin(
+      keysH(spark), keysB(spark), Seq("band", "key"), nSalts = 8)
+    assert(salted.count() === n / 100L * 99L)
+  }
 }
