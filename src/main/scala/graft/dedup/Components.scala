@@ -47,10 +47,17 @@ object Components {
     * non-long ids) the distributed large-star/small-star loop runs
     * unchanged — the 100 TB default. Both paths produce the identical
     * mapping (spec-pinned).
+    *
+    * `roundObserver` is a measurement seam: the distributed loop calls
+    * it after every completed round with (round index starting at 1,
+    * canonical edge count after the round). The O(log n) round-count
+    * claim is measured through it (ScaleSmoke's closure legs), not
+    * asserted; the driver union-find path never calls it (no rounds).
     */
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25,
-      driverEdgeThreshold: Long = 1L << 20): DataFrame = {
+      driverEdgeThreshold: Long = 1L << 20,
+      roundObserver: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val spark = edges.sparkSession
     val schema = edges
       .select(col(aCol).as("u"), col(bCol).as("v")).schema
@@ -123,6 +130,7 @@ object Components {
       cur = next
       curSum = nextSum
       it += 1
+      roundObserver(it, nextSum._1)
     }
     // converged edges are stars (child, componentMin)
     val mapping = cur

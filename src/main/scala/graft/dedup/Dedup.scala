@@ -65,9 +65,53 @@ object Dedup {
     }.drop("__sig")
   }
 
+  /** Band-scheme governor for the minhash LSH passes — the minhash
+    * twin of the embedding side's `Ann.autoProbe`: pick (numBands,
+    * rowsPerBand) for a target jaccard `threshold` under a
+    * signature-size budget. For b bands of r rows the probability a
+    * pair at similarity s becomes a candidate is 1 − (1 − s^r)^b
+    * (the standard LSH S-curve; Leskovec/Rajaraman/Ullman, Mining of
+    * Massive Datasets ch. 3). The governor returns the STEEPEST
+    * feasible scheme: the largest r (steeper curve ⇒ fewer
+    * sub-threshold candidates — the join-volume term at 100 TB) whose
+    * band count b = ⌈ln(1 − targetRecall) / ln(1 − t^r)⌉ still reaches
+    * `targetRecall` at the threshold within `maxHashes` total hashes.
+    * Verification afterwards is exact, so the scheme moves candidate
+    * volume and recall, never correctness. Throws when no scheme
+    * within the budget reaches the target (raise maxHashes or lower
+    * targetRecall) rather than silently under-recalling. Oracled as
+    * q205 (the selection arithmetic replays in SQL); the catalog's own
+    * dedup queries pin (2, 2) because their oracles replay that exact
+    * scheme — the governor is the production-caller surface.
+    */
+  def autoBands(threshold: Double, targetRecall: Double = 0.9,
+      maxHashes: Int = 16): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1,
+      "targetRecall must be in (0,1)")
+    require(maxHashes >= 1, "maxHashes must be >= 1")
+    val lnMiss = math.log(1 - targetRecall)
+    (maxHashes to 1 by -1).iterator.flatMap { r =>
+      val pr = math.pow(threshold, r)
+      val b = math.ceil(lnMiss / math.log1p(-pr)).toLong
+      // feasibility as b <= maxHashes/r, NOT b*r <= maxHashes: a low
+      // threshold at a large r yields astronomic b (ceil saturates to
+      // Long.MaxValue) and the product would wrap negative and "pass"
+      if (b >= 1 && b <= maxHashes / r) Some((b.toInt, r)) else None
+    }.nextOption().getOrElse {
+      val feasible = 1 - math.pow(1 - threshold, maxHashes.toDouble)
+      throw new IllegalArgumentException(
+        f"no (bands, rows) within $maxHashes%d hashes reaches recall " +
+          f"$targetRecall%.3f at threshold $threshold%.3f (best " +
+          f"feasible: b=$maxHashes%d, r=1 -> recall $feasible%.4f); " +
+          "raise maxHashes or lower targetRecall")
+    }
+  }
+
   /** LSH banding: band key b = concatenated minhashes of that band.
     * Returns (idCol, band, key) rows — one per band — ready for the
-    * bucket self-join. rowsPerBand=2, numBands=2 by default (4 hashes).
+    * bucket self-join. rowsPerBand=2, numBands=2 by default (4 hashes);
+    * [[autoBands]] picks a recall-governed scheme for production calls.
     */
   def lshBandKeys(df: DataFrame, textCol: String, idCol: String,
       numBands: Int = 2, rowsPerBand: Int = 2, k: Int = 3): DataFrame = {

@@ -7265,7 +7265,121 @@ object PipelineQueries {
        |FROM pd JOIN mt USING (doc_id) ORDER BY pd.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q204
+  /** Streaming benchmark decontamination
+    * ([[StreamingOps.decontaminateStream]]): the train side of the
+    * documents table (everything off the doc_id % 17 benchmark slice)
+    * arrives as 4 mtime-ordered micro-batches split by doc_id % 4;
+    * each batch drops its docs whose distinct-5-gram overlap with the
+    * STATIC benchmark gram set reaches 1/3 (333333333 quantized) and
+    * emits survivors. Decontamination is per-doc against a frozen set
+    * — stateless — so the staged composition must equal the one-shot
+    * batch rule doc-for-doc; the output pins one row PER MICRO-BATCH
+    * (row count 4 = the staging actually streamed) with the batch's
+    * survivor count and id sum, and the oracle replays the rule with
+    * batch_id recovered as doc_id % 4 (micro-batch k holds exactly
+    * that residue class, in mtime order).
+    */
+  def q204StreamDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val bench = d.filter(pmod(col("doc_id"), lit(17L)) === 0L)
+    val train = d.filter(pmod(col("doc_id"), lit(17L)) =!= 0L)
+    // the frozen eval suite: built and pinned once, reused per batch
+    val bg = graft.text.Decontaminate.gramSet(bench, "text", 5).persist()
+    bg.count()
+    val tmp = java.nio.file.Files.createTempDirectory("q204").toString
+    val in = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    (0 until 4).foreach { kk =>
+      val stage = s"$tmp/stage$kk"
+      train.filter(pmod(col("doc_id"), lit(4L)) === kk).coalesce(1)
+        .write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
+    }
+    val stream = s.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    // per-batch census shuffles at 8 (q48/q59 rule), ConfScope-forked
+    val q = StreamingOps.decontaminateStream(
+        graft.operators.ConfScope.shufflePartitions(stream, 8),
+        "text", "doc_id", bg, n = 5, minFracQ = 333333333L) { (sv, id) =>
+      val r = sv.agg(count(lit(1)), sum(col("doc_id"))).head()
+      rows += ((id, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    }
+    try q.processAllAvailable() finally { q.stop(); bg.unpersist() }
+    rows.toSeq.sortBy(_._1).toDF("batch_id", "n_kept", "sum_kept_ids")
+  }
+
+  val q204Sql: String = {
+    val g5 = (1 to 4).foldLeft("tk[i]")((acc, j) => s"$acc || ' ' || tk[i+$j]")
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+       |    doc_id % 17 = 0 AS isb
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, isb, unnest(list_distinct(
+       |    CASE WHEN len(tk) >= 5
+       |      THEN list_transform(range(1, len(tk) - 3), i -> $g5)
+       |      ELSE [text] END)) AS g FROM d),
+       |bg AS (SELECT DISTINCT g FROM g WHERE isb),
+       |tg AS (SELECT doc_id, g FROM g WHERE NOT isb),
+       |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+       |mt AS (SELECT doc_id, COUNT(*) AS n_matched FROM tg
+       |  JOIN bg USING (g) GROUP BY doc_id),
+       |bad AS (SELECT pd.doc_id FROM pd JOIN mt USING (doc_id)
+       |  WHERE CAST(FLOOR(CAST(n_matched AS DOUBLE)
+       |    / CAST(n_grams AS DOUBLE) * 1e9) AS BIGINT) >= 333333333),
+       |kept AS (SELECT doc_id FROM d WHERE NOT isb
+       |  AND doc_id NOT IN (SELECT doc_id FROM bad))
+       |SELECT doc_id % 4 AS batch_id, COUNT(*) AS n_kept,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q205
+  /** MinHash band-scheme governor ([[graft.dedup.Dedup.autoBands]]):
+    * the (bands, rowsPerBand) selection for a grid of jaccard
+    * thresholds at target recall 0.9 under a 16-hash signature budget.
+    * The oracle replays the WHOLE selection in SQL — the per-(t, r)
+    * band count ⌈ln(0.1)/ln(1 − t^r)⌉, the b·r ≤ 16 feasibility
+    * filter, and the max-r argmax — so the governor's arithmetic is
+    * hash-pinned, the q189 autoProbe precedent applied to the minhash
+    * side. Every grid point's ceil argument sits ≥ 4e-3 from an
+    * integer (hand-checked), so libm-vs-JVM last-ulp differences
+    * cannot flip a boundary.
+    */
+  def q205AutoBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(500000000L, 600000000L, 700000000L, 800000000L, 900000000L)
+      .map { tq =>
+        val (b, r) = graft.dedup.Dedup.autoBands(tq / 1e9, 0.9, 16)
+        (tq, b.toLong, r.toLong, (b * r).toLong)
+      }.toDF("threshold_q", "bands", "rows_per_band", "sig_hashes")
+  }
+
+  val q205Sql: String =
+    s"""WITH ts AS (SELECT CAST(unnest([500000000, 600000000, 700000000,
+       |    800000000, 900000000]) AS BIGINT) AS threshold_q),
+       |rs AS (SELECT range AS r FROM range(1, 17)),
+       |cand AS (SELECT threshold_q, r,
+       |    CAST(CEIL(LN(0.1) / LN(1 - POW(threshold_q / 1e9, r)))
+       |      AS BIGINT) AS b
+       |  FROM ts CROSS JOIN rs),
+       |sel AS (SELECT threshold_q, MAX(r) AS r FROM cand
+       |  WHERE b * r <= 16 GROUP BY threshold_q)
+       |SELECT c.threshold_q, c.b AS bands, c.r AS rows_per_band,
+       |  c.b * c.r AS sig_hashes
+       |FROM sel JOIN cand c USING (threshold_q, r)
+       |ORDER BY c.threshold_q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_autobands" -> (q205AutoBands _),
+    "q204_stream_decontam" -> (q204StreamDecontam _),
     "q203_decontam_gram13" -> (q203DecontamGram13 _),
     "q202_stream_semdedup" -> (q202StreamSemDedup _),
     "q201_first_arrival_dedup" -> (q201FirstArrivalDedup _),
@@ -7423,6 +7537,8 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q203_decontam_gram13" -> q203Sql,
     "q202_stream_semdedup" -> q202Sql,
+    "q204_stream_decontam" -> q204Sql,
+    "q205_autobands" -> q205Sql,
     "q201_first_arrival_dedup" -> q201Sql,
     "q200_decontam_drop" -> q200Sql,
     "q199_decontam_fraction" -> q199Sql,

@@ -331,6 +331,35 @@ object StreamingOps {
     } finally r.close()
   }
 
+  /** Streaming benchmark decontamination — the corpus-ingest gate run
+    * WHILE the crawl streams in: each micro-batch drops its arriving
+    * docs whose benchmark n-gram overlap fraction reaches `minFracQ`
+    * (the [[graft.text.Decontaminate.dropContaminated]] rule — 1e-9
+    * integer-quantized, so the threshold boundary is replay-exact) and
+    * hands the survivors to the sink. The benchmark gram set is a
+    * STATIC frame prepared once via
+    * [[graft.text.Decontaminate.gramSet]] — the stream-static posture:
+    * eval suites are frozen while a crawl ingests, and AQE broadcasts
+    * the gram table per batch (an oversized benchmark degrades to a
+    * shuffled join instead of failing the driver).
+    *
+    * State: NONE — contamination is per-doc against a static set, so
+    * unlike the dedup faces there is no history table and no
+    * survivorship rule; a replayed batch recomputes the identical
+    * survivor set, so end-to-end exactly-once reduces to the sink's
+    * usual idempotent-append contract. Scale shape per batch: one
+    * distinct-gram explode over the ARRIVING docs only + one keyed
+    * join against the fixed gram set + a per-doc count agg (the q199
+    * census shape) — batch-driven cost, history-free by construction.
+    */
+  def decontaminateStream(docs: DataFrame, textCol: String, idCol: String,
+      benchGrams: DataFrame, n: Int, minFracQ: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.text.Decontaminate.dropContaminated(
+        batch, textCol, idCol, benchGrams, n, minFracQ), id)
+    }.start()
+
   /** Streaming distribution-drift monitor: each micro-batch's token
     * stream is folded into a fixed `nBuckets`-bucket histogram (the
     * q81 hash-bucket census) and compared against a broadcast REFERENCE

@@ -285,7 +285,9 @@ object ScaleSmoke {
     // disk at large mults
     val results = scala.collection.mutable.Map.empty[(String, Int), Double]
     val spills = scala.collection.mutable.Map.empty[(String, Int), (Long, Long)]
-    for (m <- mults) {
+    // corpus build at large mults is minutes of work — skip it outright
+    // when SMOKE_ONLY selects no stage from this loop
+    for (m <- mults if activeStages.nonEmpty) {
       val d = corpus(m)
       d.count()
       for ((name, stage) <- activeStages) {
@@ -605,6 +607,43 @@ object ScaleSmoke {
       println(f"${"neardup components"}%-22s " +
         ccTs.map(t => f"$t%7.2fs").mkString(" ") +
         f"   ${ccTs.last / ccTs.head}%5.1f")
+    }
+
+    // ---- distributed-closure leg (the ~10M-doc flagship): the SAME
+    // near-dup edge set, but the closure FORCED onto the
+    // large-star/small-star path (driverEdgeThreshold = 0) with the
+    // round observer recording (round, canonical edges) per round —
+    // the claim under test at 10M docs is that ROUND COUNT grows
+    // ~log n while each round's edge volume (the per-round constant)
+    // tracks the linearly-growing pair set. Run with "64 256 512" at
+    // sf0.1 to put ~10.2M docs through the full census + closure.
+    if (on("components distributed")) {
+      val ccTs = mults.map { m =>
+        val d = corpus(m)
+        d.count()
+        val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        def run(): Unit = {
+          rounds.clear()
+          val mapping = graft.dedup.Components.connectedComponents(
+            Dedup.nearDuplicates(d, "text", "doc_id")
+              .select(col("id_a"), col("id_b")),
+            driverEdgeThreshold = 0L,
+            roundObserver = (r, e) => { rounds += ((r, e)); () })
+          mapping.count()
+          mapping.unpersist(true)
+        }
+        run() // warm
+        val t = time(run())
+        spark.catalog.clearCache()
+        (t, rounds.toList)
+      }
+      println(f"${"components distributed"}%-22s " +
+        ccTs.map(t => f"${t._1}%7.2fs").mkString(" ") +
+        f"   ${ccTs.last._1 / ccTs.head._1}%5.1f")
+      mults.zip(ccTs).foreach { case (m, (_, rs)) =>
+        println(f"  ${m + "x"}%6s rounds=${rs.size}%2d " +
+          rs.map { case (r, e) => s"r$r:$e" }.mkString(" "))
+      }
     }
 
     // ---- as-of join leg: scaled event log, replica-distinct users —

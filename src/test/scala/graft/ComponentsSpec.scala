@@ -78,6 +78,29 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("round observer: distributed loop reports log-bounded rounds, driver path none") {
+    // 64-node path: the observer must see every round with a
+    // monotonically non-increasing canonical edge count, converging in
+    // far fewer rounds than the diameter (63) — the log n contract the
+    // ScaleSmoke closure legs measure at ~10M docs
+    val es = (0L until 63L).map(i => (i, i + 1))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val got = resultMap(Components.connectedComponents(edgesDf(es),
+      driverEdgeThreshold = 0L,
+      roundObserver = (r, e) => { seen += ((r, e)); () }))
+    assert(got === (0L to 63L).map(_ -> 0L).toMap)
+    assert(seen.nonEmpty && seen.size <= 12,
+      s"expected log-bounded rounds, saw ${seen.size}: $seen")
+    assert(seen.map(_._1) === (1 to seen.size), "rounds must be 1..k in order")
+    // converged star graph: 63 leaves on vertex 0
+    assert(seen.last._2 === 63L)
+    // the driver union-find path has no rounds to observe
+    val seenDrv = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    resultMap(Components.connectedComponents(edgesDf(es),
+      roundObserver = (r, e) => { seenDrv += ((r, e)); () }))
+    assert(seenDrv.isEmpty)
+  }
+
   test("empty edge set yields empty mapping") {
     val got = resultMap(Components.connectedComponents(
       edgesDf(Seq.empty[(Long, Long)])))

@@ -2274,4 +2274,35 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === want)
   }
+
+  test("autoBands: hand-computed schemes, recall target met, budget respected") {
+    import graft.dedup.Dedup.autoBands
+    // hand-computed against b = ceil(ln(0.1)/ln(1 - t^r)), max feasible r
+    assert(autoBands(0.5) === ((4, 1)))
+    assert(autoBands(0.6) === ((6, 2)))
+    assert(autoBands(0.7) === ((4, 2)))
+    assert(autoBands(0.8) === ((4, 3)))
+    assert(autoBands(0.9) === ((3, 5)))
+    // the contract, property-checked over a grid: recall at the
+    // threshold >= target, budget respected, and no steeper (larger-r)
+    // scheme was feasible
+    for (t <- Seq(0.3, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95);
+         target <- Seq(0.8, 0.9, 0.99); budget <- Seq(16, 64)) {
+      val (b, r) = autoBands(t, target, budget)
+      val recall = 1 - math.pow(1 - math.pow(t, r), b.toDouble)
+      assert(recall >= target - 1e-12, s"recall $recall at t=$t")
+      assert(b * r <= budget)
+      val steeper = (r + 1 to budget).exists { r2 =>
+        val b2 = math.ceil(
+          math.log(1 - target) / math.log1p(-math.pow(t, r2))).toLong
+        b2 >= 1 && b2 <= budget / r2 // overflow-proof, as in the impl
+      }
+      assert(!steeper, s"steeper feasible scheme exists for t=$t")
+    }
+    // a larger budget never picks a shallower curve
+    assert(autoBands(0.7, 0.9, 64)._2 >= autoBands(0.7, 0.9, 16)._2)
+    // infeasible target throws with guidance instead of under-recalling
+    val e = intercept[IllegalArgumentException](autoBands(0.1, 0.99, 4))
+    assert(e.getMessage.contains("raise maxHashes"))
+  }
 }

@@ -321,6 +321,57 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(hist).count() === histRows)
   }
 
+  test("decontamination stream: per-batch drop rule equals the batch twin, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // benchmark: one frozen passage; 3-grams
+    val bg = graft.text.Decontaminate.gramSet(
+      Seq("the quick brown fox jumps over the lazy dog")
+        .toDF("text"), "text", 3).persist()
+    bg.count()
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = StreamingOps.decontaminateStream(docs, "text", "doc_id",
+        bg, n = 3, minFracQ = 500000000L) { (sv, id) =>
+      perBatch += ((id,
+        sv.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted))
+    }
+    try {
+      // batch 0: doc 1 is an embedded benchmark quote (overlap 100% —
+      // drops), doc 2 shares a short phrase (< 50% of its grams —
+      // survives), doc 3 is clean
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox is a common pangram opener phrase here"),
+        (3L, "completely unrelated text about spark partitions and shuffles"))
+      q.processAllAvailable()
+      // batch 1: the SAME quote arrives again — no history, no
+      // survivorship: the static rule drops it again, and the earlier
+      // batch's outcome is untouched (stateless by construction)
+      input.addData(
+        (4L, "the quick brown fox jumps over the lazy dog"),
+        (5L, "another clean document mentioning nothing benchmarked at all"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.map(_._1) === Seq(0L, 1L))
+    assert(perBatch(0)._2 === Seq(2L, 3L))
+    assert(perBatch(1)._2 === Seq(5L))
+    // the staged union equals the one-shot batch rule doc-for-doc
+    val all = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox is a common pangram opener phrase here"),
+      (3L, "completely unrelated text about spark partitions and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "another clean document mentioning nothing benchmarked at all"))
+      .toDF("doc_id", "text")
+    val oneShot = graft.text.Decontaminate.dropContaminated(
+        all, "text", "doc_id", bg, 3, 500000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(perBatch.flatMap(_._2).sorted === oneShot)
+    bg.unpersist()
+  }
+
   test("outer interval join: unmatched left emits nulls after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[(Long, Timestamp, Long)]
