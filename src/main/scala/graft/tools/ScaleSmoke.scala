@@ -23,6 +23,18 @@ object ScaleSmoke {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // The 10M-doc finding this line records: with shuffles PINNED at
+      // 32 partitions, the shingle-verify join at 2048× (10.24M docs)
+      // dies with "Can't acquire 1073741824 bytes to build hash
+      // relation" — per-task hash builds outgrow their 1/32 share of
+      // execution memory. The cluster-correct posture is to let AQE
+      // START wide and coalesce down by advisory size (exactly what a
+      // 1000-executor default does); partition width must scale with
+      // data, never be a constant of the harness.
+      // env-gated so the width-vs-scale trade is itself measurable
+      // (SMOKE_INIT_PARTS=32 reproduces the pinned-width death)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SMOKE_INIT_PARTS", "1024"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -635,6 +647,8 @@ object ScaleSmoke {
         run() // warm
         val t = time(run())
         spark.catalog.clearCache()
+        println(f"  [progress] components distributed ${m}x: $t%.2fs " +
+          s"rounds=${rounds.size}")
         (t, rounds.toList)
       }
       println(f"${"components distributed"}%-22s " +
@@ -1266,6 +1280,7 @@ object ScaleSmoke {
         run() // warm
         val t = time(run())
         spark.catalog.clearCache()
+        println(f"  [progress] incremental neardup ${m}x: $t%.2fs")
         t
       }
       println(f"${"incremental neardup"}%-22s " +
@@ -1378,6 +1393,7 @@ object ScaleSmoke {
           .simhashCompleteCandidateCensus(sigs, numBlocks = 4).head()
         sigs.unpersist()
         spark.catalog.clearCache()
+        println(s"  [progress] simhash cand census ${m}x done")
         (m, auto.getLong(0), auto.getInt(1), auto.getLong(3),
           minimal.getLong(3))
       }

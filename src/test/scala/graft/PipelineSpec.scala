@@ -2305,4 +2305,36 @@ class PipelineSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](autoBands(0.1, 0.99, 4))
     assert(e.getMessage.contains("raise maxHashes"))
   }
+
+  test("autoBands scheme measurably outrecalls the default on planted near-dups") {
+    import spark.implicits._
+    // 150 planted pairs: partner shares the first 30 of 40 tokens, so
+    // 3-shingle jaccard sits at 28/48 ≈ 0.58 — above a 0.55 threshold
+    // but squarely in the band where the default (2,2) S-curve leaks
+    // (expected candidate recall 1-(1-s²)² ≈ 0.56) and the governed
+    // scheme holds (autoBands(0.55, 0.9) = (7,2) ⇒ ≈ 0.95). MinHash is
+    // seedless md5, so for this fixed corpus both numbers are exact
+    // constants, not statistics.
+    val rnd = new scala.util.Random(42)
+    def tok() = "w" + rnd.nextInt(1000000)
+    val docs = (0 until 150).flatMap { i =>
+      val base = Seq.fill(40)(tok())
+      val partner = base.take(30) ++ Seq.fill(10)(tok())
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, partner.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def recall(nb: Int, rpb: Int): Double = {
+      val cand = graft.dedup.Dedup
+        .lshCandidatePairs(df, "text", "doc_id", nb, rpb)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until 150).count(i => cand((2L * i, 2L * i + 1))).toDouble / 150
+    }
+    val (b, r) = graft.dedup.Dedup.autoBands(0.55, 0.9)
+    assert((b, r) === ((7, 2)))
+    val rAuto = recall(b, r)
+    val rDef = recall(2, 2)
+    assert(rAuto > rDef + 0.15, s"auto $rAuto vs default $rDef")
+    assert(rAuto >= 0.85, s"auto recall $rAuto below the governed target band")
+  }
 }
