@@ -251,6 +251,47 @@ object Dedup {
     NearDupResult(df.join(losers, Seq(idCol), "left_anti"), losers)
   }
 
+  /** Quality-aware cluster survivor selection: like
+    * [[dropNearDuplicates]], but the survivor of each near-dup cluster
+    * is the member with the HIGHEST `scoreCol` (ties and null scores
+    * fall back to the smallest id — total, deterministic order), not
+    * the smallest id. This is the posture a training-data pipeline
+    * usually wants: near-dup clusters mix crawls of the same page
+    * across fidelity levels, and min-id keeps whichever arrived first
+    * while best-of-cluster keeps the longest / highest-quality capture
+    * (Penedo et al.'s RefinedWeb and Gopher both dedup this way —
+    * score by length or a quality signal).
+    *
+    * Shape: the pair→component closure is [[Components]] (unchanged);
+    * winner election is ONE `row_number` window partitioned by the
+    * cluster representative — partitions are near-dup clusters, whose
+    * size the band scheme already bounds, so the window never sees a
+    * corpus-scale partition. Docs in no near-dup pair survive
+    * untouched and never enter the window. Any scoring column works
+    * (a length, a [[graft.text.TextAnalysis]] quality signal, a model
+    * score) as long as it is deterministic.
+    */
+  def dropNearDuplicatesBest(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: String, threshold: Double = 0.7, numBands: Int = 2,
+      rowsPerBand: Int = 2, k: Int = 3): NearDupResult = {
+    val pairs = nearDuplicates(df, textCol, idCol, threshold, numBands,
+      rowsPerBand, k).select(col("id_a"), col("id_b"))
+    val mapping = Components.connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep"))
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    val losers = mapping
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__score")),
+        Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+      .persist()
+    losers.count() // materialize while the mapping cache is alive
+    mapping.unpersist()
+    NearDupResult(df.join(losers, Seq(idCol), "left_anti"), losers)
+  }
+
   /** Incremental near-dup maintenance — the posture a corpus at scale
     * actually runs: a new crawl `batch` deduplicates against an
     * ALREADY-DEDUPED `history` without ever re-scanning

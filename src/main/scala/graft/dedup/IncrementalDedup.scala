@@ -54,6 +54,43 @@ object IncrementalDedup {
       math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
   }
 
+  /** Serialized Bloom sketch of an arbitrary LongType key column (null
+    * when the frame is empty) — the distributed
+    * `BloomFilterAggregate` build (partial per-partition filters
+    * OR-merged, the same treeAggregate shape as `df.stat.bloomFilter`).
+    * Driver state is the bit array alone (`sketchBits(expectedItems,
+    * fpp)` bits, chosen by the caller), never the keyed rows —
+    * bounded however large the keyed set is. Shared by the
+    * text-content dedup path here and the benchmark-gram
+    * decontamination gate ([[graft.text.Decontaminate]]).
+    */
+  private[graft] def sketchOf(df: DataFrame,
+      key: org.apache.spark.sql.Column, expectedItems: Long,
+      fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(key),
+      GraftBridge.expression(lit(math.max(1L, expectedItems))),
+      GraftBridge.expression(lit(sketchBits(expectedItems, fpp))))
+      .toAggregateExpression()
+    df.select(GraftBridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Codegen'd membership probe of a [[sketchOf]] sketch — the
+    * `BloomFilterMightContain` expression, so a filter built on this
+    * stays inside whole-stage codegen. NO false negatives: a key that
+    * was sketched always probes true.
+    */
+  private[graft] def mightContain(bytes: Array[Byte],
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    GraftBridge.column(new BloomFilterMightContain(
+      GraftBridge.expression(lit(bytes)),
+      GraftBridge.expression(key)))
+  }
+
   /** Serialized Bloom sketch of `df`'s text-content keys (null when the
     * frame is empty). The binary is the standard
     * `org.apache.spark.util.sketch.BloomFilter` stream format, so
@@ -61,16 +98,8 @@ object IncrementalDedup {
     * [[filterUnseen]].
     */
   private[graft] def sketchBytes(df: DataFrame, textCol: String,
-      expectedItems: Long, fpp: Double = 1e-6): Array[Byte] = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val agg = new BloomFilterAggregate(
-      GraftBridge.expression(key(textCol)),
-      GraftBridge.expression(lit(math.max(1L, expectedItems))),
-      GraftBridge.expression(lit(sketchBits(expectedItems, fpp))))
-      .toAggregateExpression()
-    df.select(GraftBridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
-  }
+      expectedItems: Long, fpp: Double = 1e-6): Array[Byte] =
+    sketchOf(df, key(textCol), expectedItems, fpp)
 
   /** OR-merge two serialized sketches built with the same
     * (expectedItems, fpp) — the driver-side fold of an incremental
@@ -95,14 +124,8 @@ object IncrementalDedup {
     * anything — the same semantic as the exactNewDocs left-anti twin).
     */
   private[graft] def filterUnseen(newDf: DataFrame, textCol: String,
-      bytes: Array[Byte]): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-    val mightContain = GraftBridge.column(new BloomFilterMightContain(
-      GraftBridge.expression(lit(bytes)),
-      GraftBridge.expression(key(textCol))))
-    newDf.filter(col(textCol).isNull || !mightContain)
-  }
+      bytes: Array[Byte]): DataFrame =
+    newDf.filter(col(textCol).isNull || !mightContain(bytes, key(textCol)))
 
   /** Exact twin: left-anti join on the content hash. One shuffle of
     * both sides — correct always, costly when `oldDf` is the full

@@ -579,8 +579,8 @@ object ErQueries {
       val vec = (0 until dims).map(i => (k * 7 + i) % 13 - 6)
       s"w$k " + vec.mkString(" ")
     }
-    val tmp = java.nio.file.Files.createTempDirectory("q178")
-    val f = tmp.resolve("glove.txt")
+    val tmp = graft.tools.Scratch.tempDir("q178")
+    val f = java.nio.file.Paths.get(tmp, "glove.txt")
     java.nio.file.Files.writeString(f, lines.mkString("\n"))
     val b = graft.sources.ErSources.readEmbeddingText(s, f.toString)
     val m = b.value

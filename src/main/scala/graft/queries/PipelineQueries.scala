@@ -744,7 +744,7 @@ object PipelineQueries {
   def q64StreamBloomDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val tmp = java.nio.file.Files.createTempDirectory("q64").toString
+    val tmp = graft.tools.Scratch.tempDir("q64")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     (0 until 4).foreach { k =>
@@ -2253,7 +2253,7 @@ object PipelineQueries {
     // per-row-compute-shaped
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val tmp = java.nio.file.Files.createTempDirectory("q98").toString + "/corpus"
+    val tmp = graft.tools.Scratch.tempDir("q98") + "/corpus"
     docs.write.mode("overwrite").partitionBy("source").parquet(tmp)
     val patched = docs
       .filter(col("source").isin("src0", "src3") &&
@@ -2319,7 +2319,7 @@ object PipelineQueries {
     // IO-shaped; the fanned scan only multiplies file counts here
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val tmp = java.nio.file.Files.createTempDirectory("q99").toString
+    val tmp = graft.tools.Scratch.tempDir("q99")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     (0 until 3).foreach { k =>
@@ -2765,7 +2765,7 @@ object PipelineQueries {
   def q106StreamNearDupDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val tmp = java.nio.file.Files.createTempDirectory("q106").toString
+    val tmp = graft.tools.Scratch.tempDir("q106")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     (0 until 4).foreach { kk =>
@@ -4002,7 +4002,7 @@ object PipelineQueries {
   def q130StreamScd2(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
-    val tmp = java.nio.file.Files.createTempDirectory("q130").toString
+    val tmp = graft.tools.Scratch.tempDir("q130")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     val chunks = (0 to 3).map {
@@ -4324,7 +4324,7 @@ object PipelineQueries {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val refTotal = refRows.map(_._2).sum
-    val tmp = java.nio.file.Files.createTempDirectory("q138").toString
+    val tmp = graft.tools.Scratch.tempDir("q138")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     (0 until 3).foreach { kk =>
@@ -4593,7 +4593,7 @@ object PipelineQueries {
     val docs = t(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"), col("source"))
-    val tmp = java.nio.file.Files.createTempDirectory("q142").toString
+    val tmp = graft.tools.Scratch.tempDir("q142")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     (0 until 3).foreach { kk =>
@@ -4945,7 +4945,7 @@ object PipelineQueries {
     val e = t(s, dir, "embeddings")
     val model = graft.similarity.Pq.train(e, "vec_id", "embedding",
       dim = 64, m = 2, k = 4, iters = 2)
-    val tmp = java.nio.file.Files.createTempDirectory("q150").toString
+    val tmp = graft.tools.Scratch.tempDir("q150")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     (0 until 3).foreach { kk =>
@@ -5052,7 +5052,7 @@ object PipelineQueries {
     * round-trips must be value-neutral.
     */
   def q152OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("q152").toString
+    val tmp = graft.tools.Scratch.tempDir("q152")
     t(s, dir, "documents").write.mode("overwrite").orc(s"$tmp/docs")
     s.read.orc(s"$tmp/docs")
       .filter(col("n_chars") >= 100L)
@@ -5311,7 +5311,7 @@ object PipelineQueries {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-    val tmp = java.nio.file.Files.createTempDirectory("q158").toString
+    val tmp = graft.tools.Scratch.tempDir("q158")
     d.write.mode("overwrite").option("header", "true").csv(s"$tmp/docs")
     roundtripCensus(
       s.read.option("header", "true").schema(d.schema).csv(s"$tmp/docs"))
@@ -5328,7 +5328,7 @@ object PipelineQueries {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-    val tmp = java.nio.file.Files.createTempDirectory("q159").toString
+    val tmp = graft.tools.Scratch.tempDir("q159")
     d.write.mode("overwrite").json(s"$tmp/docs")
     roundtripCensus(s.read.schema(d.schema).json(s"$tmp/docs"))
   }
@@ -5347,7 +5347,7 @@ object PipelineQueries {
   def q160BinarySource(s: SparkSession, dir: String): DataFrame = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
     val media = Multimodal.synthesizePngs(ids, "doc_id", w = 8, h = 8)
-    val tmp = java.nio.file.Files.createTempDirectory("q160").toString
+    val tmp = graft.tools.Scratch.tempDir("q160")
     media.select(col("media_id"), col("content"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         it.foreach { r =>
@@ -5383,7 +5383,7 @@ object PipelineQueries {
   def q161StreamRecovery(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
-    val tmp = java.nio.file.Files.createTempDirectory("q161").toString
+    val tmp = graft.tools.Scratch.tempDir("q161")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     def land(kk: Int): Unit = {
@@ -5614,7 +5614,7 @@ object PipelineQueries {
     */
   def q166SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("q166").toString
+    val tmp = graft.tools.Scratch.tempDir("q166")
     d.filter(pmod(col("doc_id"), lit(2)) === 0)
       .select(col("doc_id"), col("source"))
       .write.mode("overwrite").parquet(s"$tmp/v1")
@@ -6080,7 +6080,7 @@ object PipelineQueries {
     import s.implicits._
     val ids = t(s, dir, "documents").select(col("doc_id"))
     val media = Multimodal.synthesizeGroupedPngs(ids, "doc_id", groups = 16)
-    val tmp = java.nio.file.Files.createTempDirectory("q194").toString
+    val tmp = graft.tools.Scratch.tempDir("q194")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     (0 until 4).foreach { kk =>
@@ -7154,7 +7154,7 @@ object PipelineQueries {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val staged = e.withColumn("__q", ntile(4).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))))
-    val tmp = java.nio.file.Files.createTempDirectory("q202").toString
+    val tmp = graft.tools.Scratch.tempDir("q202")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     (1 to 4).foreach { kk =>
@@ -7278,7 +7278,10 @@ object PipelineQueries {
     * (row count 4 = the staging actually streamed) with the batch's
     * survivor count and id sum, and the oracle replays the rule with
     * batch_id recovered as doc_id % 4 (micro-batch k holds exactly
-    * that residue class, in mtime order).
+    * that residue class, in mtime order; the oracle recovers it
+    * sign-safely as (doc_id % 4 + 4) % 4 — Spark's pmod is always
+    * non-negative while DuckDB's % keeps the dividend's sign, so the
+    * bare % form would diverge on negative ids).
     */
   def q204StreamDecontam(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -7289,7 +7292,7 @@ object PipelineQueries {
     // the frozen eval suite: built and pinned once, reused per batch
     val bg = graft.text.Decontaminate.gramSet(bench, "text", 5).persist()
     bg.count()
-    val tmp = java.nio.file.Files.createTempDirectory("q204").toString
+    val tmp = graft.tools.Scratch.tempDir("q204")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     (0 until 4).foreach { kk =>
@@ -7336,7 +7339,7 @@ object PipelineQueries {
        |    / CAST(n_grams AS DOUBLE) * 1e9) AS BIGINT) >= 333333333),
        |kept AS (SELECT doc_id FROM d WHERE NOT isb
        |  AND doc_id NOT IN (SELECT doc_id FROM bad))
-       |SELECT doc_id % 4 AS batch_id, COUNT(*) AS n_kept,
+       |SELECT (doc_id % 4 + 4) % 4 AS batch_id, COUNT(*) AS n_kept,
        |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
   }
@@ -7349,9 +7352,11 @@ object PipelineQueries {
     * band count ⌈ln(0.1)/ln(1 − t^r)⌉, the b·r ≤ 16 feasibility
     * filter, and the max-r argmax — so the governor's arithmetic is
     * hash-pinned, the q189 autoProbe precedent applied to the minhash
-    * side. Every grid point's ceil argument sits ≥ 4e-3 from an
-    * integer (hand-checked), so libm-vs-JVM last-ulp differences
-    * cannot flip a boundary.
+    * side. The tightest grid point is t=0.5, r=2 where
+    * ln(0.1)/ln(0.75) ≈ 8.0039 — every ceil argument sits ≥ 3.9e-3
+    * from an integer, well clear of any boundary at double precision
+    * (libm-vs-JVM ln/pow agree to ~1e-15), so a last-ulp difference
+    * cannot flip a band count.
     */
   def q205AutoBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -7377,7 +7382,136 @@ object PipelineQueries {
        |FROM sel JOIN cand c USING (threshold_q, r)
        |ORDER BY c.threshold_q""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** Bloom-gated decontamination drop surface
+    * ([[graft.text.Decontaminate.dropContaminatedBloom]]): the q200
+    * per-source ledger computed through the
+    * benchmark-too-big-to-broadcast path — benchmark grams fold into a
+    * fixed-size `BloomFilterAggregate` bit array, exploded train grams
+    * probe it inside whole-stage codegen, and only probable hits reach
+    * the exact confirm semi-join. Bloom has no false negatives and the
+    * confirm join removes its false positives, so the survivors are
+    * EXACTLY the plain rule's — the oracle replays the rule with no
+    * Bloom anywhere, which is the point: the sketch is a
+    * shuffle-volume lever, not a semantic one. 5-gram windows, 20%
+    * overlap threshold (200000000 quantized), src19 as the benchmark.
+    */
+  def q206BloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    val bg = graft.text.Decontaminate.gramSet(
+      d.filter(col("source") === "src19"), "text", 5)
+    val train = d.filter(col("source") =!= "src19")
+    val kept = graft.text.Decontaminate.dropContaminatedBloom(
+      train, "text", "doc_id", bg, 5, minFracQ = 200000000L,
+      expectedItems = 1L << 20)
+    train.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+      .join(kept.groupBy(col("source")).agg(
+          count(lit(1)).as("n_out"),
+          sum(col("doc_id")).as("sum_kept_ids")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_in"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"))
+      .orderBy(col("source"))
+  }
+
+  val q206Sql: String = {
+    val g5 = (1 to 4).foldLeft("tk[i]")((acc, j) => s"$acc || ' ' || tk[i+$j]")
+    s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, source, unnest(list_distinct(
+       |    CASE WHEN len(tk) >= 5
+       |      THEN list_transform(range(1, len(tk) - 3), i -> $g5)
+       |      ELSE [text] END)) AS g FROM d),
+       |bg AS (SELECT DISTINCT g FROM g WHERE source = 'src19'),
+       |tg AS (SELECT doc_id, g FROM g WHERE source <> 'src19'),
+       |ov AS (SELECT tg.doc_id, COUNT(*) AS n_grams,
+       |    COUNT(bg.g) AS n_matched
+       |  FROM tg LEFT JOIN bg ON tg.g = bg.g GROUP BY tg.doc_id),
+       |bad AS (SELECT doc_id FROM ov WHERE n_matched > 0 AND
+       |  CAST(FLOOR(CAST(n_matched AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    * 1e9) AS BIGINT) >= 200000000),
+       |tr AS (SELECT * FROM d WHERE source <> 'src19')
+       |SELECT source, COUNT(*) AS n_in,
+       |  CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM bad)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+       |  CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM bad)
+       |    THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+       |FROM tr GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q207
+  /** Quality-aware near-dup survivor election
+    * ([[graft.dedup.Dedup.dropNearDuplicatesBest]]): the q68 closure's
+    * clusters, but each cluster keeps its LONGEST member (char length,
+    * ties to the smallest id) instead of the smallest id — the
+    * RefinedWeb/Gopher best-of-cluster posture, where near-dup
+    * clusters mix captures of the same page at different fidelity and
+    * min-id keeps whichever crawled first. Census is the per-source
+    * survivor ledger; the length sum pins that the election really
+    * chose by score (a min-id election hash-diverges on sum_kept_len
+    * even where counts agree). The oracle replays the whole thing:
+    * minhash bands, jaccard verify, the recursive closure, and the
+    * window election.
+    */
+  def q207BestSurvivorDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("__len", length(col("text")))
+    // closure + election shuffles are duplicate-mass-sized (q68 rule);
+    // forked scope, never the caller's conf
+    val r = Dedup.dropNearDuplicatesBest(
+      graft.operators.ConfScope.shufflePartitions(d, 8),
+      "text", "doc_id", "__len", threshold = 0.7)
+    r.survivors.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_kept_ids"),
+        sum(col("__len").cast("long")).as("sum_kept_len"))
+      .orderBy(col("source"))
+  }
+
+  val q207Sql: String =
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |sig AS (SELECT doc_id, sh,
+       |  list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS h0,
+       |  list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS h1,
+       |  list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS h2,
+       |  list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS h3
+       |  FROM s),
+       |keys AS (
+       |  SELECT doc_id, 0 AS band, h0 || '#' || h1 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, h2 || '#' || h3 AS key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM keys a JOIN keys b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ver AS (SELECT ia, ib FROM cand
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS sha FROM sig) x ON x.doc_id = ia
+       |  JOIN (SELECT doc_id, list_distinct(sh) AS shb FROM sig) y ON y.doc_id = ib
+       |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= 0.7),
+       |sym AS (SELECT ia AS a, ib AS b FROM ver
+       |  UNION SELECT ib AS a, ia AS b FROM ver),
+       |reach(a, b) AS (SELECT a, b FROM sym
+       |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+       |rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep
+       |  FROM reach GROUP BY a),
+       |rk AS (SELECT r.doc_id, ROW_NUMBER() OVER (PARTITION BY r.rep
+       |    ORDER BY length(d.text) DESC, r.doc_id) AS rn
+       |  FROM rep r JOIN d ON d.doc_id = r.doc_id),
+       |losers AS (SELECT doc_id FROM rk WHERE rn > 1),
+       |kept AS (SELECT dd.doc_id, dd.source, dd.text FROM
+       |  (SELECT d.doc_id, doc.source, d.text FROM d
+       |    JOIN documents doc ON doc.doc_id = d.doc_id) dd
+       |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM losers))
+       |SELECT source, COUNT(*) AS n_kept,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids,
+       |  CAST(SUM(length(text)) AS BIGINT) AS sum_kept_len
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_best_survivor_dedup" -> (q207BestSurvivorDedup _),
+    "q206_bloom_decontam" -> (q206BloomDecontam _),
     "q205_autobands" -> (q205AutoBands _),
     "q204_stream_decontam" -> (q204StreamDecontam _),
     "q203_decontam_gram13" -> (q203DecontamGram13 _),
@@ -7539,6 +7673,8 @@ object PipelineQueries {
     "q202_stream_semdedup" -> q202Sql,
     "q204_stream_decontam" -> q204Sql,
     "q205_autobands" -> q205Sql,
+    "q206_bloom_decontam" -> q206Sql,
+    "q207_best_survivor_dedup" -> q207Sql,
     "q201_first_arrival_dedup" -> q201Sql,
     "q200_decontam_drop" -> q200Sql,
     "q199_decontam_fraction" -> q199Sql,

@@ -102,4 +102,72 @@ object Decontaminate {
       .select(col(idCol))
     train.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Bloom-gated [[overlapCensus]] — SAME OUTPUT, built for the scale
+    * where the benchmark gram set no longer broadcasts: a full
+    * eval-suite superset (every benchmark a lab decontaminates
+    * against, 13-gram windows) runs to billions of grams, and the
+    * plain census then shuffles EVERY exploded train gram to meet it
+    * in a shuffled join — at 100 TB the train side's (doc_id, gram)
+    * stream is the dominant exchange.
+    *
+    * Shape here: (1) the benchmark grams fold into a fixed-size Bloom
+    * bit array via the distributed `BloomFilterAggregate`
+    * ([[graft.dedup.IncrementalDedup.sketchOf]]; driver/executor state
+    * = the chosen bits, NOT the gram set); (2) the per-doc distinct
+    * gram count — the census denominator — is taken scan-locally from
+    * the gram array BEFORE any pruning, so it never depends on the
+    * filter; (3) exploded train grams probe the sketch inside
+    * whole-stage codegen and only probable hits — true matches plus
+    * ~fpp of the rest — reach (4) the exact confirm semi-join against
+    * the real gram set. Bloom has no false negatives, so no true
+    * match is lost; the confirm join removes the false positives, so
+    * the census is EXACTLY [[overlapCensus]]'s — the sketch only cuts
+    * the shuffled gram volume from |train grams| to |hits| +
+    * fpp·|train grams|. Decontamination hit rates are tiny by
+    * construction (that is the point of the gate), so the exchange
+    * shrinks by orders of magnitude.
+    *
+    * `expectedItems`/`fpp` size the sketch (1.44·log2(1/fpp) bits per
+    * item — ~2 GB for 10^9 grams at 1e-3); an undersized sketch only
+    * degrades fpp, never correctness. The confirm join re-keys only
+    * the surviving grams, and the per-doc totals rejoin on the doc id
+    * — doc-level rows, not gram-level.
+    */
+  def overlapCensusBloom(train: DataFrame, textCol: String, idCol: String,
+      benchGrams: DataFrame, n: Int, expectedItems: Long,
+      fpp: Double = 1e-3): DataFrame = {
+    val bg = benchGrams.select(col("g")).distinct()
+    val sketch = graft.dedup.IncrementalDedup.sketchOf(
+      bg, xxhash64(col("g")), expectedItems, fpp)
+    val exploded = train
+      .select(col(idCol),
+        array_distinct(Dedup.shingles(col(textCol), n)).as("__gs"))
+      .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"),
+        explode(col("__gs")).as("g"))
+    val pruned =
+      if (sketch == null) exploded.filter(lit(false)) // empty benchmark
+      else exploded.filter(
+        graft.dedup.IncrementalDedup.mightContain(sketch, xxhash64(col("g"))))
+    pruned
+      .join(bg, Seq("g"), "left_semi")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_matched"))
+      .withColumn("overlap_q", quantized(col("n_matched"), col("n_grams")))
+      .select(col(idCol), col("n_grams"), col("n_matched"), col("overlap_q"))
+  }
+
+  /** [[dropContaminated]] through the Bloom-gated census — identical
+    * survivors (the sketch is a shuffle-volume lever, not a semantic
+    * one), for the benchmark-set-too-big-to-broadcast posture.
+    */
+  def dropContaminatedBloom(train: DataFrame, textCol: String,
+      idCol: String, benchGrams: DataFrame, n: Int, minFracQ: Long,
+      expectedItems: Long, fpp: Double = 1e-3): DataFrame = {
+    val bad = overlapCensusBloom(train, textCol, idCol, benchGrams, n,
+        expectedItems, fpp)
+      .filter(col("overlap_q") >= minFracQ)
+      .select(col(idCol))
+    train.join(bad, Seq(idCol), "left_anti")
+  }
 }

@@ -34,4 +34,23 @@ object Scratch {
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tracked.forEach(deleteRecursively(_))))
+
+  /** A temp directory that is guaranteed to be removed on JVM exit,
+    * whatever the entry point. Under Bench/Verify the routed tmpfs root
+    * already dies with the JVM; this covers spec runs and ad-hoc
+    * sessions where java.io.tmpdir is the real /tmp — repeated runs
+    * previously leaked staged parquet (ADVICE round 10). One shared
+    * hook drains a queue rather than one hook per call site.
+    */
+  def tempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    hookInstalled
+    tracked.add(dir.toFile)
+    dir.toString
+  }
 }

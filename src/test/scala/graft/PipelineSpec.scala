@@ -320,6 +320,104 @@ class PipelineSpec extends SparkSpec {
     assert(kept(333333334L) === Set(2L))
   }
 
+  test("bloom decontamination: output identical to the exact census; " +
+      "sketch prunes; empty benchmark yields empty census") {
+    import graft.text.Decontaminate
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+    val bg = Decontaminate.gramSet(bench, "text", 3).cache()
+    // a train corpus where most grams DON'T match — the production
+    // shape the prefilter exists for
+    val train = (1L to 40L).map { i =>
+      val filler = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      if (i % 10 == 0) s"alpha beta gamma delta epsilon $filler" else filler
+    }.zip(1L to 40L).map { case (t, i) => (i, t) }.toDF("doc_id", "text")
+    def rows(df: DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = rows(Decontaminate.overlapCensus(train, "text", "doc_id", bg, 3))
+    val bloom = rows(Decontaminate.overlapCensusBloom(train, "text",
+      "doc_id", bg, 3, expectedItems = 64L))
+    assert(bloom === exact)
+    assert(exact.map(_._1) === Set(10L, 20L, 30L, 40L)) // the planted hits
+    // survivors identical through both drop paths, at a threshold that
+    // actually fires on the planted docs
+    val keptExact = Decontaminate.dropContaminated(train, "text", "doc_id",
+      bg, 3, minFracQ = 100000000L).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val keptBloom = Decontaminate.dropContaminatedBloom(train, "text",
+      "doc_id", bg, 3, minFracQ = 100000000L, expectedItems = 64L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBloom === keptExact)
+    assert(keptExact.size === 36) // the 4 embedders died
+    // the sketch really prunes: probing the train corpus's distinct
+    // grams directly, non-benchmark grams are (almost all) rejected
+    // before any shuffle — deterministic for the fixed md5-fed xxhash
+    // keys here
+    val sketch = graft.dedup.IncrementalDedup.sketchOf(
+      bg, xxhash64(col("g")), 64L, 1e-3)
+    val trainGrams = train.select(explode(array_distinct(
+      Dedup.shingles(col("text"), 3))).as("g")).distinct()
+    val passed = trainGrams.filter(
+      graft.dedup.IncrementalDedup.mightContain(sketch, xxhash64(col("g"))))
+      .count()
+    val total = trainGrams.count()
+    val trueHits = trainGrams.join(bg, Seq("g"), "left_semi").count()
+    assert(passed >= trueHits)       // no false negatives, ever
+    assert(passed < total / 10)      // and the gate actually gates
+    // empty benchmark: no sketch, empty census, everything survives
+    val none = bg.filter(lit(false))
+    assert(Decontaminate.overlapCensusBloom(train, "text", "doc_id",
+      none, 3, expectedItems = 64L).count() === 0L)
+    assert(Decontaminate.dropContaminatedBloom(train, "text", "doc_id",
+      none, 3, minFracQ = 1L, expectedItems = 64L).count() === 40L)
+    // the probe compiles into the scan stage as a codegen'd
+    // might_contain filter (never a UDF barrier)
+    val plan = Decontaminate.overlapCensusBloom(train, "text", "doc_id",
+      bg, 3, expectedItems = 64L).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+    bg.unpersist()
+  }
+
+  test("best-of-cluster dedup: highest score survives, ties to min id, " +
+      "score -id reproduces the min-id election") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base, "a"),
+      (2L, base + " extra", "a"),   // near-dup of 1, longer → should win
+      (3L, "something else entirely unrelated to the rest", "b"),
+      (4L, base + " extra", "b"),   // exact dup of 2 → same length, id ties
+      (5L, "unique little document", "c")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("score", length(col("text")))
+    // sanity: the cluster actually forms under the default band scheme
+    val pairs = Dedup.nearDuplicates(corpus, "text", "doc_id", 0.7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 4L)))
+    assert(pairs.exists(p => p._1 == 1L || p._2 == 1L))
+    val best = Dedup.dropNearDuplicatesBest(corpus, "text", "doc_id", "score")
+    val kept = best.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    best.close()
+    // cluster {1,2,4}: 2 and 4 tie on length, 2 wins on id; 1 (shorter) dies
+    assert(kept === Set(2L, 3L, 5L))
+    // min-id reference keeps 1 instead
+    val minId = Dedup.dropNearDuplicates(corpus, "text", "doc_id")
+    val keptMin = minId.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    minId.close()
+    assert(keptMin === Set(1L, 3L, 5L))
+    // the election with score = -id IS the min-id election — the two
+    // surfaces agree exactly where they must
+    val neg = Dedup.dropNearDuplicatesBest(
+      corpus.withColumn("neg", -col("doc_id")), "text", "doc_id", "neg")
+    val keptNeg = neg.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    neg.close()
+    assert(keptNeg === keptMin)
+  }
+
   test("winnowing: shared runs fingerprint together; guarantees coverage") {
     val fps = docs.select(col("doc_id"),
       Dedup.winnowFingerprints(col("text")).as("fps")).collect()
