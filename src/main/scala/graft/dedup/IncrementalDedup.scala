@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Incremental (cross-corpus) dedup: filter a NEW batch against an
   * already-ingested reference corpus without joining the two. The
   * reference corpus folds into a compact Bloom filter via a distributed
-  * aggregation (`df.stat.bloomFilter` — a treeAggregate of bitsets);
+  * tree aggregation ([[sketchOf]] — a treeAggregate of bitsets);
   * the sketch broadcasts once and the new batch filters in one
   * scan-local pass. At 100 TB this replaces the (old ⋈ new) shuffle —
   * whose old side is the whole historical corpus — with a |new|-sized
@@ -29,18 +29,14 @@ object IncrementalDedup {
     * by Bloom false positives as documented.
     */
   def bloomNewDocs(oldDf: DataFrame, newDf: DataFrame, textCol: String,
-      expectedItems: Long, fpp: Double = 1e-6): DataFrame = {
-    val bytes = sketchBytes(oldDf, textCol, expectedItems, fpp)
-    if (bytes == null) newDf else filterUnseen(newDf, textCol, bytes)
-  }
+      expectedItems: Long, fpp: Double = 1e-6): DataFrame =
+    filterUnseen(newDf, textCol, sketchBytes(oldDf, textCol, expectedItems, fpp))
 
-  // the whole path stays in Catalyst now (the round-4 probe was a
-  // Scala UDF because util.sketch.BloomFilter has no Column form):
-  // the sketch builds via the BloomFilterAggregate expression —
-  // partial per-partition filters OR-merged, same treeAggregate shape
-  // as df.stat.bloomFilter — and the probe is BloomFilterMightContain,
-  // which carries doGenCode, so the new-batch filter compiles into
-  // whole-stage codegen instead of breaking the stage at a UDF.
+  // the PROBE path stays in Catalyst (the round-4 probe was a Scala
+  // UDF because util.sketch.BloomFilter has no Column form): it is
+  // BloomFilterMightContain, which carries doGenCode, so the new-batch
+  // filter compiles into whole-stage codegen instead of breaking the
+  // stage at a UDF. The BUILD is the [[sketchOf]] treeAggregate.
   // Keys are xxhash64(md5(text)): a 64-bit collision between two
   // DIFFERENT texts is the same event class as a Bloom false positive
   // (drops a genuinely-new row); a seen text always maps to the same
@@ -55,26 +51,42 @@ object IncrementalDedup {
   }
 
   /** Serialized Bloom sketch of an arbitrary LongType key column (null
-    * when the frame is empty) — the distributed
-    * `BloomFilterAggregate` build (partial per-partition filters
-    * OR-merged, the same treeAggregate shape as `df.stat.bloomFilter`).
-    * Driver state is the bit array alone (`sketchBits(expectedItems,
-    * fpp)` bits, chosen by the caller), never the keyed rows —
-    * bounded however large the keyed set is. Shared by the
-    * text-content dedup path here and the benchmark-gram
+    * key rows are skipped; an input with no keys yields an all-zero
+    * filter, which probes false for everything — the correct "nothing
+    * seen" semantic). Built as an RDD `treeAggregate` (the Spark 3.x
+    * `stat.bloomFilter` shape): partial per-partition filters
+    * pair-merge through ~√p intermediate combiners (depth 2) instead
+    * of p partials converging on one final task. That shape matters at
+    * exactly the scale this exists for — the single-level
+    * `bloom_filter_agg` (what `stat.bloomFilter` compiles to in 4.x)
+    * over a 1024-partition gram set with a 7.5 MB sketch ships
+    * 1024 × 7.5 MB into ONE final-aggregate task; the tree build
+    * converges √p-at-a-time. This is the one deliberate `.rdd` drop in
+    * the dedup stack — a sketch BUILD is a terminal action folding to
+    * one binary value, not a plan node, so Catalyst has nothing to
+    * optimize across it. Driver state is the bit array alone
+    * (`sketchBits(expectedItems, fpp)` bits, chosen by the caller),
+    * never the keyed rows. The serialized stream format is the
+    * standard `util.sketch.BloomFilter` one — identical to what the
+    * `BloomFilterMightContain` probe and [[mergeSketches]] read.
+    * Shared by the text-content dedup path here and the benchmark-gram
     * decontamination gate ([[graft.text.Decontaminate]]).
     */
   private[graft] def sketchOf(df: DataFrame,
       key: org.apache.spark.sql.Column, expectedItems: Long,
       fpp: Double): Array[Byte] = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val agg = new BloomFilterAggregate(
-      GraftBridge.expression(key),
-      GraftBridge.expression(lit(math.max(1L, expectedItems))),
-      GraftBridge.expression(lit(sketchBits(expectedItems, fpp))))
-      .toAggregateExpression()
-    df.select(GraftBridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+    import org.apache.spark.util.sketch.BloomFilter
+    val zero = BloomFilter.create(math.max(1L, expectedItems),
+      sketchBits(expectedItems, fpp))
+    val bf = df.select(key.cast("long").as("__k"))
+      .where(col("__k").isNotNull)
+      .rdd.map(_.getLong(0))
+      .treeAggregate(zero)(
+        (f, v) => { f.putLong(v); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
   }
 
   /** Codegen'd membership probe of a [[sketchOf]] sketch — the
@@ -91,11 +103,11 @@ object IncrementalDedup {
       GraftBridge.expression(key)))
   }
 
-  /** Serialized Bloom sketch of `df`'s text-content keys (null when the
-    * frame is empty). The binary is the standard
-    * `org.apache.spark.util.sketch.BloomFilter` stream format, so
-    * sketches built here merge with [[mergeSketches]] and probe with
-    * [[filterUnseen]].
+  /** Serialized Bloom sketch of `df`'s text-content keys (an empty
+    * frame yields an all-zero filter — everything probes unseen). The
+    * binary is the standard `org.apache.spark.util.sketch.BloomFilter`
+    * stream format, so sketches built here merge with
+    * [[mergeSketches]] and probe with [[filterUnseen]].
     */
   private[graft] def sketchBytes(df: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 1e-6): Array[Byte] =

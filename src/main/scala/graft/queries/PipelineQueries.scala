@@ -7509,7 +7509,65 @@ object PipelineQueries {
        |  CAST(SUM(length(text)) AS BIGINT) AS sum_kept_len
        |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+  /** Duplicated-span LOSS MASK ([[graft.text.SpanDedup.lossMask]]):
+    * q83's spans (8-token windows occurring ≥2× corpus-wide), but
+    * instead of deleting the covered tokens, each doc keeps a
+    * '1'/'0' per-token training mask — the soft-dedup posture for
+    * docs that merely CONTAIN boilerplate. Census pins (n_tokens,
+    * n_masked, mask_md5) per doc; the md5 freezes the full mask
+    * string, so the oracle's replay checks every token's bit, not
+    * just the totals. Invariant vs q83: n_masked here =
+    * covered_tokens there (same spans, by construction).
+    */
+  def q208SpanLossMask(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val spans = graft.text.SpanDedup.duplicatedSpans(
+      d, "text", "doc_id", n = 8, minCount = 2)
+    graft.text.SpanDedup.lossMask(d, spans, "text", "doc_id")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        col("n_masked"), md5(col("loss_mask")).as("mask_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q208Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |gp AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos
+      |  FROM d WHERE len(tk) >= 8),
+      |g AS (SELECT doc_id, pos,
+      |  array_to_string(list_slice(tk, pos, pos + 7), ' ') AS gram FROM gp),
+      |hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      |m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM hot)),
+      |b AS (SELECT doc_id, pos,
+      |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+      |    THEN 1 ELSE 0 END AS brk FROM m),
+      |isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+      |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM b),
+      |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+      |  FROM isl GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id,
+      |  unnest(generate_series(span_start, span_end)) AS pos FROM sp),
+      |tok AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos
+      |  FROM d),
+      |mk AS (SELECT t.doc_id,
+      |  string_agg(CASE WHEN c.pos IS NULL THEN '1' ELSE '0' END, ''
+      |    ORDER BY t.pos) AS mask,
+      |  CAST(SUM(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_masked
+      |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id, len(d.tk) AS n_tokens,
+      |  COALESCE(mk.n_masked, 0) AS n_masked,
+      |  md5(COALESCE(mk.mask, '')) AS mask_md5
+      |FROM d LEFT JOIN mk USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_span_loss_mask" -> (q208SpanLossMask _),
     "q207_best_survivor_dedup" -> (q207BestSurvivorDedup _),
     "q206_bloom_decontam" -> (q206BloomDecontam _),
     "q205_autobands" -> (q205AutoBands _),
@@ -7675,6 +7733,7 @@ object PipelineQueries {
     "q205_autobands" -> q205Sql,
     "q206_bloom_decontam" -> q206Sql,
     "q207_best_survivor_dedup" -> q207Sql,
+    "q208_span_loss_mask" -> q208Sql,
     "q201_first_arrival_dedup" -> q201Sql,
     "q200_decontam_drop" -> q200Sql,
     "q199_decontam_fraction" -> q199Sql,

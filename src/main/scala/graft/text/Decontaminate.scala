@@ -112,7 +112,7 @@ object Decontaminate {
     * stream is the dominant exchange.
     *
     * Shape here: (1) the benchmark grams fold into a fixed-size Bloom
-    * bit array via the distributed `BloomFilterAggregate`
+    * bit array via the distributed tree aggregation
     * ([[graft.dedup.IncrementalDedup.sketchOf]]; driver/executor state
     * = the chosen bits, NOT the gram set); (2) the per-doc distinct
     * gram count — the census denominator — is taken scan-locally from
@@ -145,16 +145,32 @@ object Decontaminate {
         array_distinct(Dedup.shingles(col(textCol), n)).as("__gs"))
       .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"),
         explode(col("__gs")).as("g"))
-    val pruned =
-      if (sketch == null) exploded.filter(lit(false)) // empty benchmark
-      else exploded.filter(
-        graft.dedup.IncrementalDedup.mightContain(sketch, xxhash64(col("g"))))
+    val pruned = exploded.filter(
+      graft.dedup.IncrementalDedup.mightContain(sketch, xxhash64(col("g"))))
     pruned
       .join(bg, Seq("g"), "left_semi")
       .groupBy(col(idCol), col("n_grams"))
       .agg(count(lit(1)).as("n_matched"))
       .withColumn("overlap_q", quantized(col("n_matched"), col("n_grams")))
       .select(col(idCol), col("n_grams"), col("n_matched"), col("overlap_q"))
+  }
+
+  /** [[contaminatedAnyShared]] through the Bloom gate — identical ids
+    * (prune, then the same exact confirm semi-join), for the
+    * benchmark-set-too-big-to-broadcast posture. The ANY rule needs no
+    * denominator, so the whole gram stream prunes before any exchange.
+    */
+  def contaminatedAnySharedBloom(train: DataFrame, textCol: String,
+      idCol: String, benchGrams: DataFrame, n: Int, expectedItems: Long,
+      fpp: Double = 1e-3): DataFrame = {
+    val bg = benchGrams.select(col("g")).distinct()
+    val sketch = graft.dedup.IncrementalDedup.sketchOf(
+      bg, xxhash64(col("g")), expectedItems, fpp)
+    val exploded = train.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+    val pruned = exploded.filter(
+      graft.dedup.IncrementalDedup.mightContain(sketch, xxhash64(col("g"))))
+    pruned.join(bg, Seq("g"), "left_semi").select(col(idCol)).distinct()
   }
 
   /** [[dropContaminated]] through the Bloom-gated census — identical

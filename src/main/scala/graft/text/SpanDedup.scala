@@ -105,6 +105,48 @@ object SpanDedup {
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
 
+  /** Per-token LOSS MASK over duplicated spans — the soft posture:
+    * instead of deleting duplicated text ([[removeSpans]]), keep the
+    * document intact and emit a '1'/'0' character mask (one char per
+    * token, '0' = token sits inside a duplicated span, '1' = train on
+    * it). Dropping spans changes the token stream the model sees and
+    * can splice unrelated text together; masking the loss over the
+    * duplicated tokens keeps context intact while still not training
+    * on the boilerplate — the middle ground pipelines use for
+    * high-value docs that merely CONTAIN a hot span (licence headers,
+    * boilerplate navigation) rather than being duplicates.
+    *
+    * Adds `loss_mask` (string, length = token count; empty for
+    * token-less docs) and `n_masked` (covered-token count) to the
+    * input columns. Same distribution shape as [[removeSpans]]: token
+    * explode (scan-local) → left join against covered positions on the
+    * (doc, pos) key → per-doc ordered reassembly; every stage
+    * partitions on the document key, per-doc state is one document's
+    * tokens. `spans` is [[duplicatedSpans]] output (disjoint spans by
+    * contract).
+    */
+  def lossMask(df: DataFrame, spans: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1L).as("__pos"))
+    val covered = spans.select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
+      .withColumn("__cov", lit(1))
+    val mk = toks.join(covered, Seq(idCol, "__pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"),
+            when(col("__cov").isNotNull, lit("0")).otherwise(lit("1"))
+              .as("__b")))),
+          x => x.getField("__b")), "").as("loss_mask"),
+        sum(when(col("__cov").isNotNull, 1L).otherwise(0L)).as("n_masked"))
+    df.join(mk, Seq(idCol), "left")
+      .withColumn("loss_mask", coalesce(col("loss_mask"), lit("")))
+      .withColumn("n_masked", coalesce(col("n_masked"), lit(0L)))
+  }
+
   /** Per-document span census: (idCol, n_tokens, n_spans,
     * covered_tokens, clean_md5). `clean_md5` fingerprints the rebuilt
     * text so the full removal output is checkable without shipping it.

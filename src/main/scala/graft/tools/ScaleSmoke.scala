@@ -143,6 +143,53 @@ object ScaleSmoke {
         d, "text", "doc_id", chunkSize = 32, stride = 24)
         .agg(count(lit(1)), sum(col("n_chunk_tokens"))).collect()),
 
+      // round-11 legs: the Bloom decontamination gate next to its exact
+      // form — same rule, same survivors (q206's oracle proves output
+      // equality; the printed counts here must agree at every mult).
+      // The bloom leg's lever is SHUFFLE VOLUME: only sketch-probable
+      // grams reach the confirm join's exchange, so the prune census
+      // leg prints how many exploded train grams pass the probe vs the
+      // total the exact path shuffles — the number that decides the
+      // posture at a benchmark set too big to broadcast.
+      "decontam exact" -> (d => {
+        val bg = graft.text.Decontaminate.gramSet(
+          d.filter(col("source") === "src19"), "text", 5)
+        val n = graft.text.Decontaminate.dropContaminated(
+          d.filter(col("source") =!= "src19"), "text", "doc_id", bg, 5,
+          minFracQ = 200000000L).agg(count(lit(1))).collect()(0).getLong(0)
+        println(s"    [decontam exact] survivors=$n")
+      }),
+      "decontam bloom" -> (d => {
+        val bg = graft.text.Decontaminate.gramSet(
+          d.filter(col("source") === "src19"), "text", 5)
+        val n = graft.text.Decontaminate.dropContaminatedBloom(
+          d.filter(col("source") =!= "src19"), "text", "doc_id", bg, 5,
+          minFracQ = 200000000L, expectedItems = 1L << 22)
+          .agg(count(lit(1))).collect()(0).getLong(0)
+        println(s"    [decontam bloom] survivors=$n")
+      }),
+      "decontam prune census" -> (d => {
+        val bg = graft.text.Decontaminate.gramSet(
+          d.filter(col("source") === "src19"), "text", 5).persist()
+        val sketch = graft.dedup.IncrementalDedup.sketchOf(
+          bg, xxhash64(col("g")), 1L << 22, 1e-3)
+        val grams = d.filter(col("source") =!= "src19")
+          .select(explode(array_distinct(
+            Dedup.shingles(col("text"), 5))).as("g"))
+        // probe in a FILTER, the operator's own posture: embedding the
+        // multi-MB sketch literal inside an aggregate expression costs
+        // ~250 ms/task fixed (ProbeBloom measurement; partial+final agg
+        // projections each carry and rehash the literal), while the
+        // codegen'd filter pays it once per task — the first census
+        // form here read 47 s flat where the real shape reads seconds
+        val total = grams.count()
+        val passed = grams.filter(graft.dedup.IncrementalDedup
+          .mightContain(sketch, xxhash64(col("g")))).count()
+        println(f"    [prune] grams=$total passed=$passed" +
+          f" (${100.0 * passed / total}%.3f%%)")
+        bg.unpersist(): Unit
+      }),
+
       // the two STATED 100 TB swaps, executed next to their exact forms
       // with error-bound assertions (q67/q97's approx_percentile claim,
       // q81's float-ratio claim) — each leg times both variants itself

@@ -365,6 +365,13 @@ class PipelineSpec extends SparkSpec {
     val trueHits = trainGrams.join(bg, Seq("g"), "left_semi").count()
     assert(passed >= trueHits)       // no false negatives, ever
     assert(passed < total / 10)      // and the gate actually gates
+    // the ANY rule through the gate: same ids as the exact form
+    val anyExact = Decontaminate.contaminatedAnyShared(train, "text",
+      "doc_id", bg, 3).collect().map(_.getLong(0)).toSet
+    val anyBloom = Decontaminate.contaminatedAnySharedBloom(train, "text",
+      "doc_id", bg, 3, expectedItems = 64L).collect().map(_.getLong(0)).toSet
+    assert(anyBloom === anyExact)
+    assert(anyExact === Set(10L, 20L, 30L, 40L))
     // empty benchmark: no sketch, empty census, everything survives
     val none = bg.filter(lit(false))
     assert(Decontaminate.overlapCensusBloom(train, "text", "doc_id",

@@ -105,4 +105,38 @@ class SpanDedupSpec extends SparkSpec {
     assert(census(2L) === ((9L, 1L, 6L, m("x y q"))))
     assert(census(3L) === ((4L, 0L, 0L, m("solo tokens only here"))))
   }
+
+  test("loss mask zeroes exactly the covered tokens; removal equals " +
+      "keeping the mask's 1-positions") {
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "x y a b c d e f q",
+      3L -> "solo tokens only here")
+    val sp = SpanDedup.duplicatedSpans(d, "text", "id", n = 3)
+    val masked = SpanDedup.lossMask(d, sp, "text", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("loss_mask"), r.getAs[Long]("n_masked")))).toMap
+    // doc 1: span [1,6] → six zeros then "g h" trains
+    assert(masked(1L) === (("00000011", 6L)))
+    // doc 2: span [3,8] → "x y" and trailing "q" train
+    assert(masked(2L) === (("110000001", 6L)))
+    // doc 3: nothing duplicated → all ones
+    assert(masked(3L) === (("1111", 0L)))
+    // invariant vs removal: the tokens at '1' positions ARE clean_text
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cl = clean(d, n = 3)
+    masked.foreach { case (id, (mask, _)) =>
+      val toks = texts(id).split(" ")
+      assert(mask.length === toks.length)
+      val kept = toks.zip(mask).collect { case (t, '1') => t }.mkString(" ")
+      assert(kept === cl(id))
+    }
+    // full coverage edge: every token masked, none removed from the doc
+    val dup = docs(4L -> "p q r", 5L -> "p q r")
+    val spd = SpanDedup.duplicatedSpans(dup, "text", "id", n = 3)
+    val md = SpanDedup.lossMask(dup, spd, "text", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("loss_mask")).toMap
+    assert(md === Map(4L -> "000", 5L -> "000"))
+  }
 }
