@@ -1434,6 +1434,47 @@ class PipelineSpec extends SparkSpec {
     assert(fused === decl) // exact double equality, all 50 rows
   }
 
+  test("fused vector cosine matches the declarative twin bit-for-bit, " +
+      "including zero/null/length edge cases") {
+    val rnd = new scala.util.Random(41)
+    val embs = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(24)(rnd.nextFloat() * 2f - 1f),
+        Seq.fill(24)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "a", "b")
+    def pair(d: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column) =
+      d.select(col("id"), f(col("a"), col("b")).as("c")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // exact double equality on every random row
+    assert(pair(embs, Ann.cosine) === pair(embs, Ann.cosineDeclarative))
+    // edge cases: zero vector (den==0 → 0.0), null side, null element,
+    // unequal lengths — all must agree with the declarative semantics
+    val edges = Seq(
+      (1L, Seq(0f, 0f), Seq(1f, 2f)),                    // zero left
+      (2L, Seq(0f, 0f), Seq(0f, 0f)),                    // both zero
+      (3L, null.asInstanceOf[Seq[Float]], Seq(1f, 2f)),  // null side
+      (4L, Seq(1f, 2f), Seq(3f, 4f, 5f)),                // unequal len
+      (5L, Seq(1f, 2f, 3f), Seq(1f, 2f, 3f))             // identical
+    ).toDF("id", "a", "b")
+    val fe = pair(edges, Ann.cosine)
+    assert(fe === pair(edges, Ann.cosineDeclarative))
+    assert(fe(1L) === Some(0.0) && fe(2L) === Some(0.0))
+    assert(fe(3L) === None && fe(4L) === None && fe(5L) === Some(1.0))
+    // null ELEMENT inside an array (nulls that side's norm → null out)
+    val ne = Seq((6L, Seq[java.lang.Float](1f, null, 3f),
+      Seq[java.lang.Float](1f, 2f, 3f))).toDF("id", "a", "b")
+    assert(pair(ne, Ann.cosine) === pair(ne, Ann.cosineDeclarative))
+    assert(pair(ne, Ann.cosine)(6L) === None)
+    // double-element arrays take the same path
+    val dd = Seq((7L, Seq(0.5, -0.25, 0.125), Seq(1.0, 2.0, -4.0)))
+      .toDF("id", "a", "b")
+    assert(pair(dd, Ann.cosine) === pair(dd, Ann.cosineDeclarative))
+    // codegen coverage is asserted in PlanQualitySpec (formatted-plan
+    // '* Project' gate over the parquet scan, the q70 precedent)
+  }
+
   test("int8 rerank recovers the exact ranking from the quantized shortlist") {
     val rnd = new scala.util.Random(3)
     val embs = Seq.tabulate(40)(i =>

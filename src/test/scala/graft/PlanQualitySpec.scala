@@ -420,6 +420,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("aggregate("), p)
   }
 
+  test("fused vector cosine stays in whole-stage codegen") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(e.select(graft.similarity.Ann.cosine(
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("embedding"))))
+    assert(p.contains("* Project"), p)
+    // the declarative twin's higher-order folds would appear as
+    // aggregate/zip_with lambdas — the fused plan carries none
+    assert(!p.contains("aggregate("), p)
+    assert(!p.contains("zip_with"), p)
+  }
+
   test("q88: phrase prefilter sits below the gram explode; top-k is TakeOrdered") {
     val p = plan(PipelineQueries.q88PhraseSearch(spark, dir))
     // the conservative substring filter must gate the Generate (explode),
