@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -72,12 +72,117 @@ case class VecCosineExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused portable-LSH bucketing: all `numPlanes` hyperplane
+  * projections of one vector in a single pass over the elements,
+  * replacing numPlanes separate zip_with/aggregate interpreted folds
+  * per row (the [[VecCosineExpr]] rationale applied to the bucketing
+  * scan — the expression every corpus row pays in knnGraph, semdedup
+  * cells, and the recall curves). Weights ride as one reference-object
+  * field of the generated class. Arithmetic is bit-identical per plane
+  * (same element casts, same left-to-right double accumulation, same
+  * `>= 0` sign rule). Null semantics: the declarative form's
+  * `when(proj >= 0, bit).otherwise(0)` sends a null projection (null
+  * array, null element, or length ≠ dim under zip_with padding) to
+  * bit 0 for EVERY plane — i.e. bucket 0 — so this expression returns
+  * null for those inputs and the Column factory coalesces to 0.
+  */
+case class LshBucketPortableExpr(child: Expression,
+    weights: Array[Array[Double]]) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket needs array<float|double>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.lshBucketOrNull(input.asInstanceOf[ArrayData], elemIsFloat, weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val wRef = ctx.addReferenceObj("planes", weights, "double[][]")
+      val tmp = ctx.freshName("bkt")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VecMath.lshBucketOrNull(
+         |  $c, $elemIsFloat, $wRef);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LshBucketPortableExpr = copy(child = newChild)
+}
+
+/** Fused minhash signature agreement: |{i : a(i) = b(i)}| / numHashes
+  * over two array<string> signatures in one generated-code call —
+  * the verify arithmetic of every incremental near-dup probe join
+  * ([[graft.dedup.IncrementalDedup.sigAgreement]]'s declarative form
+  * pays interpreted zip_with/when/aggregate per candidate pair).
+  * Matching the declarative semantics: positions where either side is
+  * null (including zip_with padding beyond the shorter array) count 0;
+  * a null ARRAY on either side yields null.
+  */
+case class SigAgreementExpr(left: Expression, right: Expression,
+    numHashes: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sig_agreement needs array<string> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.sigAgreement(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecMath.sigAgreement($a, $b, $numHashes)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreementExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecMath {
 
   /** Column factory for [[VecCosineExpr]]. */
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(VecCosineExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column factory for [[LshBucketPortableExpr]] — the coalesce
+    * restores the declarative bucket-0 fall-through for null/degenerate
+    * inputs (see the expression scaladoc).
+    */
+  def lshBucketPortable(emb: Column, weights: Array[Array[Double]]): Column =
+    org.apache.spark.sql.functions.coalesce(
+      GraftBridge.column(LshBucketPortableExpr(
+        GraftBridge.expression(emb), weights)),
+      org.apache.spark.sql.functions.lit(0L))
+
+  /** Column factory for [[SigAgreementExpr]]. */
+  def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    GraftBridge.column(SigAgreementExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b), numHashes))
 
   /** Self-dot Σ xᵢ², left to right in double; null when any element is
     * null (the zip_with(x, x) product-null propagation).
@@ -124,5 +229,54 @@ object VecMath {
       i += 1
     }
     java.lang.Double.valueOf(acc / den.doubleValue())
+  }
+
+  /** All-plane LSH bucket, or null when the declarative form's
+    * projections would all be null (null/length-mismatched/null-element
+    * input — the caller coalesces to bucket 0). Per plane: Σ xᵢ·wᵢ left
+    * to right in double, bit set iff the sum is `>= 0` (NaN sums set
+    * no bit, matching the three-valued compare).
+    */
+  def lshBucketOrNull(emb: ArrayData, isFloat: Boolean,
+      weights: Array[Array[Double]]): java.lang.Long = {
+    val dim = weights(0).length
+    val n = emb.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) {
+      if (emb.isNullAt(i)) return null
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < weights.length) {
+      val wp = weights(p)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = if (isFloat) emb.getFloat(j).toDouble else emb.getDouble(j)
+        acc += x * wp(j)
+        j += 1
+      }
+      if (acc >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  /** Signature agreement fraction; positions where either side is null
+    * — including the zip_with pad beyond the shorter array — count 0.
+    * Called from generated code.
+    */
+  def sigAgreement(a: ArrayData, b: ArrayData, numHashes: Int): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) &&
+          a.getUTF8String(i) == b.getUTF8String(i)) cnt += 1
+      i += 1
+    }
+    cnt.toDouble / numHashes
   }
 }

@@ -84,7 +84,16 @@ object Ann {
     * (products and the left-to-right double sum are order-identical).
     * Requires the (static) embedding dimension.
     */
-  def lshBucketPortable(emb: Column, dim: Int, numPlanes: Int = 8): Column = {
+  def lshBucketPortable(emb: Column, dim: Int, numPlanes: Int = 8): Column =
+    graft.functions.VecMath.lshBucketPortable(
+      emb, portablePlaneWeights(numPlanes, dim))
+
+  /** Declarative twin of [[lshBucketPortable]] (numPlanes separate
+    * zip_with/aggregate folds) — the form the SQL oracles replay and
+    * the parity baseline for the fused expression.
+    */
+  def lshBucketPortableDeclarative(emb: Column, dim: Int,
+      numPlanes: Int = 8): Column = {
     val w = portablePlaneWeights(numPlanes, dim)
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
