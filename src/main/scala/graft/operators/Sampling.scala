@@ -119,4 +119,69 @@ object Sampling {
       .filter(col("rank") <= col("quota"))
       .select(col(stratumCol), col("id").as(idCol), col("rank"), col("quota"))
   }
+
+  /** Token-budget mixture plan — the data-mixing arithmetic that sits
+    * BEFORE any sampling operator runs: given target mixture weights
+    * per source (basis points, the integer convention) and the
+    * per-source token inventory, compute the LARGEST training budget T
+    * such that every weighted source demand `w_s·T/10000` is servable
+    * within `maxEpochs` passes over that source's data, then each
+    * source's token allotment and the repetition factor it implies.
+    * The binding source (the one whose inventory×maxEpochs cap is hit
+    * exactly) is marked — that is the row a data engineer acts on
+    * (raise its epoch cap, lower its weight, or collect more of it).
+    *
+    * All arithmetic is integer (floor division; epochs reported in
+    * milli-epochs = ⌈allotted·1000/available⌉) so the whole plan
+    * replays bit-exactly in a SQL oracle. Sources with weight 0 or
+    * absent from `weightsBp` contribute nothing and never bind.
+    * A weighted source with ZERO inventory binds the budget to 0 —
+    * the correct answer (the requested mix is unbuildable), surfaced
+    * rather than silently renormalized.
+    *
+    * Scale shape: one per-source token aggregation (map-side combined,
+    * one shuffle of |sources| rows), a literal weight table joined on
+    * the driver-sized result, a global min over |sources| rows. The
+    * corpus is scanned once; the plan is |sources| rows.
+    *
+    * Overflow bound: `available·maxEpochs·10000` must fit a BIGINT —
+    * available ≤ 9.2e14 tokens at maxEpochs 100, comfortably above any
+    * single-source inventory.
+    */
+  def mixturePlan(df: DataFrame, sourceCol: String, tokenCol: String,
+      weightsBp: Map[String, Long], maxEpochs: Long = 4L): DataFrame = {
+    require(weightsBp.values.sum == 10000L,
+      s"mixture weights must sum to 10000 bp, got ${weightsBp.values.sum}")
+    require(weightsBp.values.forall(_ >= 0L), "weights must be >= 0")
+    require(maxEpochs >= 1L, "maxEpochs must be >= 1")
+    import df.sparkSession.implicits._
+    val weights = weightsBp.toSeq.sortBy(_._1).toDF(sourceCol, "weight_bp")
+    val avail = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("long").as("available_tokens"))
+    // full outer: a weighted source with no data must surface (it
+    // binds T to 0), and an unweighted source still reports inventory
+    val plan = weights.join(avail, Seq(sourceCol), "full_outer")
+      .select(col(sourceCol),
+        coalesce(col("weight_bp"), lit(0L)).as("weight_bp"),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"))
+      .withColumn("__cap",
+        when(col("weight_bp") === 0L, lit(Long.MaxValue))
+          // integer floor division (div, not /): the plan must replay
+          // bit-exactly, and double division loses exactness past 2^53
+          .otherwise(expr(
+            s"(available_tokens * $maxEpochs * 10000) div weight_bp")))
+    val budget = plan.agg(min(col("__cap")).as("budget_tokens"))
+    plan.crossJoin(budget)
+      .withColumn("allotted_tokens",
+        expr("(weight_bp * budget_tokens) div 10000"))
+      .withColumn("epochs_milli",
+        when(col("allotted_tokens") === 0L, lit(0L))
+          // integer ceil: (a·1000 + avail − 1) div avail
+          .otherwise(expr("(allotted_tokens * 1000 + available_tokens - 1)" +
+            " div available_tokens")))
+      .withColumn("binding", col("__cap") === col("budget_tokens"))
+      .select(col(sourceCol), col("weight_bp"), col("available_tokens"),
+        col("budget_tokens"), col("allotted_tokens"), col("epochs_milli"),
+        col("binding"))
+  }
 }

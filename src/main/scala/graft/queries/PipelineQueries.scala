@@ -7566,7 +7566,150 @@ object PipelineQueries {
       |FROM d LEFT JOIN mk USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+  /** SEMANTIC decontamination
+    * ([[graft.text.Decontaminate.semanticContaminated]]): train
+    * embeddings within cosine ≥ 0.35 of any held-out "benchmark"
+    * embedding (vec_id ≡ 0 mod 41), found through the pinned 4-plane
+    * cell geometry with 1-bit probes — the paraphrase-robust
+    * complement of the n-gram rules (q58/q199/q203). The oracle
+    * replays the WHOLE candidate structure — both sides' buckets, the
+    * 1-flip probe masks, the cosine verify, the distinct — so the
+    * recall posture (what the probe width does and does not reach) is
+    * hash-pinned, not just the survivor list.
+    */
+  def q209SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val bench = e.filter(pmod(col("vec_id"), lit(41L)) === 0L)
+    val train = e.filter(pmod(col("vec_id"), lit(41L)) =!= 0L)
+    graft.text.Decontaminate.semanticContaminated(
+        train, "embedding", "vec_id", bench, "embedding",
+        threshold = 0.35, numPlanes = 4, probeBits = 1)
+      .orderBy(col("vec_id"))
+  }
+
+  val q209Sql: String = {
+    def proj(p: Int, rel: String): String =
+      s"""list_aggregate(list_transform(range(1, len($rel.embedding) + 1),
+         |    i -> CAST($rel.embedding[i] AS DOUBLE) *
+         |      ((CAST(('0x' || substring(md5('$p|' || (i - 1)), 1, 15)) AS BIGINT)
+         |        % 2000 - 1000) / 1000.0)), 'sum')""".stripMargin
+    def bucket(rel: String): String = (0 until 4).map(p =>
+      s"(CASE WHEN ${proj(p, rel)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tb AS (SELECT vec_id, embedding, (${bucket("embeddings")}) AS bucket
+       |  FROM embeddings WHERE vec_id % 41 <> 0),
+       |bb AS (SELECT embedding AS bemb, (${bucket("embeddings")}) AS bucket
+       |  FROM embeddings WHERE vec_id % 41 = 0),
+       |pr AS (SELECT vec_id, embedding,
+       |  xor(bucket, unnest([0, 1, 2, 4, 8])) AS bucket FROM tb),
+       |cand AS (SELECT pr.vec_id, pr.embedding, bb.bemb
+       |  FROM pr JOIN bb USING (bucket))
+       |SELECT DISTINCT vec_id FROM cand
+       |WHERE (list_aggregate(list_transform(range(1, len(embedding) + 1),
+       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(bemb[i] AS DOUBLE)), 'sum') /
+       |  (sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+       |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) *
+       |   sqrt(list_aggregate(list_transform(range(1, len(bemb) + 1),
+       |    i -> CAST(bemb[i] AS DOUBLE) * CAST(bemb[i] AS DOUBLE)), 'sum')))) >= 0.35
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q210
+  /** kNN label propagation
+    * ([[graft.similarity.LabelPropagate.knnVote]]): every fifth
+    * embedding row (vec_id ≡ 0 mod 5) acts as the labeled seed; each
+    * remaining row takes the majority label of its 7 nearest seed
+    * rows by cosine — the quality-classifier bootstrap. The full
+    * per-row mapping (vec_id, label, n_votes) is hash-checked; both
+    * tie rules (neighbor: cosine DESC then seed id ASC; vote: count
+    * DESC then label ASC) replay in the oracle's windows.
+    */
+  def q210LabelPropagate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val labeled = e.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+    val unlabeled = e.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+    graft.similarity.LabelPropagate.knnVote(
+        unlabeled, labeled, "embedding", "vec_id", "label", k = 7)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("n_votes"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q210Sql: String = {
+    val cos =
+      s"""(list_aggregate(list_transform(range(1, len(u.embedding) + 1),
+         |    i -> CAST(u.embedding[i] AS DOUBLE) * CAST(l.lemb[i] AS DOUBLE)), 'sum') /
+         |  (sqrt(list_aggregate(list_transform(range(1, len(u.embedding) + 1),
+         |    i -> CAST(u.embedding[i] AS DOUBLE) * CAST(u.embedding[i] AS DOUBLE)), 'sum')) *
+         |   sqrt(list_aggregate(list_transform(range(1, len(l.lemb) + 1),
+         |    i -> CAST(l.lemb[i] AS DOUBLE) * CAST(l.lemb[i] AS DOUBLE)), 'sum'))))""".stripMargin
+    s"""WITH l AS (SELECT vec_id AS lid, embedding AS lemb, label
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |u AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+       |sc AS (SELECT u.vec_id, l.lid, l.label, $cos AS c
+       |  FROM u CROSS JOIN l),
+       |r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY c DESC, lid ASC) AS rn FROM sc),
+       |v AS (SELECT vec_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+       |  FROM r WHERE rn <= 7 GROUP BY vec_id, label),
+       |w AS (SELECT vec_id, label, n_votes, row_number() OVER (
+       |  PARTITION BY vec_id ORDER BY n_votes DESC, label ASC) AS wr FROM v)
+       |SELECT vec_id, CAST(label AS BIGINT) AS label, n_votes
+       |FROM w WHERE wr = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q211
+  /** Token-budget mixture plan
+    * ([[graft.operators.Sampling.mixturePlan]]): the data-mixing
+    * arithmetic — target weights in basis points over five sources,
+    * a 3-epoch repetition cap, and the per-source token inventory →
+    * the largest servable training budget, each source's allotment,
+    * its milli-epoch repetition factor, and which source BINDS the
+    * budget. Pure integer arithmetic (floor div, integer ceil), so
+    * the plan replays bit-exactly.
+    */
+  def q211MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+    graft.operators.Sampling.mixturePlan(d, "source", "n_tokens",
+        Map("src0" -> 4000L, "src1" -> 3000L, "src2" -> 2000L,
+          "src3" -> 500L, "src4" -> 500L), maxEpochs = 3L)
+      .orderBy(col("source"))
+  }
+
+  val q211Sql: String =
+    """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT)
+      |    AS n_tokens FROM documents WHERE text IS NOT NULL),
+      |av AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS available_tokens
+      |  FROM d GROUP BY source),
+      |wt AS (SELECT * FROM (VALUES ('src0', CAST(4000 AS BIGINT)),
+      |  ('src1', 3000), ('src2', 2000), ('src3', 500), ('src4', 500))
+      |  AS t(source, weight_bp)),
+      |p AS (SELECT COALESCE(av.source, wt.source) AS source,
+      |    COALESCE(wt.weight_bp, 0) AS weight_bp,
+      |    COALESCE(av.available_tokens, 0) AS available_tokens
+      |  FROM wt FULL OUTER JOIN av ON wt.source = av.source),
+      |c AS (SELECT *, CASE WHEN weight_bp = 0
+      |    THEN CAST(9223372036854775807 AS BIGINT)
+      |    ELSE (available_tokens * 3 * 10000) // weight_bp END AS cap
+      |  FROM p),
+      |b AS (SELECT MIN(cap) AS budget_tokens FROM c)
+      |SELECT c.source, c.weight_bp, c.available_tokens,
+      |  b.budget_tokens,
+      |  (c.weight_bp * b.budget_tokens) // 10000 AS allotted_tokens,
+      |  CASE WHEN (c.weight_bp * b.budget_tokens) // 10000 = 0 THEN 0
+      |    ELSE ((c.weight_bp * b.budget_tokens) // 10000 * 1000
+      |      + c.available_tokens - 1) // c.available_tokens
+      |    END AS epochs_milli,
+      |  c.cap = b.budget_tokens AS binding
+      |FROM c CROSS JOIN b ORDER BY c.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_mixture_plan" -> (q211MixturePlan _),
+    "q210_label_propagate" -> (q210LabelPropagate _),
+    "q209_semantic_decontam" -> (q209SemanticDecontam _),
     "q208_span_loss_mask" -> (q208SpanLossMask _),
     "q207_best_survivor_dedup" -> (q207BestSurvivorDedup _),
     "q206_bloom_decontam" -> (q206BloomDecontam _),
@@ -7734,6 +7877,9 @@ object PipelineQueries {
     "q206_bloom_decontam" -> q206Sql,
     "q207_best_survivor_dedup" -> q207Sql,
     "q208_span_loss_mask" -> q208Sql,
+    "q209_semantic_decontam" -> q209Sql,
+    "q210_label_propagate" -> q210Sql,
+    "q211_mixture_plan" -> q211Sql,
     "q201_first_arrival_dedup" -> q201Sql,
     "q200_decontam_drop" -> q200Sql,
     "q199_decontam_fraction" -> q199Sql,

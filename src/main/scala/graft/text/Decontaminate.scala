@@ -186,4 +186,65 @@ object Decontaminate {
       .select(col(idCol))
     train.join(bad, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------- semantic decontam
+  /** SEMANTIC decontamination: train docs whose EMBEDDING sits within
+    * cosine ≥ `threshold` of any benchmark embedding — the
+    * paraphrase-robust complement of the n-gram rules above (a
+    * reworded benchmark answer shares no 13-gram but lands next to the
+    * original in embedding space; modern decontamination suites run
+    * both rules and drop the union).
+    *
+    * Shape: the cross-frame variant of
+    * [[graft.similarity.SemDedup.nearDuplicatePairs]] — both sides
+    * bucket under the SAME pinned hyperplane geometry
+    * ([[graft.similarity.Ann.lshBucketPortable]]), the train side
+    * probes `probeBits` sign-flips of its home cell, and candidates
+    * meet in a cell-key equi-join verified by the fused cosine. Never
+    * all-pairs: at 100 TB the train side's bucketing is the dominant
+    * scan and the benchmark cells are a tiny equi-join build side.
+    * Train×train is never joined (this is not dedup — quoting docs do
+    * not contaminate each other), and the benchmark frame is read once
+    * into its cell table.
+    *
+    * Recall posture: `probeBits` bounds the sign-flip straddle misses
+    * exactly as in SemDedup; `probeBits = numPlanes` probes every cell
+    * (exact brute-force threshold matching — the spec anchor). A
+    * decontamination gate should err wide: size `numPlanes` to the
+    * BENCHMARK's density (it is the smaller, denser-consequence side)
+    * and lean on wider probes than a dedup pass would pay.
+    *
+    * Returns distinct contaminated train ids (the [[contaminatedAnyShared]]
+    * contract).
+    */
+  def semanticContaminated(train: DataFrame, embCol: String, idCol: String,
+      bench: DataFrame, benchEmbCol: String, threshold: Double,
+      numPlanes: Int, probeBits: Int = 1): DataFrame = {
+    import graft.similarity.Ann
+    val dim = train.select(size(col(embCol))).head().getInt(0)
+    val tb = train.select(col(idCol), col(embCol),
+      Ann.lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
+    val bb = bench.select(col(benchEmbCol).as("__bemb"),
+      Ann.lshBucketPortable(col(benchEmbCol), dim, numPlanes).as("__bucket"))
+    val masks = Ann.probeBuckets(0L, numPlanes, math.min(probeBits, numPlanes))
+    val probed =
+      if (masks == Seq(0L)) tb
+      else tb.select(col(idCol), col(embCol),
+        explode(array(masks.map(m =>
+          col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))
+    probed.join(bb, Seq("__bucket"))
+      .filter(Ann.cosine(col(embCol), col("__bemb")) >= threshold)
+      .select(col(idCol)).distinct()
+  }
+
+  /** Drop semantically contaminated train rows — the end-user surface
+    * over [[semanticContaminated]].
+    */
+  def dropSemanticContaminated(train: DataFrame, embCol: String,
+      idCol: String, bench: DataFrame, benchEmbCol: String,
+      threshold: Double, numPlanes: Int, probeBits: Int = 1): DataFrame =
+    train.join(
+      semanticContaminated(train, embCol, idCol, bench, benchEmbCol,
+        threshold, numPlanes, probeBits),
+      Seq(idCol), "left_anti")
 }

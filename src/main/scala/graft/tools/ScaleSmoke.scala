@@ -835,6 +835,31 @@ object ScaleSmoke {
       graft.similarity.Centroids.lloyd(e, "vec_id", "embedding", 8, 2)
         .agg(count(lit(1)), sum(col("dist_q"))).collect()
     }
+    // semantic decontamination: the benchmark side is FIXED (base
+    // corpus's %41 rows) while train grows m× — candidates per cell
+    // grow with the train side only, so growth must track the train
+    // bucketing scan (~linear); super-linear would mean the bench cell
+    // table is being recomputed per train partition or the join
+    // degenerated off the cell key
+    leg("semantic decontam")(scaledEmb) { e =>
+      val bench = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(pmod(col("vec_id"), lit(41L)) === 0L)
+      graft.text.Decontaminate.semanticContaminated(e, "embedding",
+          "vec_id", bench, "embedding", threshold = 0.35,
+          numPlanes = 4, probeBits = 1)
+        .agg(count(lit(1))).collect()
+    }
+    // kNN label propagation: seed FIXED, corpus grows — per-row cost
+    // is |seed| fused cosines + the bounded top-k aggregate, so the
+    // leg is the regression test for "the score stream never reaches
+    // a shuffle" (only k rows per group per task do)
+    leg("label propagate")(scaledEmb) { e =>
+      val seed = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(pmod(col("vec_id"), lit(5L)) === 0L)
+      graft.similarity.LabelPropagate.knnVote(e, seed, "embedding",
+          "vec_id", "label", k = 7)
+        .agg(count(lit(1)), sum(col("n_votes"))).collect()
+    }
     // PageRank loop growth on a LINEAR edge set (ring graph, out-deg 3
     // — the kNN-graph shape without the quadratic brute-force edge
     // build, which at scale comes from q82/q41 generators): m× nodes

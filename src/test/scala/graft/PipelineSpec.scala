@@ -1475,6 +1475,50 @@ class PipelineSpec extends SparkSpec {
     // '* Project' gate over the parquet scan, the q70 precedent)
   }
 
+  test("fused LSH bucket and signature agreement match their " +
+      "declarative twins bit-for-bit") {
+    val rnd = new scala.util.Random(47)
+    val embs = Seq.tabulate(80)(i =>
+      (i.toLong, Seq.fill(12)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "emb")
+    def buckets(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      embs.select(col("id"), f(col("emb")).as("b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(
+      buckets(e => Ann.lshBucketPortable(e, 12, numPlanes = 6)) ===
+      buckets(e => Ann.lshBucketPortableDeclarative(e, 12, numPlanes = 6)))
+    // degenerate inputs follow the declarative bucket-0 fall-through
+    val weird = Seq(
+      (1L, null.asInstanceOf[Seq[Float]]),   // null array
+      (2L, Seq(1f, 2f)),                     // wrong length (dim = 12)
+      (3L, Seq.fill(12)(0f))                 // zero vector: proj 0 >= 0
+    ).toDF("id", "emb")
+    val wf = buckets2(weird, e => Ann.lshBucketPortable(e, 12, 6))
+    assert(wf === buckets2(weird,
+      e => Ann.lshBucketPortableDeclarative(e, 12, 6)))
+    assert(wf(1L) === 0L && wf(2L) === 0L && wf(3L) === 63L)
+    // signature agreement over string arrays, including unequal
+    // lengths (pad counts 0) and null elements
+    val sigs = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("a", "x", "c", "d")),
+      (2L, Seq("a", "b"), Seq("a", "b", "c", "d")),
+      (3L, Seq[String](null, "b", "c", "d"), Seq("a", "b", "c", "d"))
+    ).toDF("id", "sa", "sb")
+    def agr(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column) =
+      sigs.select(col("id"), f(col("sa"), col("sb")).as("g")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    import graft.dedup.IncrementalDedup
+    val fa = agr(IncrementalDedup.sigAgreement(_, _, 4))
+    assert(fa === agr(IncrementalDedup.sigAgreementDeclarative(_, _, 4)))
+    assert(fa === Map(1L -> 0.75, 2L -> 0.5, 3L -> 0.75))
+  }
+
+  private def buckets2(d: org.apache.spark.sql.DataFrame,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    d.select(col("id"), f(col("emb")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("int8 rerank recovers the exact ranking from the quantized shortlist") {
     val rnd = new scala.util.Random(3)
     val embs = Seq.tabulate(40)(i =>
@@ -2482,5 +2526,94 @@ class PipelineSpec extends SparkSpec {
     val rDef = recall(2, 2)
     assert(rAuto > rDef + 0.15, s"auto $rAuto vs default $rDef")
     assert(rAuto >= 0.85, s"auto recall $rAuto below the governed target band")
+  }
+
+  test("semantic decontamination: planted paraphrase caught, " +
+      "full probe equals brute force, train pairs never reported") {
+    import graft.text.Decontaminate
+    val rnd = new scala.util.Random(13)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextFloat() * 2f - 1f)
+    val bench0 = vec()
+    // train 100: a near-copy of the benchmark vector (the paraphrase);
+    // train 101 and 102: near-dups of EACH OTHER but far from bench —
+    // they must not appear (decontam is not dedup)
+    val twin = vec()
+    val train = Seq(
+      (100L, bench0.map(x => x * 0.98f + 0.01f)),
+      (101L, twin), (102L, twin.map(x => x * 0.99f))
+    ) ++ Seq.tabulate(40)(i => (200L + i, vec()))
+    val benchDf = Seq((0L, bench0)).toDF("vec_id", "embedding")
+    val trainDf = train.toDF("vec_id", "embedding")
+    // full probe = every cell reachable → exact brute-force matching
+    val exact = Decontaminate.semanticContaminated(trainDf, "embedding",
+      "vec_id", benchDf, "embedding", threshold = 0.8,
+      numPlanes = 4, probeBits = 4).collect().map(_.getLong(0)).toSet
+    assert(exact === Set(100L))
+    // brute-force ground truth agrees
+    val brute = trainDf.crossJoin(
+        benchDf.select(col("embedding").as("bemb")))
+      .filter(Ann.cosine(col("embedding"), col("bemb")) >= 0.8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(brute === exact)
+    // narrower probes return a subset (recall lever, never extras)
+    val p1 = Decontaminate.semanticContaminated(trainDf, "embedding",
+      "vec_id", benchDf, "embedding", threshold = 0.8,
+      numPlanes = 4, probeBits = 1).collect().map(_.getLong(0)).toSet
+    assert(p1.subsetOf(exact))
+    // drop surface: survivors = train minus contaminated
+    val kept = Decontaminate.dropSemanticContaminated(trainDf, "embedding",
+      "vec_id", benchDf, "embedding", 0.8, 4, probeBits = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === train.map(_._1).toSet - 100L)
+  }
+
+  test("kNN label propagation: majority vote with deterministic ties") {
+    import graft.similarity.LabelPropagate
+    // 1-D embeddings make the neighbor order hand-computable: cosine
+    // of same-sign scalars is 1, opposite-sign -1 — so vote counts are
+    // driven purely by the seed's sign mix, and ties are real
+    val labeled = Seq(
+      (1L, Seq(1.0f), "a"), (2L, Seq(2.0f), "b"),
+      (3L, Seq(3.0f), "a"), (4L, Seq(-1.0f), "c")
+    ).toDF("vec_id", "embedding", "label")
+    val unlabeled = Seq(
+      (10L, Seq(5.0f)),   // 3 nearest positive seeds: a, b, a → a wins 2-1
+      (11L, Seq(-2.0f))   // k=3 takes c (cos 1) then ties among a/b/a at -1
+    ).toDF("vec_id", "embedding")
+    val out = LabelPropagate.knnVote(unlabeled, labeled, "embedding",
+      "vec_id", "label", k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(10L) === (("a", 2L)))
+    // for 11: neighbors by (cosine desc, id asc) = 4 (c), then among
+    // cos -1 ties ids 1, 2 → labels c, a, b → all 1 vote, label asc → a
+    assert(out(11L) === (("a", 1L)))
+  }
+
+  test("mixture plan: binding source exact, integer arithmetic, " +
+      "zero-inventory weighted source binds to zero") {
+    import graft.operators.Sampling
+    val d = Seq(
+      ("w1", 1L, 600L), ("w1", 2L, 400L),   // 1000 tokens
+      ("w2", 3L, 3000L),                    // 3000 tokens
+      ("x", 4L, 50L)                        // unweighted
+    ).toDF("source", "doc_id", "n_tokens")
+    val plan = Sampling.mixturePlan(d, "source", "n_tokens",
+      Map("w1" -> 7000L, "w2" -> 3000L), maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // caps: w1 1000·2·10000/7000 = 2857, w2 3000·2·10000/3000 = 20000
+    // → budget 2857; w1 allotted 1999 (1.999 epochs ≤ 2), w2 857
+    assert(plan("w1") === ((2857L, 1999L, 1999L, true)))
+    assert(plan("w2") === ((2857L, 857L, 286L, false)))
+    assert(plan("x") === ((2857L, 0L, 0L, false)))
+    // a weighted source with zero inventory binds the budget to 0
+    val p0 = Sampling.mixturePlan(d, "source", "n_tokens",
+      Map("w1" -> 5000L, "ghost" -> 5000L), maxEpochs = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(p0("ghost") === 0L && p0("w1") === 0L)
+    // weights must sum to 10000
+    intercept[IllegalArgumentException] {
+      Sampling.mixturePlan(d, "source", "n_tokens", Map("w1" -> 5000L))
+    }
   }
 }

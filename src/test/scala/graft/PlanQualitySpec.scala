@@ -420,6 +420,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("aggregate("), p)
   }
 
+  test("q209: semantic decontam joins on the cell key — no data×data cartesian") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bench = e.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.lit(41L)) === 0L)
+    val p = plan(graft.text.Decontaminate.semanticContaminated(
+      e, "embedding", "vec_id", bench, "embedding",
+      threshold = 0.35, numPlanes = 4, probeBits = 1))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") && p.contains("bucket"), p)
+  }
+
+  test("q210: label propagation broadcasts the seed; the score stream " +
+      "folds through the bounded aggregate before any exchange") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val gate = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.lit(5L))
+    val p = plan(graft.similarity.LabelPropagate.knnVote(
+      e.filter(gate =!= 0L), e.filter(gate === 0L),
+      "embedding", "vec_id", "label", k = 7))
+    // the seed-side cross IS a broadcast nested loop by design (tiny
+    // build side, every corpus row scores every seed row) — the thing
+    // that must NOT appear is a non-broadcast cartesian or a
+    // sort-merge join of the |corpus|×|seed| score stream
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // bounded per-group top-k: the ObjectHashAggregate pair bounds the
+    // exchange at k rows per group per task
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("fused vector cosine stays in whole-stage codegen") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(e.select(graft.similarity.Ann.cosine(
