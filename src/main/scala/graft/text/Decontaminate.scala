@@ -133,6 +133,17 @@ object Decontaminate {
     * degrades fpp, never correctness. The confirm join re-keys only
     * the surviving grams, and the per-doc totals rejoin on the doc id
     * — doc-level rows, not gram-level.
+    *
+    * POSTURE, measured (ScaleSmoke decontam legs, 64× corpus = 15.2M
+    * exploded train grams, probe pass rate 0.42%): while the benchmark
+    * gram set still BROADCASTS, the exact census is strictly faster
+    * (17.8 s vs 40.3 s at 64× — the sketch build plus probe pass costs
+    * more than the broadcast join it avoids, though both grow
+    * sub-linearly). The Bloom form pays off only past broadcast
+    * feasibility — when the gram table would force the plain census
+    * into a shuffled join of the full exploded train stream. Default
+    * to [[overlapCensus]]; switch here when |bench grams| × ~40 B
+    * approaches the driver/executor broadcast ceiling.
     */
   def overlapCensusBloom(train: DataFrame, textCol: String, idCol: String,
       benchGrams: DataFrame, n: Int, expectedItems: Long,
