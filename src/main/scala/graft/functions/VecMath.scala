@@ -162,6 +162,77 @@ case class SigAgreementExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused scan-local kNN majority vote against a LITERAL seed set —
+  * the whole [[graft.similarity.LabelPropagate]] per-row computation
+  * (|seed| cosines → top-k selection → label vote) in one generated
+  * call, zero shuffle, O(k) state beyond the row. The seed rides as
+  * reference objects of the generated class (the literal-centroids /
+  * probe-codes pattern), pre-sorted by id so ties resolve by strict
+  * comparison in iteration order.
+  *
+  * Why not the bounded top-k AGGREGATE: per-ROW top-k means one group
+  * per corpus row, and `ObjectHashAggregateExec` falls back to
+  * SORT-based aggregation past
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * (default 128) distinct groups per task — at 8.2M rows the fallback
+  * sorted the 3.3B-row score stream (measured: 77× wall at 64× growth,
+  * 205 GB spill, ScaleSmoke label-propagate leg). Scan-local
+  * evaluation removes the aggregate, the exchange, and the spill.
+  *
+  * Arithmetic: per-seed cosine is [[VecMath.cosineOrNull]]'s exact
+  * sequence (seed vectors stored as double — the float→double cast is
+  * exact); neighbor ties (cosine DESC, seed id ASC) and vote ties
+  * (count DESC, label bytes ASC — unsigned UTF-8 order, Spark's own
+  * string order) replicate the declarative rules. Null embedding or
+  * null element → null result (caller filters).
+  */
+case class KnnVoteExpr(child: Expression, seedIds: Array[Long],
+    seedEmbs: Array[Array[Double]], seedLabels: Array[Array[Byte]], k: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_votes",
+        org.apache.spark.sql.types.LongType)))
+
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"knn_vote needs array<float|double>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.knnVote(input.asInstanceOf[ArrayData], elemIsFloat,
+      seedIds, seedEmbs, seedLabels, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val idsRef = ctx.addReferenceObj("seedIds", seedIds, "long[]")
+      val embsRef = ctx.addReferenceObj("seedEmbs", seedEmbs, "double[][]")
+      val labsRef = ctx.addReferenceObj("seedLabels", seedLabels, "byte[][]")
+      val tmp = ctx.freshName("vote")
+      s"""
+         |InternalRow $tmp = graft.functions.VecMath.knnVote(
+         |  $c, $elemIsFloat, $idsRef, $embsRef, $labsRef, $k);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KnnVoteExpr = copy(child = newChild)
+}
+
 object VecMath {
 
   /** Column factory for [[VecCosineExpr]]. */
@@ -262,6 +333,116 @@ object VecMath {
       p += 1
     }
     java.lang.Long.valueOf(bucket)
+  }
+
+  /** Column factory for [[KnnVoteExpr]]. `seeds` must be pre-sorted by
+    * id (the tie-break contract); [[graft.similarity.LabelPropagate]]
+    * sorts before calling.
+    */
+  def knnVoteColumn(emb: Column, seedIds: Array[Long],
+      seedEmbs: Array[Array[Double]], seedLabels: Array[Array[Byte]],
+      k: Int): Column =
+    GraftBridge.column(KnnVoteExpr(GraftBridge.expression(emb),
+      seedIds, seedEmbs, seedLabels, k))
+
+  private def unsignedBytesLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Per-row kNN vote (see [[KnnVoteExpr]]); called from generated
+    * code. Returns null for a null-element embedding; seeds with a
+    * mismatched dimension are skipped (documented contract — a seed
+    * set is schema-uniform in practice).
+    */
+  def knnVote(emb: ArrayData, isFloat: Boolean, ids: Array[Long],
+      seeds: Array[Array[Double]], labels: Array[Array[Byte]],
+      k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val d = emb.numElements()
+    var naa = 0.0
+    var i = 0
+    while (i < d) {
+      if (emb.isNullAt(i)) return null
+      val v = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      naa += v * v
+      i += 1
+    }
+    val sqa = math.sqrt(naa)
+    val n = seeds.length
+    val cos = new Array[Double](n)
+    val ok = new Array[Boolean](n)
+    var j = 0
+    while (j < n) {
+      val s = seeds(j)
+      if (s.length == d) {
+        var nbb = 0.0
+        var dot = 0.0
+        var t = 0
+        while (t < d) {
+          val x = if (isFloat) emb.getFloat(t).toDouble else emb.getDouble(t)
+          dot += x * s(t)
+          nbb += s(t) * s(t)
+          t += 1
+        }
+        val den = sqa * math.sqrt(nbb)
+        cos(j) = if (den == 0.0) 0.0 else dot / den
+        ok(j) = true
+      }
+      j += 1
+    }
+    // O(n·k) selection — seeds arrive id-ascending, so strict > keeps
+    // the smaller id on cosine ties
+    val kk = math.min(k, n)
+    val used = new Array[Boolean](n)
+    val chosen = new Array[Int](kk)
+    var picked = 0
+    var r = 0
+    while (r < kk && picked == r) {
+      var best = -1
+      var jj = 0
+      while (jj < n) {
+        if (ok(jj) && !used(jj) && (best < 0 || cos(jj) > cos(best))) best = jj
+        jj += 1
+      }
+      if (best >= 0) {
+        used(best) = true
+        chosen(r) = best
+        picked += 1
+      }
+      r += 1
+    }
+    if (picked == 0) return null // empty/degenerate seed set
+    // majority vote over the picked neighbors: count per distinct
+    // label, winner by (count desc, label bytes asc)
+    var winner: Array[Byte] = null
+    var winnerVotes = 0L
+    var a = 0
+    while (a < picked) {
+      val lab = labels(chosen(a))
+      // count lab among picked (recount is O(k²), k is small)
+      var votes = 0L
+      var b = 0
+      while (b < picked) {
+        if (java.util.Arrays.equals(labels(chosen(b)), lab)) votes += 1
+        b += 1
+      }
+      if (winner == null || votes > winnerVotes ||
+          (votes == winnerVotes && unsignedBytesLess(lab, winner))) {
+        winner = lab
+        winnerVotes = votes
+      }
+      a += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromBytes(winner),
+        winnerVotes))
   }
 
   /** Signature agreement fraction; positions where either side is null

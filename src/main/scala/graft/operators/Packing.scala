@@ -57,4 +57,59 @@ object Packing {
         (max(col("chunk_end")) + 1).as("n_chunks"),
         sum(when(col("chunk_end") > col("chunk_start"), 1L).otherwise(0L))
           .as("n_straddlers"))
+
+  // ------------------------------------------- length-bucketed batching
+  /** Length-bucketed batch assignment — the PADDED-batch recipe (for
+    * fine-tuning/eval pipelines where documents may NOT straddle and
+    * every sequence in a batch pads to the batch max): group rows into
+    * length buckets of `bucketWidth` tokens, order each bucket by the
+    * seeded portable hash (so batches are reproducible yet shuffled),
+    * and cut fixed `batchSize` batches inside each bucket. Because
+    * batch-mates come from the same bucket, the pad target is bounded
+    * by the bucket ceiling — the standard length-grouped batching win
+    * over naive hash-ordered batches, whose pad target is the corpus
+    * max.
+    *
+    * Emits (input columns, bucket, batch_idx, pos_in_batch). Zero- or
+    * negative-size rows land in bucket 0. One shuffle on the bucket
+    * key; per-bucket window sorts only that bucket's rows — shard hot
+    * buckets with an extra group column exactly as [[chunkAssignments]]
+    * documents.
+    */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, sizeCol: String,
+      bucketWidth: Int, batchSize: Int, seed: Long = 42L): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      "bucketWidth and batchSize must be positive")
+    val bucket = when(col(sizeCol) <= 0, lit(0L))
+      .otherwise(expr(s"($sizeCol - 1) div $bucketWidth").cast("long"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(Sampling.hashOrder(col(idCol), seed), col(idCol))
+    df.withColumn("bucket", bucket)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_idx", expr("(__rn - 1) div " + batchSize)
+        .cast("long"))
+      .withColumn("pos_in_batch", ((col("__rn") - 1) % batchSize)
+        .cast("long"))
+      .drop("__rn")
+  }
+
+  /** Padding-waste census over [[lengthBucketedBatches]]: one row per
+    * (bucket, batch) with the batch's pad target (its max length),
+    * total padded tokens (Σ max − len), and utilization in basis
+    * points (Σ len · 10000 div (n · max)) — the number that justifies
+    * bucketing over naive batching. Integer arithmetic throughout.
+    */
+  def paddingCensus(df: DataFrame, idCol: String, sizeCol: String,
+      bucketWidth: Int, batchSize: Int, seed: Long = 42L): DataFrame =
+    lengthBucketedBatches(df, idCol, sizeCol, bucketWidth, batchSize, seed)
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col(sizeCol)).cast("long").as("pad_to"),
+        sum(col(sizeCol)).cast("long").as("sum_len"))
+      .withColumn("padded_tokens",
+        col("n_rows") * col("pad_to") - col("sum_len"))
+      .withColumn("utilization_bp",
+        when(col("pad_to") <= 0L, lit(10000L))
+          .otherwise(expr("(sum_len * 10000) div (n_rows * pad_to)")))
 }

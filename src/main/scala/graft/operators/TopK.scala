@@ -21,6 +21,18 @@ case class Scored(score: Double, id: Long)
   * there — at 100 TB the hottest group's full row set lands on one
   * task. This aggregator's partial step is the map-side combine
   * Catalyst can't derive for window functions.
+  *
+  * CARDINALITY CAVEAT (measured, ScaleSmoke label-propagate leg):
+  * `ObjectHashAggregateExec` falls back to SORT-based aggregation once
+  * a task sees more than
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * (default 128) distinct groups — past that, the partial step sorts
+  * the task's FULL input instead of hash-combining it (8.2M one-row
+  * groups: 77× wall at 64× growth, 205 GB spilled). This aggregate is
+  * the right shape for MANY-rows-per-group top-k (hot strata, probe
+  * samples, per-cell shortlists); for one-group-per-ROW shapes against
+  * a small reference set, use a scan-local fused expression instead
+  * ([[graft.functions.KnnVoteExpr]] is the worked example).
   */
 class TopKAgg(k: Int) extends Aggregator[Scored, ArrayBuffer[Scored], Seq[Scored]] {
   require(k > 0, "k must be positive")

@@ -7706,7 +7706,85 @@ object PipelineQueries {
       |  c.cap = b.budget_tokens AS binding
       |FROM c CROSS JOIN b ORDER BY c.source""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+  /** Fill-in-the-middle transform ([[graft.text.Fim.fimTransform]]):
+    * PSM reordering of a hash-gated half of the corpus (rate 5000 bp,
+    * prefix/middle ≈ thirds), the code-model infilling recipe. The
+    * full per-doc output is pinned — gate decision AND the rebuilt
+    * `<PRE>/<SUF>/<MID>` text (md5 — every token of all three
+    * segments, sentinel spacing included) — so both split points and
+    * the gate replay integer-exactly.
+    */
+  def q212FimTransform(s: SparkSession, dir: String): DataFrame =
+    graft.text.Fim.fimTransform(
+        t(s, dir, "documents").filter(col("text").isNotNull),
+        "text", "doc_id")
+      .select(col("doc_id"), col("fim_applied"),
+        md5(col("fim_text")).as("fim_md5"))
+      .orderBy(col("doc_id"))
+
+  val q212Sql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#fim42'),
+      |      1, 15)) AS BIGINT) % 10000 AS gate
+      |  FROM documents WHERE text IS NOT NULL),
+      |sp AS (SELECT doc_id, text, tk, n, gate,
+      |    (n * 3333) // 10000 AS p, (n * 3334) // 10000 AS m FROM d)
+      |SELECT doc_id, gate < 5000 AS fim_applied,
+      |  md5(CASE WHEN gate >= 5000 THEN text ELSE
+      |    '<PRE> ' || array_to_string(list_slice(tk, 1, p), ' ') ||
+      |    ' <SUF> ' || array_to_string(list_slice(tk, p + m + 1, n), ' ') ||
+      |    ' <MID> ' || array_to_string(list_slice(tk, p + 1, p + m), ' ')
+      |    END) AS fim_md5
+      |FROM sp ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+  /** Length-bucketed batching + padding census
+    * ([[graft.operators.Packing.paddingCensus]]): documents bucket by
+    * token length (width 16), each bucket cuts seeded-hash-ordered
+    * batches of 8, and every (bucket, batch) reports its pad target,
+    * padded-token total, and utilization in basis points — the
+    * padded-batch recipe for fine-tuning pipelines, where [[q71]]'s
+    * straddling concatenation is not allowed. Integer arithmetic
+    * throughout; the oracle replays bucket assignment, the md5 batch
+    * order, and the census.
+    */
+  def q213PaddingCensus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+    graft.operators.Packing.paddingCensus(d, "doc_id", "n_tokens",
+        bucketWidth = 16, batchSize = 8)
+      .orderBy(col("bucket"), col("batch_idx"))
+  }
+
+  val q213Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE text IS NOT NULL),
+      |b AS (SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens <= 0 THEN 0
+      |      ELSE (n_tokens - 1) // 16 END AS bucket FROM d),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id) AS rn
+      |  FROM b),
+      |a AS (SELECT bucket, (rn - 1) // 8 AS batch_idx, n_tokens FROM r)
+      |SELECT bucket, batch_idx, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MAX(n_tokens) AS pad_to,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+      |  CAST(COUNT(*) AS BIGINT) * MAX(n_tokens)
+      |    - CAST(SUM(n_tokens) AS BIGINT) AS padded_tokens,
+      |  CASE WHEN MAX(n_tokens) <= 0 THEN 10000
+      |    ELSE (CAST(SUM(n_tokens) AS BIGINT) * 10000)
+      |      // (CAST(COUNT(*) AS BIGINT) * MAX(n_tokens)) END
+      |    AS utilization_bp
+      |FROM a GROUP BY bucket, batch_idx
+      |ORDER BY bucket, batch_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_padding_census" -> (q213PaddingCensus _),
+    "q212_fim_transform" -> (q212FimTransform _),
     "q211_mixture_plan" -> (q211MixturePlan _),
     "q210_label_propagate" -> (q210LabelPropagate _),
     "q209_semantic_decontam" -> (q209SemanticDecontam _),
@@ -7880,6 +7958,8 @@ object PipelineQueries {
     "q209_semantic_decontam" -> q209Sql,
     "q210_label_propagate" -> q210Sql,
     "q211_mixture_plan" -> q211Sql,
+    "q212_fim_transform" -> q212Sql,
+    "q213_padding_census" -> q213Sql,
     "q201_first_arrival_dedup" -> q201Sql,
     "q200_decontam_drop" -> q200Sql,
     "q199_decontam_fraction" -> q199Sql,

@@ -12,48 +12,62 @@ import org.apache.spark.sql.functions._
   * trained classifier exists yet (label a few thousand docs, propagate
   * to billions, then train the real model on the propagated set).
   *
-  * Scale shape: the seed BROADCASTS (it is small by construction — the
-  * whole point of propagation); the corpus is scanned ONCE, each row
-  * scoring |seed| fused cosines ([[Ann.cosine]]); the per-row top-k
-  * folds through the bounded map-side aggregate
-  * ([[graft.operators.TopK.topKPerGroup]] — k rows per group per task
-  * reach the shuffle, never the |corpus|×|seed| score stream); the
-  * vote is one count aggregate plus a per-row argmax window over ≤ k
-  * label rows. No self-joins, no driver state beyond the seed.
+  * Scale shape: the seed is COLLECTED (one bounded driver read — the
+  * operator's contract is a seed small enough to broadcast, and the
+  * collect is exactly that size) and rides into a fused codegen'd
+  * expression as reference objects of the generated class
+  * ([[graft.functions.KnnVoteExpr]] — the literal-centroids pattern).
+  * The corpus is then ONE scan-local projection: |seed| fused cosines,
+  * an O(|seed|·k) selection, and the vote, all inside whole-stage
+  * codegen — no join, no aggregate, no exchange, no per-group state.
   *
-  * Determinism: neighbor selection ties break (cosine DESC, seed id
-  * ASC) — the [[Ann.knnJoin]] rule — and vote ties break (votes DESC,
-  * label ASC), so the propagated labels replay exactly in a SQL
-  * oracle.
+  * Why not the bounded top-k AGGREGATE (the first implementation):
+  * per-row top-k means one group per corpus row, and
+  * `ObjectHashAggregateExec` falls back to sort-based aggregation past
+  * 128 distinct groups per task — measured at 8.2M rows: 77× wall at
+  * 64× corpus growth with 205 GB spilled (the sort covered the full
+  * |corpus|×|seed| score stream). The scan-local form is linear by
+  * construction; the ScaleSmoke label-propagate leg is its regression
+  * test.
+  *
+  * Determinism: neighbor ties (cosine DESC, seed id ASC) and vote ties
+  * (count DESC, label ASC in unsigned UTF-8 order — Spark's own string
+  * order) replay exactly in a SQL oracle.
   */
 object LabelPropagate {
 
   /** Majority-vote label for every `unlabeled` row: (idCol, label,
     * n_votes) with `n_votes` the winning label's neighbor count among
-    * the k nearest seed rows. Seed and corpus ids are assumed
-    * disjoint (distinct tables or an upstream split); rows sharing an
-    * id are NOT excluded here, unlike knnJoin's self-pair rule.
+    * the k nearest seed rows. `label` is returned as string (the
+    * vote's tie order); cast downstream as needed. Rows with a null
+    * embedding (or null elements) are dropped — they have no
+    * neighbors. Seed rows with null ids/embeddings/labels are
+    * rejected up front.
     */
   def knnVote(unlabeled: DataFrame, labeled: DataFrame, embCol: String,
       idCol: String, labelCol: String, k: Int): DataFrame = {
-    val seed = labeled.select(col(idCol).cast("long").as("__lid"),
-      col(embCol).as("__lemb"), col(labelCol).as("__lab"))
-    val scored = unlabeled.select(col(idCol), col(embCol))
-      .crossJoin(broadcast(seed.select(col("__lid"), col("__lemb"))))
-      .select(col(idCol),
-        Ann.cosine(col(embCol), col("__lemb")).as("__c"), col("__lid"))
-    val topk = graft.operators.TopK.topKPerGroup(scored, Seq(idCol),
-      col("__c"), col("__lid"), k)
-    val votes = topk
-      .join(broadcast(seed.select(col("__lid").as("id"), col("__lab"))),
-        Seq("id"))
-      .groupBy(col(idCol), col("__lab"))
-      .agg(count(lit(1)).as("n_votes"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("n_votes").desc, col("__lab").asc)
-    votes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("__lab").as("label"), col("n_votes"))
+    require(k > 0, "k must be positive")
+    // bounded driver read: the seed is small by the operator's
+    // contract (it is the thing being propagated FROM); float→double
+    // cast is exact, so the fused cosine matches Ann.cosine bit-for-bit
+    val seed = labeled
+      .select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"),
+        col(labelCol).cast("string").as("lab"))
+      .collect()
+    require(seed.nonEmpty, "labeled seed set is empty")
+    require(seed.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)),
+      "seed rows must have non-null id, embedding, and label")
+    val sorted = seed.sortBy(_.getLong(0)) // id-ascending: the tie contract
+    val ids = sorted.map(_.getLong(0))
+    val embs = sorted.map(_.getSeq[Double](1).toArray)
+    val labs = sorted.map(_.getString(2)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val vote = graft.functions.VecMath.knnVoteColumn(
+      col(embCol), ids, embs, labs, k)
+    unlabeled.select(col(idCol), vote.as("__v"))
+      .where(col("__v").isNotNull)
+      .select(col(idCol), col("__v.label").as("label"),
+        col("__v.n_votes").as("n_votes"))
   }
 }

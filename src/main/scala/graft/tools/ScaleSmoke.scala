@@ -850,9 +850,12 @@ object ScaleSmoke {
         .agg(count(lit(1))).collect()
     }
     // kNN label propagation: seed FIXED, corpus grows — per-row cost
-    // is |seed| fused cosines + the bounded top-k aggregate, so the
-    // leg is the regression test for "the score stream never reaches
-    // a shuffle" (only k rows per group per task do)
+    // is |seed| fused cosines + an O(|seed|·k) scan-local selection,
+    // NO aggregate/exchange at all. This leg CAUGHT the previous
+    // (aggregate-based) form: ObjectHashAggregate's sort fallback at
+    // >128 groups/task sorted the |corpus|×|seed| score stream —
+    // 77× wall at 64× growth, 205 GB spill at 8.2M rows. Linear now
+    // is the regression bar.
     leg("label propagate")(scaledEmb) { e =>
       val seed = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .filter(pmod(col("vec_id"), lit(5L)) === 0L)

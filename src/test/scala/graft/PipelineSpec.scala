@@ -2616,4 +2616,68 @@ class PipelineSpec extends SparkSpec {
       Sampling.mixturePlan(d, "source", "n_tokens", Map("w1" -> 5000L))
     }
   }
+
+  test("FIM transform: integer split points, PSM exact, gate " +
+      "deterministic, token multiset preserved") {
+    import graft.text.Fim
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y z"))
+      .toDF("id", "text")
+    val all = Fim.fimTransform(d, "text", "id", rateBp = 10000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("fim_text")).toMap
+    // n=10: p = 10·3333∕10000 = 3, m = 10·3334∕10000 = 3
+    assert(all(1L) === "<PRE> a b c <SUF> g h i j <MID> d e f")
+    // n=3: p = 0, m = ⌊10002/10000⌋ = 1 — empty prefix renders empty
+    assert(all(2L) === "<PRE>  <SUF> y z <MID> x")
+    // every token survives the reorder (loss-free transform)
+    val sentinels = Set(Fim.Pre, Fim.Suf, Fim.Mid)
+    all.foreach { case (id, t) =>
+      val orig = d.filter(col("id") === id).head().getString(1)
+      assert(t.split(" ").filterNot(sentinels).filter(_.nonEmpty).sorted
+        .toSeq === orig.split(" ").sorted.toSeq)
+    }
+    // rate 0 → passthrough; rate gate is deterministic across calls
+    val none = Fim.fimTransform(d, "text", "id", rateBp = 0L)
+      .collect().map(r => (r.getAs[Boolean]("fim_applied"),
+        r.getAs[String]("fim_text") === r.getAs[String]("text")))
+    assert(none.forall { case (applied, same) => !applied && same })
+    val g1 = Fim.fimTransform(d, "text", "id", rateBp = 5000L)
+      .select("id", "fim_applied").collect().map(r =>
+        (r.getLong(0), r.getBoolean(1))).toSet
+    val g2 = Fim.fimTransform(d, "text", "id", rateBp = 5000L)
+      .select("id", "fim_applied").collect().map(r =>
+        (r.getLong(0), r.getBoolean(1))).toSet
+    assert(g1 === g2)
+  }
+
+  test("length-bucketed batches: batch-mates share the bucket, pad " +
+      "target bounded by the bucket ceiling, census recomputes exactly") {
+    import graft.operators.Packing
+    val d = (1L to 20L).map(i => (i, i)).toDF("id", "len") // len = id
+    val a = Packing.lengthBucketedBatches(d, "id", "len",
+      bucketWidth = 8, batchSize = 4).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("len"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("batch_idx"),
+        r.getAs[Long]("pos_in_batch")))
+    // bucket = (len-1) div 8: 1-8 → 0, 9-16 → 1, 17-20 → 2
+    a.foreach { case (_, len, b, _, _) => assert(b === (len - 1) / 8) }
+    // positions are a permutation of 0..(batch size-1) per batch
+    a.groupBy(t => (t._3, t._4)).foreach { case (_, rows) =>
+      assert(rows.map(_._5).sorted.toSeq === (0L until rows.length).toSeq)
+      assert(rows.length <= 4)
+    }
+    // census equals a direct recomputation from the assignments
+    val census = Packing.paddingCensus(d, "id", "len", 8, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("pad_to"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Long]("utilization_bp"))))
+      .toMap
+    a.groupBy(t => (t._3, t._4)).foreach { case (key, rows) =>
+      val lens = rows.map(_._2)
+      val (n, mx, sm) = (rows.length.toLong, lens.max, lens.sum)
+      assert(census(key) === ((n, mx, n * mx - sm, sm * 10000L / (n * mx))))
+      // the bucketing point: pad target never exceeds the bucket ceiling
+      assert(mx <= (key._1 + 1) * 8)
+    }
+  }
 }

@@ -433,8 +433,8 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Join") && p.contains("bucket"), p)
   }
 
-  test("q210: label propagation broadcasts the seed; the score stream " +
-      "folds through the bounded aggregate before any exchange") {
+  test("q210: label propagation is ONE scan-local codegen'd projection " +
+      "— no join, no aggregate, no exchange") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val gate = org.apache.spark.sql.functions.pmod(
       org.apache.spark.sql.functions.col("vec_id"),
@@ -442,16 +442,16 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(graft.similarity.LabelPropagate.knnVote(
       e.filter(gate =!= 0L), e.filter(gate === 0L),
       "embedding", "vec_id", "label", k = 7))
-    // the seed-side cross IS a broadcast nested loop by design (tiny
-    // build side, every corpus row scores every seed row) — the thing
-    // that must NOT appear is a non-broadcast cartesian or a
-    // sort-merge join of the |corpus|×|seed| score stream
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    // bounded per-group top-k: the ObjectHashAggregate pair bounds the
-    // exchange at k rows per group per task
-    assert(p.contains("ObjectHashAggregate"), p)
+    // the seed rides as reference objects of the generated class (the
+    // literal-centroids pattern): the per-row cosines, top-k selection
+    // and vote all happen inside the scan's whole-stage codegen. The
+    // aggregate form this replaced fell back to sort-based aggregation
+    // past 128 groups/task and sorted the full score stream (measured:
+    // 205 GB spill at 8.2M rows).
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("* Project"), p)
   }
 
   test("fused vector cosine stays in whole-stage codegen") {
