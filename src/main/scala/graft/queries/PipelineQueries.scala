@@ -25,6 +25,55 @@ object PipelineQueries {
     if (name == "documents" || name == "embeddings") Tables.loadFanned(s, dir, name)
     else Tables.load(s, dir, name)
 
+  /** One-pass staging for the streaming queries' file-source inputs: a
+    * frame carrying a 0-based `__chunk` tag lands as `chunk-<i>.parquet`
+    * files with pinned, strictly increasing mtimes (the file source's
+    * (mtime, path) replay order). Replaces the per-chunk
+    * filter→coalesce(1)→write loops, which scanned the input once PER
+    * chunk (for q194 that re-synthesized every PNG 4×): one tagged scan,
+    * one write job partitioned by the tag, k file moves. Chunk
+    * MEMBERSHIP — and therefore every micro-batch's row set — is
+    * identical to the loop; only intra-file row order may differ, which
+    * no staged consumer observes (every per-batch computation keys or
+    * aggregates by id). `repartition(k, __chunk)` puts each tag in
+    * exactly one task, so each tag directory holds exactly one part
+    * file; a tag with zero rows gets an explicit empty-frame write so
+    * the batch count is preserved.
+    */
+  private def stageChunksTagged(tagged: DataFrame, nChunks: Int,
+      inDir: String): Unit = {
+    val stage = s"$inDir-stage"
+    tagged.repartition(nChunks, col("__chunk"))
+      .write.partitionBy("__chunk").parquet(stage)
+    val empty = tagged.filter(lit(false)).drop("__chunk").coalesce(1)
+    (0 until nChunks).foreach { i =>
+      val dir = new java.io.File(s"$stage/__chunk=$i")
+      val part = Option(dir.listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+      val dest = java.nio.file.Paths.get(s"$inDir/chunk-$i.parquet")
+      part match {
+        case Some(p) => java.nio.file.Files.move(p.toPath, dest)
+        case None => // empty chunk: land a 0-row file to keep the batch
+          val es = s"$stage/__empty$i"
+          empty.write.parquet(es)
+          val ep = new java.io.File(es).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(ep.toPath, dest)
+      }
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+  }
+
+  /** [[stageChunksTagged]] over explicit chunk frames (k-dependent
+    * transforms): tags and unions them — still one write job.
+    */
+  private def stageChunks(chunks: Seq[DataFrame], inDir: String): Unit =
+    stageChunksTagged(
+      chunks.zipWithIndex.map { case (c, i) =>
+        c.withColumn("__chunk", lit(i))
+      }.reduce(_ unionByName _), chunks.size, inDir)
+
   // ---------------------------------------------------------------- q30
   /** Exact dedup census over documents (md5 content hash). */
   def q30DedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -747,15 +796,8 @@ object PipelineQueries {
     val tmp = graft.tools.Scratch.tempDir("q64")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    (0 until 4).foreach { k =>
-      val stage = s"$tmp/stage$k"
-      docs.filter(pmod(col("doc_id"), lit(4)) === k).coalesce(1)
-        .write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$in/chunk-$k.parquet"))
-    }
+    stageChunksTagged(
+      docs.withColumn("__chunk", pmod(col("doc_id"), lit(4))), 4, in)
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     var nBatches = 0L
@@ -2322,24 +2364,17 @@ object PipelineQueries {
     val tmp = graft.tools.Scratch.tempDir("q99")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    (0 until 3).foreach { k =>
+    // file source orders by (mtime, path): stageChunks pins the replay
+    // order explicitly rather than trusting write timing
+    stageChunks((0 until 3).map { k =>
       val v = docs.filter(pmod(col("doc_id"), lit(3)) === k)
         .withColumn("text", concat(col("text"), lit(s" v$k")))
         .withColumn("version", lit(k * 10))
       val u = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .withColumn("text", concat(col("text"), lit(s" u$k")))
         .withColumn("version", lit(k * 10 + 1))
-      val stage = s"$tmp/stage$k"
-      v.unionByName(u).coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(s"$in/chunk-$k.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      // file source orders by (mtime, path): make the replay order
-      // explicit rather than trusting write timing
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
-    }
+      v.unionByName(u)
+    }, in)
     val schema = s.read.parquet(s"$in/chunk-0.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
@@ -2768,17 +2803,8 @@ object PipelineQueries {
     val tmp = graft.tools.Scratch.tempDir("q106")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    (0 until 4).foreach { kk =>
-      val stage = s"$tmp/stage$kk"
-      docs.filter(pmod(col("doc_id"), lit(4)) === kk).coalesce(1)
-        .write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
-    }
+    stageChunksTagged(
+      docs.withColumn("__chunk", pmod(col("doc_id"), lit(4))), 4, in)
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     var nBatches = 0L
@@ -4014,17 +4040,7 @@ object PipelineQueries {
           concat(col("c_mktsegment"), lit(s"#$k")).as("c_mktsegment"),
           col("c_nationkey"), lit(k * 100L).as("version"))
     }
-    chunks.zipWithIndex.foreach { case (c, k) =>
-      val stage = s"$tmp/stage$k"
-      c.coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(s"$in/chunk-$k.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(
-          1700000000000L + k * 60000L))
-    }
+    stageChunks(chunks, in)
     val schema = s.read.parquet(s"$in/chunk-0.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
@@ -4327,16 +4343,7 @@ object PipelineQueries {
     val tmp = graft.tools.Scratch.tempDir("q138")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    (0 until 3).foreach { kk =>
-      val stage = s"$tmp/stage$kk"
-      docs.filter(col("chunk") === kk.toLong).coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
-    }
+    stageChunksTagged(docs.withColumn("__chunk", col("chunk")), 3, in)
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
@@ -4596,17 +4603,8 @@ object PipelineQueries {
     val tmp = graft.tools.Scratch.tempDir("q142")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    (0 until 3).foreach { kk =>
-      val stage = s"$tmp/stage$kk"
-      docs.filter(pmod(col("doc_id"), lit(3)) === kk).coalesce(1)
-        .write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
-    }
+    stageChunksTagged(
+      docs.withColumn("__chunk", pmod(col("doc_id"), lit(3))), 3, in)
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val table = s"$tmp/table"
@@ -4948,17 +4946,8 @@ object PipelineQueries {
     val tmp = graft.tools.Scratch.tempDir("q150")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    (0 until 3).foreach { kk =>
-      val stage = s"$tmp/stage$kk"
-      e.filter(pmod(col("vec_id"), lit(3)) === kk).coalesce(1)
-        .write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
-    }
+    stageChunksTagged(
+      e.withColumn("__chunk", pmod(col("vec_id"), lit(3))), 3, in)
     val stream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val enc = graft.similarity.Pq.encode(stream, "embedding", model)
@@ -6083,17 +6072,11 @@ object PipelineQueries {
     val tmp = graft.tools.Scratch.tempDir("q194")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    (0 until 4).foreach { kk =>
-      val stage = s"$tmp/stage$kk"
-      media.filter(pmod(col("media_id"), lit(4)) === kk).coalesce(1)
-        .write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
-    }
+    // one-pass staging matters doubly here: the per-chunk filter loop
+    // re-ran the PNG synthesis mapPartitions for EVERY chunk (the
+    // filter sits above the synth), 4× the encode work
+    stageChunksTagged(
+      media.withColumn("__chunk", pmod(col("media_id"), lit(4))), 4, in)
     val stream = s.readStream.schema(media.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     var nBatches = 0L
@@ -7157,17 +7140,8 @@ object PipelineQueries {
     val tmp = graft.tools.Scratch.tempDir("q202")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    (1 to 4).foreach { kk =>
-      val stage = s"$tmp/stage$kk"
-      staged.filter(col("__q") === kk).drop("__q").coalesce(1)
-        .write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
-    }
+    stageChunksTagged(
+      staged.withColumn("__chunk", col("__q") - 1).drop("__q"), 4, in)
     val stream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -7295,17 +7269,8 @@ object PipelineQueries {
     val tmp = graft.tools.Scratch.tempDir("q204")
     val in = s"$tmp/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    (0 until 4).foreach { kk =>
-      val stage = s"$tmp/stage$kk"
-      train.filter(pmod(col("doc_id"), lit(4L)) === kk).coalesce(1)
-        .write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(s"$in/chunk-$kk.parquet")
-      java.nio.file.Files.move(part.toPath, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + kk * 60000L))
-    }
+    stageChunksTagged(
+      train.withColumn("__chunk", pmod(col("doc_id"), lit(4L))), 4, in)
     val stream = s.readStream.schema(train.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
