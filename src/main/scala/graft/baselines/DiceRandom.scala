@@ -46,15 +46,25 @@ object DiceRandom {
     val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
     val classScoreCol = if (pc == 1) "match_score" else "nomatch_score"
 
-    // bounded, deterministic domain sample per attribute
-    val domains: Map[String, IndexedSeq[String]] = attrs.map { a =>
-      val vals = dataset.select(col(a).cast("string").as("v"))
-        .filter(col("v").isNotNull).distinct()
-        .orderBy(xxhash64(col("v"), lit(seed)), col("v"))
-        .limit(maxDomain)
-        .collect().map(_.getString(0)).toIndexedSeq
-      a -> vals
-    }.toMap
+    // bounded, deterministic domain sample per attribute — ALL
+    // attributes in ONE job: unpivot to (attr, v), distinct, rank
+    // within each attribute by the same (hash, value) order the
+    // per-attribute orderBy+limit used, keep rank ≤ maxDomain. One
+    // scan + one window shuffle replaces one full job per attribute
+    // (the domains dominated this explainer's job count).
+    val domains: Map[String, IndexedSeq[String]] = {
+      val stacked = attrs.map { a =>
+        dataset.select(lit(a).as("__a"), col(a).cast("string").as("v"))
+      }.reduce(_ unionByName _).filter(col("v").isNotNull).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__a")).orderBy(xxhash64(col("v"), lit(seed)), col("v"))
+      val ranked = stacked.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxDomain)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      val byAttr = ranked.groupBy(_._1)
+      attrs.map(a => a -> byAttr.getOrElse(a, Array.empty)
+        .sortBy(_._3).map(_._2).toIndexedSeq).toMap
+    }
 
     // candidate s alters attribute a iff hash(s,a) ≡ 0 (mod 4) — a ~25%
     // feature-subset draw; the replacement indexes the domain by an

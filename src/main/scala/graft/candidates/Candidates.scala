@@ -33,6 +33,21 @@ object Candidates {
   def shuffleKey(a: Column, b: Column, seed: Long): Column =
     xxhash64(a.cast("string"), b.cast("string"), lit(seed))
 
+  /** Row count without a Spark job when the frame folds to a
+    * LocalRelation (the batched support paths return bounded
+    * LocalRelations, and Catalyst's ConvertToLocalRelation folds
+    * projections/filters over them) — the explainer fires dozens of
+    * sub-100ms jobs per explanation and each skipped count removes a
+    * whole scheduler round-trip. Falls back to a normal count() for
+    * anything distributed, so the result is always exactly count().
+    */
+  private[graft] def boundedCount(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.size.toLong
+      case _ => df.count()
+    }
+
   /** J3 + A7 + O1 + O2 + P5: candidates for `probe` against `source`.
     *
     * @param probeIsLeft true when the probe is the left record and
@@ -176,8 +191,8 @@ object Candidates {
         numCandidates, maxPredict, seed, batched = !useAll, schema, gen)
     else empty
 
-    val n1 = if (useRight) c4r1.count() else 0L
-    val n2 = if (useLeft) c4r2.count() else 0L
+    val n1 = if (useRight) boundedCount(c4r1) else 0L
+    val n2 = if (useLeft) boundedCount(c4r2) else 0L
     val both = math.min(n1, n2)
     val maxLen = if (both == 0) math.max(n1, n2) else both
 

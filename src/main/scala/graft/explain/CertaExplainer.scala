@@ -103,6 +103,14 @@ class CertaExplainer(
     if (df.columns.isEmpty) df
     else spark.createDataFrame(java.util.Arrays.asList(df.collect().toIndexedSeq: _*), df.schema)
 
+  /** count() that skips the Spark job when the frame folds to a
+    * LocalRelation ([[graft.candidates.Candidates.boundedCount]]) — an
+    * explanation is a sequence of dozens of tiny jobs whose scheduler
+    * round-trips, not task work, dominate its wall clock.
+    */
+  private def boundedCount(df: DataFrame): Long =
+    graft.candidates.Candidates.boundedCount(df)
+
   /** Explain the model's prediction on (lRecord, rRecord): 1-row
     * un-prefixed entity frames, as in reference explain(l_tuple, r_tuple).
     */
@@ -177,21 +185,27 @@ class CertaExplainer(
     var neighborhood = neighborhood0
     var extendedL = lsource
     var extendedR = rsource
-    val n0 = staged("support count")(neighborhood0.count())
+    val n0 = staged("support count")(boundedCount(neighborhood0))
     if (n0 < numTriangles) {
-      val maxLid = lsource.agg(max(col("id"))).head().getLong(0)
-      val maxRid = rsource.agg(max(col("id"))).head().getLong(0)
+      // both source maxima in ONE job (these are the only two full-source
+      // aggregates in the fallback; two sequential 1-row jobs doubled the
+      // scheduler round-trips here)
+      val maxIds = staged("source max ids")(
+        lsource.agg(max(col("id")).as("m"))
+          .crossJoin(rsource.agg(max(col("id")).as("m2"))).head())
+      val maxLid = maxIds.getLong(0)
+      val maxRid = maxIds.getLong(1)
       // variants of the left probe serve as right-side candidates & v.v.
       val genFromL = localize(staged("augment")(graft.perturb.Augment
         .generateSubsequences(lRecord, startId = maxRid + 1)))
       val genFromR = localize(staged("augment")(graft.perturb.Augment
         .generateSubsequences(rRecord, startId = maxLid + 1)))
-      if (genFromL.count() > 0 && genFromR.count() > 0) {
+      if (boundedCount(genFromL) > 0 && boundedCount(genFromR) > 0) {
         val (_, support2) = staged("augmented support search")(Candidates.support(
           lRecord, rRecord, genFromR, genFromL, pc, model, numTriangles,
           maxPredict, useLeft, useRight, seed = seed, schema = schema,
           gen = gen))
-        if (support2.columns.nonEmpty && support2.count() > 0) {
+        if (support2.columns.nonEmpty && boundedCount(support2) > 0) {
           neighborhood = neighborhood0.unionByName(support2)
           extendedL = lsource.unionByName(genFromR)
           extendedR = rsource.unionByName(genFromL)
@@ -199,7 +213,7 @@ class CertaExplainer(
       }
     }
 
-    val nSupport = if (neighborhood eq neighborhood0) n0 else neighborhood.count()
+    val nSupport = if (neighborhood eq neighborhood0) n0 else boundedCount(neighborhood)
     if (nSupport == 0) return emptyExplanation()
 
     // O3 head+tail truncation in the seeded shuffle order
@@ -228,7 +242,7 @@ class CertaExplainer(
     // local support set; result localized — ≤ (numTriangles/2)² rows)
     val discovered = staged("triangle discovery")(
       localize(Triangles.discover(supportPairs, schema)))
-    if (discovered.count() == 0) return emptyExplanation()
+    if (boundedCount(discovered) == 0) return emptyExplanation()
 
     // G6 invariant probes (reference triangles_method.py:280-283): the
     // reference re-scores check_properties per triangle per depth; the
@@ -246,7 +260,7 @@ class CertaExplainer(
             localize(flags.filter(col("transitivity"))))
         else (discovered, flags)
       }
-    val nTriangles = triangles.count()
+    val nTriangles = boundedCount(triangles)
     if (nTriangles == 0) return emptyExplanation()
 
     // stage 5: lattice-stratified perturb & predict with monotonicity
