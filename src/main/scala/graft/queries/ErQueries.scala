@@ -686,9 +686,13 @@ object ErQueries {
         col("toks").as("ltoks"), col("p_type").as("ltype"))
     val b = p.select(col("p_partkey").as("rk"), col("p_brand").as("rbrand"),
       col("toks").as("rtoks"), col("p_type").as("rtype"))
+    // |A ∪ B| = |A| + |B| − |A ∩ B| exactly (toks is array_distinct on
+    // both sides), so the per-pair array_distinct(concat(...)) — a hash
+    // set build over BOTH token arrays for every one of the ~8M pairs —
+    // drops out; only the intersect remains in the pair loop
     val pairs = a.join(b, col("brand") === col("rbrand") && col("lk") < col("rk"))
       .withColumn("inter", size(array_intersect(col("ltoks"), col("rtoks"))))
-      .withColumn("uni", size(array_distinct(concat(col("ltoks"), col("rtoks")))))
+      .withColumn("uni", size(col("ltoks")) + size(col("rtoks")) - col("inter"))
       .withColumn("label", (col("ltype") === col("rtype")).cast("int"))
     graft.metrics.Calibration.calibrationCensus(pairs, "inter", "uni", "label")
   }

