@@ -163,16 +163,23 @@ object Bench {
     //    it cpu or wait".
     //  line 2 (detail): full-precision maps + per-run walls + streaming
     //    split, also written to target/bench_last.json.
-    //  line 3 (tail): ultra-compact summary, ≤ ~1 KB, so a TAIL capture
-    //    of any length ≥ 1 KB always holds a complete parseable JSON
-    //    record with the attribution split of the slowest queries.
+    //  lines 3..k (tail, r12 — VERDICT item 2): the driver's capture
+    //    keeps only the LAST ~2000 chars and parses the last complete
+    //    JSON line(s), so the r10/r11 one-line compact summary (totals
+    //    + slowest only) left PERF per_query empty two rounds running.
+    //    The per-query WALLS now ride the tail: short keys (the unique
+    //    qNNN name prefix), 2-decimal walls, chunked into consecutive
+    //    self-contained JSON records of ≤ ~950 chars each (a 2 KB tail
+    //    capture always holds the last two complete), ordered
+    //    fastest-first so the FINAL line — the one a last-line parser
+    //    keeps — carries the slowest queries. Full-name full-precision
+    //    maps stay on the head/detail lines above, unchanged.
     val slowest = results.sortBy(-_._2.wall).take(12).map { r =>
       "\"" + r._1 + "\":{\"wall\":" + r3(r._2.wall) +
         ",\"cpu\":" + r3(r._2.cpu) + ",\"gc\":" + r3(r._2.gc) + "}"
     }.mkString("{", ",", "}")
     val head = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failures":$failures,"slowest":$slowest,"queries":${obj3(_._2.wall)},"cpu_sec":${obj3(_._2.cpu)},"sf":"$sfDir"}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failures":$failures,"queries":$qs,"cpu_sec":$cpu,"task_run_sec":$taskRun,"gc_sec":$gc,"streaming":$streaming,"runs":$runs,"sf":"$sfDir"}"""
-    val tail = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failures":$failures,"slowest":$slowest,"sf":"$sfDir"}"""
     println(head)
     println(detail)
     try {
@@ -180,7 +187,31 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_last.json"), detail + "\n")
     } catch { case _: Throwable => () } // read-only cwd: stdout already has it
-    println(tail)
+    // tail chunks (see the output-layout note above): qNNN short keys —
+    // unique today; any future prefix clash falls back to full names
+    // rather than silently merging two queries into one key
+    val shortKey: Map[String, String] = {
+      val pref = results.map(r => r._1 -> r._1.takeWhile(_ != '_')).toMap
+      if (pref.values.toSeq.distinct.size == pref.size) pref
+      else results.map(r => r._1 -> r._1).toMap
+    }
+    def r2(x: Double): Double = math.rint(x * 100) / 100
+    val tailEntries = results.sortBy(_._2.wall)
+      .map(r => "\"" + shortKey(r._1) + "\":" + r2(r._2.wall))
+    val chunks = scala.collection.mutable.ArrayBuffer[List[String]]()
+    var cur = List.empty[String]
+    var curLen = 0
+    for (e <- tailEntries) {
+      if (curLen + e.length + 1 > 850 && cur.nonEmpty) {
+        chunks += cur.reverse; cur = Nil; curLen = 0
+      }
+      cur = e :: cur
+      curLen += e.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.reverse
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"part":"${i + 1}/${chunks.size}","failures":$failures,"queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

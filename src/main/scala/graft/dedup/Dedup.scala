@@ -200,10 +200,14 @@ object Dedup {
           .as("sh_a"),
         first(when(col("__id") === col("id_b"), col("__sh")), ignoreNulls = true)
           .as("sh_b"))
+    // |A∪B| = |A|+|B|−|A∩B|: sh_a/sh_b are array_distinct above, so the
+    // subtraction form is the identical integer count without building a
+    // per-pair union hash set over the concatenated shingle arrays
+    val interSz = size(array_intersect(col("sh_a"), col("sh_b")))
     withTexts
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+        interSz.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - interSz).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -242,6 +246,44 @@ object Dedup {
       k: Int = 3): NearDupResult = {
     val pairs = nearDuplicates(df, textCol, idCol, threshold, numBands,
       rowsPerBand, k).select(col("id_a"), col("id_b"))
+    val mapping = Components.connectedComponents(pairs)
+    val losers = mapping.filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+      .persist()
+    losers.count() // materialize while the mapping cache is alive
+    mapping.unpersist()
+    NearDupResult(df.join(losers, Seq(idCol), "left_anti"), losers)
+  }
+
+  /** [[dropNearDuplicates]] over a PRECOMPUTED (and caller-PERSISTED)
+    * [[lshBandKeys]] frame for `df` — the seam for callers that need
+    * the keys a second time and must not pay the signature sketch
+    * twice (q197/q201: the history's keys feed its own dedup here AND,
+    * filtered to survivors, the incremental batch probe join via
+    * `historyKeys`). Two r12 differences from the single-pass surface,
+    * both result-identical (same survivor set, spec'd):
+    *  - the candidate pass reads `keys` instead of re-sketching — why
+    *    the caller must persist it (it is consumed by the bucket pass
+    *    AND the referenced-id prune below; unpersisted keys would
+    *    re-run the md5-min fold per consumer);
+    *  - the verify shingle side is semi-join-pruned to
+    *    candidate-referenced ids (guide §2.3): verifyJaccard joins the
+    *    shingle frame INNER on the pair ids, so non-candidate rows
+    *    never contribute — pruning them first skips their tokenize +
+    *    shingle work and their shuffle bytes, the
+    *    incrementalNearDuplicates posture applied to the batch surface.
+    */
+  def dropNearDuplicatesFromKeys(df: DataFrame, keys: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.7,
+      k: Int = 3): NearDupResult = {
+    val cands = lshCandidatePairsFromKeys(keys, idCol)
+    val refIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("__rid"))
+      .distinct()
+    val pruned = df.select(col(idCol), col(textCol))
+      .join(refIds, col(idCol) === col("__rid"), "left_semi")
+    val pairs = verifyJaccard(cands, pruned, textCol, idCol, threshold, k)
+      .select(col("id_a"), col("id_b"))
     val mapping = Components.connectedComponents(pairs)
     val losers = mapping.filter(col("id") =!= col("rep"))
       .select(col("id").as(idCol))
@@ -398,8 +440,16 @@ object Dedup {
     try {
       val keysH = historyKeys.getOrElse(
         lshBandKeys(history, textCol, idCol, numBands, rowsPerBand, k))
+      // r12 (guide §3.1): the batch is BY CONTRACT the small side (a
+      // crawl window probing an established corpus), and its key frame
+      // is already persisted above — broadcast it so the history key
+      // table, the side proportional to the full corpus, is never
+      // shuffled for the probe. A batch beyond the broadcast ceiling
+      // (8 GB / 512M key rows) is outside this operator's
+      // batch-maintenance contract; chunk it into windows first.
       val cross = keysH.select(col(idCol).as("id_a"), col("band"), col("key"))
-        .join(keysB.select(col(idCol).as("id_b"), col("band"), col("key")),
+        .join(broadcast(
+            keysB.select(col(idCol).as("id_b"), col("band"), col("key"))),
           Seq("band", "key"))
         .select(col("id_a"), col("id_b")).distinct()
       val self = lshCandidatePairsFromKeys(keysB, idCol)

@@ -72,6 +72,115 @@ case class VecCosineExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Self-norm √Σxᵢ² of one vector — the PER-ROW half of the cosine,
+  * split out so pairwise scans (probe×corpus cross joins, LSH-cell
+  * self-joins) stop recomputing each side's norm once per PAIR:
+  * [[VecCosineExpr]] runs three loops over the elements per pair
+  * (dot + both self-norms), while norm(a)·norm(b) depends only on the
+  * row. Precomputing the norms per side and scoring pairs with
+  * [[VecDotOverDenExpr]] does one loop per pair — a 3× flop cut on
+  * every |A|×|B| candidate path — with BIT-IDENTICAL arithmetic (same
+  * left-to-right double accumulation from the same element casts,
+  * same `sqrt`; the `sqrt(naa) * sqrt(nbb)` product becomes a plain
+  * double multiply of the two precomputed norms, the identical IEEE
+  * op). Null semantics follow the fused form's selfDot: null array or
+  * null element → null.
+  */
+case class VecNormExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm needs array<float|double>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.normOrNull(input.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("nrm")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VecMath.normOrNull(
+         |  $c, $elemIsFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VecNormExpr = copy(child = newChild)
+}
+
+/** dot(a, b) / den with [[VecCosineExpr]]'s exact result semantics
+  * when `den` is the product of the two sides' precomputed
+  * [[VecNormExpr]] norms (see there for the equivalence argument,
+  * spec'd in PipelineSpec): den = 0 → 0.0 (checked BEFORE the length
+  * test, the declarative `when(den === 0.0, ...)` order), length
+  * mismatch → null, any input null → null (a null element nulls that
+  * side's norm and therefore den, so the dot loop below never sees
+  * one). One loop over the elements per pair.
+  */
+case class VecDotOverDenExpr(a: Expression, b: Expression, den: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = den
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(a) && ok(b) && den.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_over_den needs (array<float|double>, array<float|double>, " +
+        s"double), got ${a.dataType.catalogString}, " +
+        s"${b.dataType.catalogString}, ${den.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(av: Any, bv: Any, dv: Any): Any =
+    VecMath.dotOverDen(av.asInstanceOf[ArrayData], elemIsFloat(a),
+      bv.asInstanceOf[ArrayData], elemIsFloat(b),
+      dv.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv, dv) => {
+      val tmp = ctx.freshName("dod")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VecMath.dotOverDen(
+         |  $av, ${elemIsFloat(a)}, $bv, ${elemIsFloat(b)}, $dv);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): VecDotOverDenExpr =
+    copy(a = newFirst, b = newSecond, den = newThird)
+}
+
 /** Fused portable-LSH bucketing: all `numPlanes` hyperplane
   * projections of one vector in a single pass over the elements,
   * replacing numPlanes separate zip_with/aggregate interpreted folds
@@ -250,6 +359,18 @@ object VecMath {
         GraftBridge.expression(emb), weights)),
       org.apache.spark.sql.functions.lit(0L))
 
+  /** Column factory for [[VecNormExpr]]. */
+  def norm(a: Column): Column =
+    GraftBridge.column(VecNormExpr(GraftBridge.expression(a)))
+
+  /** Column factory for [[VecDotOverDenExpr]]: cosine with both norms
+    * precomputed per row — `cosinePre(a, b, norm(a) * norm(b))` is
+    * bit-identical to `cosine(a, b)` (spec'd).
+    */
+  def cosinePre(a: Column, b: Column, den: Column): Column =
+    GraftBridge.column(VecDotOverDenExpr(GraftBridge.expression(a),
+      GraftBridge.expression(b), GraftBridge.expression(den)))
+
   /** Column factory for [[SigAgreementExpr]]. */
   def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
     GraftBridge.column(SigAgreementExpr(
@@ -269,6 +390,38 @@ object VecMath {
       i += 1
     }
     java.lang.Double.valueOf(acc)
+  }
+
+  /** √(selfDot) — per-row norm for the precomputed-denominator cosine
+    * (see [[VecNormExpr]]); called from generated code.
+    */
+  def normOrNull(a: ArrayData, isFloat: Boolean): java.lang.Double = {
+    val s = selfDot(a, isFloat)
+    if (s == null) null
+    else java.lang.Double.valueOf(math.sqrt(s.doubleValue()))
+  }
+
+  /** dot(a, b) / den with [[cosineOrNull]]'s exact check order (den = 0
+    * short-circuits to 0.0 BEFORE the length test); called from
+    * generated code. The element loop skips null checks — a non-null
+    * den proves both precomputed norms were non-null, i.e. neither
+    * array holds a null element (same invariant the fused form relies
+    * on after its selfDot passes).
+    */
+  def dotOverDen(a: ArrayData, aFloat: Boolean,
+      b: ArrayData, bFloat: Boolean, den: Double): java.lang.Double = {
+    if (den == 0.0) return java.lang.Double.valueOf(0.0)
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc / den)
   }
 
   /** Cosine with the exact declarative-twin semantics (see

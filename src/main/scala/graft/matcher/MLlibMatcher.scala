@@ -68,11 +68,14 @@ object MLlibMatcher {
       val rt = coalesce(col(r).cast("string"), lit(""))
       val ltoks = array_distinct(split(lt, " "))
       val rtoks = array_distinct(split(rt, " "))
-      val uni = size(array_distinct(concat(ltoks, rtoks)))
+      val inter = size(array_intersect(ltoks, rtoks))
+      // |A∪B| = |A|+|B|−|A∩B| (both sides distinct): same integer count
+      // without the per-pair union set build
+      val uni = size(ltoks) + size(rtoks) - inter
       d.withColumn(s"__cos_$a", TextSim.tokenCosine(lt, rt))
         .withColumn(s"__jac_$a",
           when(uni === 0, 0.0)
-            .otherwise(size(array_intersect(ltoks, rtoks)).cast("double") / uni))
+            .otherwise(inter.cast("double") / uni))
         .withColumn(s"__len_$a",
           when(greatest(length(lt), length(rt)) === 0, 0.0)
             .otherwise(abs(length(lt) - length(rt)).cast("double") /

@@ -104,7 +104,9 @@ object ErQueries {
     val b = p.select(col("p_partkey").as("rk"), col("p_brand").as("rbrand"),
       col("toks").as("rtoks"))
     val inter = size(array_intersect(col("ltoks"), col("rtoks")))
-    val uni = size(array_distinct(concat(col("ltoks"), col("rtoks"))))
+    // |A∪B| = |A|+|B|−|A∩B| — valid because toks is array_distinct at
+    // source; identical integer counts, no per-pair union set build
+    val uni = size(col("ltoks")) + size(col("rtoks")) - inter
     a.join(b, col("brand") === col("rbrand") && col("lk") < col("rk"))
       .withColumn("jac", inter.cast("double") / uni.cast("double"))
       .groupBy(col("brand"))

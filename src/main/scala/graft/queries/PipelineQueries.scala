@@ -490,14 +490,16 @@ object PipelineQueries {
     // fixture scale; cached so the self-join's two sides reuse one
     // bucketing pass
     val b = e.select(col("vec_id"), col("embedding"),
+      graft.functions.VecMath.norm(col("embedding")).as("__n"),
       Ann.lshBucketPortable(col("embedding"), dim, numPlanes = 4).as("bucket"))
       .cache()
     val a1 = b.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
+      col("embedding").as("emb_a"), col("__n").as("__na"))
     val b1 = b.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
+      col("embedding").as("emb_b"), col("__n").as("__nb"))
     a1.join(b1, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .withColumn("cosine", Ann.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", graft.functions.VecMath.cosinePre(
+        col("emb_a"), col("emb_b"), col("__na") * col("__nb")))
       .agg(
         count(lit(1)).as("n_candidates"),
         sum(when(col("cosine") >= 0.4, 1L).otherwise(0L)).as("n_verified"),
@@ -4981,15 +4983,17 @@ object PipelineQueries {
     val e = t(s, dir, "embeddings")
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val b = e.select(col("vec_id"), col("embedding"),
+      graft.functions.VecMath.norm(col("embedding")).as("__n"),
       Ann.lshBucketPortable(col("embedding"), dim, numPlanes = 4).as("bucket"))
       .cache()
     val a1 = b.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
+      col("embedding").as("emb_a"), col("__n").as("__na"))
     val b1 = b.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
+      col("embedding").as("emb_b"), col("__n").as("__nb"))
     val edges = a1.join(b1,
         col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .filter(Ann.cosine(col("emb_a"), col("emb_b")) >= 0.4)
+      .filter(graft.functions.VecMath.cosinePre(
+        col("emb_a"), col("emb_b"), col("__na") * col("__nb")) >= 0.4)
       .select(col("id_a"), col("id_b"))
     // edge-sized closure shuffles (q68 rule), ConfScope-forked
     val mapping =
@@ -6857,11 +6861,29 @@ object PipelineQueries {
     val split = Math.floorDiv(r.getLong(0) + r.getLong(1), 2L)
     val history = d0.filter(col("doc_id") <= split)
     val batch = d0.filter(col("doc_id") > split)
-    val histSurv = Dedup.dropNearDuplicates(history, "text", "doc_id",
-      threshold = 0.7).survivors
-    Dedup.incrementalNearDuplicates(histSurv, batch, "text", "doc_id",
-        threshold = 0.7)
-      .survivors.select(col("doc_id")).orderBy(col("doc_id"))
+    // r12: ONE history sketch pass. The old body sketched history twice
+    // — dropNearDuplicates internally, then incrementalNearDuplicates's
+    // own lshBandKeys(histSurv) — and the md5-min signature fold is the
+    // query's dominant per-row work. The band keys are now computed
+    // once, persisted, consumed by the history dedup AND (filtered to
+    // survivors — identical keys, band scheme unchanged) by the batch
+    // probe join through the historyKeys seam. Results identical:
+    // survivors' band keys ARE the persisted keys' survivor subset.
+    val keysH = Dedup.lshBandKeys(history, "text", "doc_id").persist()
+    try {
+      val hr = Dedup.dropNearDuplicatesFromKeys(history, keysH, "text",
+        "doc_id", threshold = 0.7)
+      val survKeys = keysH.join(hr.survivors.select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val out = Dedup.incrementalNearDuplicates(hr.survivors, batch,
+          "text", "doc_id", threshold = 0.7, historyKeys = Some(survKeys))
+        .survivors.select(col("doc_id")).orderBy(col("doc_id"))
+      // incrementalNearDuplicates is internally eager (losers are
+      // materialized), so the returned frame depends only on batch +
+      // its pinned loser set — the history-side pins release here
+      hr.close()
+      out
+    } finally keysH.unpersist(false)
   }
 
   /** The portable MinHash(4)/2-band near-dup closure as a reusable CTE
@@ -7100,11 +7122,22 @@ object PipelineQueries {
       .select(col("doc_id"), col("text"))
     val history = d0.filter(pmod(col("doc_id"), lit(2L)) === 1L)
     val batch = d0.filter(pmod(col("doc_id"), lit(2L)) === 0L)
-    val histSurv = Dedup.dropNearDuplicates(history, "text", "doc_id",
-      threshold = 0.7).survivors
-    Dedup.incrementalNearDuplicates(histSurv, batch, "text", "doc_id",
-        threshold = 0.7, historyWins = true)
-      .survivors.select(col("doc_id")).orderBy(col("doc_id"))
+    // r12: one history sketch pass via the persisted-band-keys seam —
+    // the q197 restructure applied verbatim (see there for the
+    // equivalence argument); first-arrival survivorship unchanged
+    val keysH = Dedup.lshBandKeys(history, "text", "doc_id").persist()
+    try {
+      val hr = Dedup.dropNearDuplicatesFromKeys(history, keysH, "text",
+        "doc_id", threshold = 0.7)
+      val survKeys = keysH.join(hr.survivors.select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val out = Dedup.incrementalNearDuplicates(hr.survivors, batch,
+          "text", "doc_id", threshold = 0.7, historyKeys = Some(survKeys),
+          historyWins = true)
+        .survivors.select(col("doc_id")).orderBy(col("doc_id"))
+      hr.close()
+      out
+    } finally keysH.unpersist(false)
   }
 
   val q201Sql: String =

@@ -378,37 +378,54 @@ object Ann {
     * the similarity-graph / retrieval-eval workload, where
     * [[bruteForceTopK]]'s one-probe TakeOrdered doesn't apply.
     *
-    * Shape: the probe set (small by definition — it's the side you
-    * broadcast) fans out against the corpus scan, then top-k per probe
-    * resolves in TWO phases: a first window over (probe, salt) keeps
-    * each salt-slice's k best — 64 bounded-size groups per probe, so
-    * no probe's n candidate rows ever sort on one reducer — and the
-    * final window ranks the ≤ 64k survivors per probe. Phase 1 keeps a
-    * superset of the true top-k (every global top-k row wins its own
-    * slice), so the result is EXACT — the [[graft.operators.Skew]]
-    * scatter/merge argument applied to TakeOrdered. Ties break on the
-    * neighbor id, making the full (rank, id, cosine) tuple
-    * deterministic and oracle-checkable.
+    * Shape (r12): the probe set (small by definition — it's the side
+    * you broadcast) fans out against the corpus scan with BOTH sides'
+    * self-norms precomputed per row, so the per-pair work is one dot
+    * loop ([[graft.functions.VecMath.cosinePre]] — bit-identical to
+    * the fused cosine, which re-ran both norm loops once per pair).
+    * For integral ids, per-probe top-k resolves through the bounded
+    * [[graft.operators.TopK.topKPerGroup]] aggregate — the map-side
+    * partial keeps ≤ k rows per (probe, task), so the |corpus|×|probes|
+    * scored pair set never shuffles (the windows it replaces shuffled
+    * and sorted every pair TWICE). Tie rule unchanged: (cosine DESC,
+    * id ASC), so the (rank, id, cosine) tuple stays deterministic and
+    * oracle-checkable. Non-integral ids keep the salted two-phase
+    * window path (the aggregate's long-keyed buffer can't round-trip
+    * them).
     */
   def knnJoin(df: DataFrame, embCol: String, idCol: String,
       probes: DataFrame, probeIdCol: String, probeEmbCol: String, k: Int,
       nSalts: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = df.crossJoin(broadcast(probes
-        .select(col(probeIdCol).as("__pid"), col(probeEmbCol).as("__pemb"))))
+    val corpus = df.select(col(idCol), col(embCol),
+      graft.functions.VecMath.norm(col(embCol)).as("__na"))
+    val pr = probes.select(col(probeIdCol).as("__pid"),
+      col(probeEmbCol).as("__pemb"),
+      graft.functions.VecMath.norm(col(probeEmbCol)).as("__nb"))
+    val scored = corpus.crossJoin(broadcast(pr))
       .filter(col(idCol) =!= col("__pid"))
       .select(col("__pid"), col(idCol),
-        cosine(col(embCol), col("__pemb")).as("cosine"),
-        pmod(xxhash64(col(idCol)), lit(nSalts.toLong)).as("__salt"))
-    val byScore = Seq(col("cosine").desc, col(idCol).asc)
-    val local = Window.partitionBy(col("__pid"), col("__salt"))
-      .orderBy(byScore: _*)
-    val global = Window.partitionBy(col("__pid")).orderBy(byScore: _*)
-    scored
-      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
-      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
-      .select(col("__pid").as(probeIdCol), col("rank"), col(idCol),
-        col("cosine"))
+        graft.functions.VecMath.cosinePre(col(embCol), col("__pemb"),
+          col("__na") * col("__nb")).as("cosine"))
+    val idType = df.schema(idCol).dataType
+    if (graft.operators.TopK.integralKeyType(idType))
+      graft.operators.TopK.topKPerGroup(scored, Seq("__pid"),
+          col("cosine"), col(idCol), k)
+        .select(col("__pid").as(probeIdCol), col("rank"),
+          col("id").cast(idType).as(idCol), col("score").as("cosine"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val salted = scored.withColumn("__salt",
+        pmod(xxhash64(col(idCol)), lit(nSalts.toLong)))
+      val byScore = Seq(col("cosine").desc, col(idCol).asc)
+      val local = Window.partitionBy(col("__pid"), col("__salt"))
+        .orderBy(byScore: _*)
+      val global = Window.partitionBy(col("__pid")).orderBy(byScore: _*)
+      salted
+        .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
+        .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+        .select(col("__pid").as(probeIdCol), col("rank"), col(idCol),
+          col("cosine"))
+    }
   }
 
   /** `probeBits` sentinel (the DEFAULT for [[knnGraph]] and
@@ -490,23 +507,27 @@ object Ann {
         sampleGate(idCol, n, probeSample), targetRecallPct, planes)._1
     val dim = df.select(size(col(embCol))).head().getInt(0)
     val b = df.select(col(idCol), col(embCol),
+      graft.functions.VecMath.norm(col(embCol)).as("__n"),
       lshBucketPortable(col(embCol), dim, planes).as("__bucket"))
     // probeBuckets(0, ...) IS the Hamming-ball mask set (xor with 0)
     val masks = probeBuckets(0L, planes, math.min(resolvedProbe, planes))
     val probed =
       if (masks == Seq(0L))
         b.select(col("__bucket").as("__probe"), col(idCol).as("__src"),
-          col(embCol).as("__ea"))
+          col(embCol).as("__ea"), col("__n").as("__na"))
       else
         b.select(explode(array(masks.map(m =>
             col("__bucket").bitwiseXOR(lit(m))): _*)).as("__probe"),
-          col(idCol).as("__src"), col(embCol).as("__ea"))
+          col(idCol).as("__src"), col(embCol).as("__ea"),
+          col("__n").as("__na"))
     val scored = probed
       .join(b.select(col("__bucket").as("__bucket_b"),
-          col(idCol).as("__dst"), col(embCol).as("__eb")),
+          col(idCol).as("__dst"), col(embCol).as("__eb"),
+          col("__n").as("__nb")),
         col("__probe") === col("__bucket_b") && col("__src") =!= col("__dst"))
       .select(col("__src"), col("__dst"),
-        cosine(col("__ea"), col("__eb")).as("cosine"))
+        graft.functions.VecMath.cosinePre(col("__ea"), col("__eb"),
+          col("__na") * col("__nb")).as("cosine"))
     graft.operators.TopK.topKPerGroup(scored, Seq("__src"),
         col("cosine"), col("__dst"), k)
       .select(col("__src").as("src"), col("rank"),
@@ -535,21 +556,39 @@ object Ann {
       .select(col(idCol).as("__pid"), col(embCol).as("__pemb"))
     val exact = knnJoin(df, embCol, idCol, probes, "__pid", "__pemb", k)
       .select(col("__pid"), col(idCol).as("__nid"))
+    // approx side rides the per-row-norm scan too (knnJoin's r12 shape)
     val bucketed = df.select(col(idCol), col(embCol),
+      graft.functions.VecMath.norm(col(embCol)).as("__na"),
       lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
-    val pb = probes.withColumn("__pbucket",
-      lshBucketPortable(col("__pemb"), dim, numPlanes))
+    val pb = probes
+      .withColumn("__nb", graft.functions.VecMath.norm(col("__pemb")))
+      .withColumn("__pbucket",
+        lshBucketPortable(col("__pemb"), dim, numPlanes))
     val approx = graft.operators.TopK.topKPerGroup(
         bucketed.join(broadcast(pb),
             col("__bucket") === col("__pbucket") && col(idCol) =!= col("__pid"))
-          .withColumn("__c", cosine(col(embCol), col("__pemb"))),
+          .withColumn("__c", graft.functions.VecMath.cosinePre(
+            col(embCol), col("__pemb"), col("__na") * col("__nb"))),
         Seq("__pid"), col("__c"), col(idCol), k)
       .select(col("__pid"), col("id").as("__nid"))
+    // ONE overlap pass (r12): the old 4-way crossJoin of independent
+    // aggregates re-executed the exact subtree (the |probes| × |corpus|
+    // ground-truth scan) and the approx subtree once per referencing
+    // branch — n_exact/n_approx/n_hits all fall out of a single
+    // full-outer join of the two (per-side-unique) (pid, nid) sets, so
+    // each subtree now runs exactly once. Counts are identical: top-k
+    // emits each (pid, nid) at most once per side, so count(marker)
+    // over the joined frame IS that side's row count, and both-non-null
+    // IS the intersection.
+    val overlap = exact.withColumn("__e", lit(1))
+      .join(approx.withColumn("__a", lit(1)), Seq("__pid", "__nid"),
+        "full_outer")
+      .agg(count(col("__e")).as("n_exact"),
+        count(col("__a")).as("n_approx"),
+        count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
+          .as("n_hits"))
     probes.agg(count(lit(1)).as("n_probes"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
-      .crossJoin(exact.join(approx, Seq("__pid", "__nid"))
-        .agg(count(lit(1)).as("n_hits")))
+      .crossJoin(overlap)
       .withColumn("recall_pct", expr("(100 * n_hits) div n_exact"))
   }
 
@@ -573,34 +612,43 @@ object Ann {
     val exact = knnJoin(df, embCol, idCol, probes, "__pid", "__pemb", k)
       .select(col("__pid"), col(idCol).as("__nid"))
     val bucketed = df.select(col(idCol), col(embCol),
+      graft.functions.VecMath.norm(col(embCol)).as("__na"),
       lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
     val masks: Seq[(Long, Int)] = (0 to maxProbeBits).flatMap(d =>
       (0 until numPlanes).combinations(d).map(c => (c.map(1L << _).sum, d)))
     import df.sparkSession.implicits._
     val pb = probes
+      .withColumn("__nb", graft.functions.VecMath.norm(col("__pemb")))
       .withColumn("__pbucket", lshBucketPortable(col("__pemb"), dim, numPlanes))
       .crossJoin(broadcast(masks.toDF("__mask", "__hd")))
-      .select(col("__pid"), col("__pemb"),
+      .select(col("__pid"), col("__pemb"), col("__nb"),
         col("__pbucket").bitwiseXOR(col("__mask")).as("__bucket"),
         col("__hd"))
     val cands = bucketed.join(broadcast(pb), Seq("__bucket"))
       .filter(col(idCol) =!= col("__pid"))
-      .withColumn("__c", cosine(col(embCol), col("__pemb")))
+      .withColumn("__c", graft.functions.VecMath.cosinePre(
+        col(embCol), col("__pemb"), col("__na") * col("__nb")))
       .withColumn("probe_bits",
         explode(sequence(col("__hd"), lit(maxProbeBits))))
     val approx = graft.operators.TopK.topKPerGroup(cands,
         Seq("probe_bits", "__pid"), col("__c"), col(idCol), k)
       .select(col("probe_bits"), col("__pid"), col("id").as("__nid"))
-    val hits = approx.join(exact, Seq("__pid", "__nid"))
-      .groupBy(col("probe_bits")).agg(count(lit(1)).as("n_hits"))
-    val perLevel = approx.groupBy(col("probe_bits"))
-      .agg(count(lit(1)).as("n_approx"))
+    // r12: per-level overlap + per-level size in ONE aggregation over
+    // approx LEFT-joined with the exact set — the old separate
+    // hits/perLevel branches each re-executed the banded candidate
+    // sweep (approx), and the hits join re-executed the ground-truth
+    // scan (exact) on top of its driver-side count below. Each heavy
+    // subtree now runs once per action: exact in the nExact count and
+    // once here; approx once here.
     val nProbes = probes.count()
     val nExact = exact.count()
-    perLevel.join(hits, Seq("probe_bits"), "left")
+    approx.join(exact.withColumn("__e", lit(1)), Seq("__pid", "__nid"),
+        "left")
+      .groupBy(col("probe_bits"))
+      .agg(count(lit(1)).as("n_approx"), count(col("__e")).as("n_hits"))
       .select(col("probe_bits"),
         lit(nProbes).as("n_probes"), lit(nExact).as("n_exact"),
-        col("n_approx"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        col("n_approx"), col("n_hits"))
       .withColumn("recall_pct", expr("(100 * n_hits) div n_exact"))
       .orderBy(col("probe_bits"))
   }
@@ -671,11 +719,16 @@ object Ann {
   def hardNegatives(df: DataFrame, embCol: String, idCol: String,
       anchorGate: Column, posThreshold: Double, k: Int): DataFrame = {
     val anchors = df.filter(anchorGate)
-      .select(col(idCol).as("__pid"), col(embCol).as("__pemb"))
-    val scored = df.crossJoin(broadcast(anchors))
+      .select(col(idCol).as("__pid"), col(embCol).as("__pemb"),
+        graft.functions.VecMath.norm(col(embCol)).as("__nb"))
+    val scored = df
+      .select(col(idCol), col(embCol),
+        graft.functions.VecMath.norm(col(embCol)).as("__na"))
+      .crossJoin(broadcast(anchors))
       .filter(col(idCol) =!= col("__pid"))
       .select(col("__pid"), col(idCol).as("__nid"),
-        cosine(col(embCol), col("__pemb")).as("__c"))
+        graft.functions.VecMath.cosinePre(col(embCol), col("__pemb"),
+          col("__na") * col("__nb")).as("__c"))
     val pos = scored.filter(col("__c") >= posThreshold)
       .groupBy(col("__pid")).agg(count(lit(1)).as("n_positives"))
     val negs = graft.operators.TopK.topKPerGroup(
@@ -695,13 +748,15 @@ object Ann {
   def nearNeighborPairs(df: DataFrame, embCol: String, idCol: String,
       threshold: Double, numPlanes: Int = 8): DataFrame = {
     val bucketed = df.select(col(idCol), col(embCol),
+      graft.functions.VecMath.norm(col(embCol)).as("__n"),
       lshBucket(col(embCol), numPlanes).as("__bucket"))
     val a = bucketed.select(col("__bucket"), col(idCol).as("id_a"),
-      col(embCol).as("emb_a"))
+      col(embCol).as("emb_a"), col("__n").as("__na"))
     val b = bucketed.select(col("__bucket").as("__bucket_b"),
-      col(idCol).as("id_b"), col(embCol).as("emb_b"))
+      col(idCol).as("id_b"), col(embCol).as("emb_b"), col("__n").as("__nb"))
     a.join(b, col("__bucket") === col("__bucket_b") && col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", graft.functions.VecMath.cosinePre(
+        col("emb_a"), col("emb_b"), col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -117,7 +117,11 @@ object SemDedup {
         Ann.sampleGate(idCol, df.count(), probeSample),
         targetRecallPct, planes)._1
     val dim = df.select(size(col(embCol))).head().getInt(0)
+    // per-row self-norm precomputed once (r12): the verify cosine then
+    // does one dot loop per candidate pair instead of re-running both
+    // norm loops per pair — bit-identical (VecMath.cosinePre contract)
     val b0 = df.select(col(idCol), col(embCol),
+      graft.functions.VecMath.norm(col(embCol)).as("__n"),
       Ann.lshBucketPortable(col(embCol), dim, planes).as("__bucket"))
     val b =
       if (maxBucketSize == Int.MaxValue) b0
@@ -131,17 +135,19 @@ object SemDedup {
     val left =
       if (masks == Seq(0L))
         b.select(col("__bucket"), col(idCol).as("id_a"),
-          col(embCol).as("__ea"))
+          col(embCol).as("__ea"), col("__n").as("__na"))
       else
         b.select(explode(array(masks.map(m =>
             col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"),
-          col(idCol).as("id_a"), col(embCol).as("__ea"))
+          col(idCol).as("id_a"), col(embCol).as("__ea"),
+          col("__n").as("__na"))
     val right = b.select(col("__bucket").as("__bucket_b"),
-      col(idCol).as("id_b"), col(embCol).as("__eb"))
+      col(idCol).as("id_b"), col(embCol).as("__eb"), col("__n").as("__nb"))
     left
       .join(right, col("__bucket") === col("__bucket_b")
         && col("id_a") < col("id_b"))
-      .withColumn("cosine", Ann.cosine(col("__ea"), col("__eb")))
+      .withColumn("cosine", graft.functions.VecMath.cosinePre(
+        col("__ea"), col("__eb"), col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -234,7 +240,10 @@ object SemDedup {
       return Dedup.NearDupResult(batch, losers)
     }
     val dim = batch.select(size(col(embCol))).head().getInt(0)
+    // per-row self-norms (r12, the nearDuplicatePairs treatment): one
+    // dot loop per probe-join candidate, bit-identical cosine
     def cells(df: DataFrame): DataFrame = df.select(col(idCol), col(embCol),
+      graft.functions.VecMath.norm(col(embCol)).as("__n"),
       Ann.lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
     val masks = Ann.probeBuckets(0L, numPlanes,
       math.min(probeBits, numPlanes))
@@ -242,16 +251,19 @@ object SemDedup {
     val hProbes =
       if (masks == Seq(0L))
         h.select(col("__bucket"), col(idCol).as("id_a"),
-          col(embCol).as("__ea"))
+          col(embCol).as("__ea"), col("__n").as("__na"))
       else
         h.select(explode(array(masks.map(m =>
             col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"),
-          col(idCol).as("id_a"), col(embCol).as("__ea"))
+          col(idCol).as("id_a"), col(embCol).as("__ea"),
+          col("__n").as("__na"))
     val cross = hProbes
       .join(cells(batch).select(col("__bucket").as("__bucket_b"),
-        col(idCol).as("id_b"), col(embCol).as("__eb")),
+        col(idCol).as("id_b"), col(embCol).as("__eb"),
+        col("__n").as("__nb")),
         col("__bucket") === col("__bucket_b"))
-      .withColumn("cosine", Ann.cosine(col("__ea"), col("__eb")))
+      .withColumn("cosine", graft.functions.VecMath.cosinePre(
+        col("__ea"), col("__eb"), col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"))
     val self = nearDuplicatePairs(batch, embCol, idCol, threshold,

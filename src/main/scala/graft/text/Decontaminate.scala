@@ -233,18 +233,23 @@ object Decontaminate {
       numPlanes: Int, probeBits: Int = 1): DataFrame = {
     import graft.similarity.Ann
     val dim = train.select(size(col(embCol))).head().getInt(0)
+    // per-row self-norms (r12): one dot loop per bucket-join candidate
+    // instead of both norm loops per pair — bit-identical cosine
     val tb = train.select(col(idCol), col(embCol),
+      graft.functions.VecMath.norm(col(embCol)).as("__na"),
       Ann.lshBucketPortable(col(embCol), dim, numPlanes).as("__bucket"))
     val bb = bench.select(col(benchEmbCol).as("__bemb"),
+      graft.functions.VecMath.norm(col(benchEmbCol)).as("__nb"),
       Ann.lshBucketPortable(col(benchEmbCol), dim, numPlanes).as("__bucket"))
     val masks = Ann.probeBuckets(0L, numPlanes, math.min(probeBits, numPlanes))
     val probed =
       if (masks == Seq(0L)) tb
-      else tb.select(col(idCol), col(embCol),
+      else tb.select(col(idCol), col(embCol), col("__na"),
         explode(array(masks.map(m =>
           col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))
     probed.join(bb, Seq("__bucket"))
-      .filter(Ann.cosine(col(embCol), col("__bemb")) >= threshold)
+      .filter(graft.functions.VecMath.cosinePre(
+        col(embCol), col("__bemb"), col("__na") * col("__nb")) >= threshold)
       .select(col(idCol)).distinct()
   }
 

@@ -153,6 +153,16 @@ class PipelineSpec extends SparkSpec {
     assert(inc2.survivors.select("doc_id").collect()
       .map(_.getLong(0)).toSet === got)
     inc2.close(); keys.unpersist(); full.close(); inc.close()
+    // dropNearDuplicatesFromKeys (the r12 one-sketch seam): identical
+    // survivors AND losers to the single-pass surface
+    val hKeys = Dedup.lshBandKeys(history, "text", "doc_id").cache()
+    val viaKeys = Dedup.dropNearDuplicatesFromKeys(history, hKeys,
+      "text", "doc_id", 0.5)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(viaKeys.survivors) === ids(histR.survivors))
+    assert(ids(viaKeys.losers) === ids(histR.losers))
+    viaKeys.close(); hKeys.unpersist()
     histSurv.unpersist(); histR.close()
   }
 
@@ -1473,6 +1483,48 @@ class PipelineSpec extends SparkSpec {
     assert(pair(dd, Ann.cosine) === pair(dd, Ann.cosineDeclarative))
     // codegen coverage is asserted in PlanQualitySpec (formatted-plan
     // '* Project' gate over the parquet scan, the q70 precedent)
+  }
+
+  test("precomputed-norm cosine (norm × norm → cosinePre) matches the " +
+      "fused cosine bit-for-bit, including zero/null/length edge cases") {
+    // the r12 pairwise-scan shape: both sides' self-norms computed per
+    // ROW, the per-PAIR expression reduced to one dot loop — must be
+    // indistinguishable from VecCosineExpr on every input
+    import graft.functions.VecMath
+    def cosPre(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      VecMath.cosinePre(a, b, VecMath.norm(a) * VecMath.norm(b))
+    def pair(d: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column) =
+      d.select(col("id"), f(col("a"), col("b")).as("c")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val rnd = new scala.util.Random(43)
+    val embs = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(24)(rnd.nextFloat() * 2f - 1f),
+        Seq.fill(24)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "a", "b")
+    assert(pair(embs, Ann.cosine) === pair(embs, cosPre))
+    val edges = Seq(
+      (1L, Seq(0f, 0f), Seq(1f, 2f)),                    // zero left
+      (2L, Seq(0f, 0f), Seq(0f, 0f)),                    // both zero
+      (3L, null.asInstanceOf[Seq[Float]], Seq(1f, 2f)),  // null side
+      (4L, Seq(1f, 2f), Seq(3f, 4f, 5f)),                // unequal len
+      (5L, Seq(1f, 2f, 3f), Seq(1f, 2f, 3f))             // identical
+    ).toDF("id", "a", "b")
+    assert(pair(edges, Ann.cosine) === pair(edges, cosPre))
+    // zero×mismatched-length: den==0 wins over the length test in BOTH
+    // forms (the declarative when(den === 0.0, ...) evaluation order)
+    val zl = Seq((8L, Seq(0f, 0f), Seq(1f, 2f, 3f))).toDF("id", "a", "b")
+    assert(pair(zl, cosPre)(8L) === Some(0.0))
+    assert(pair(zl, Ann.cosine) === pair(zl, cosPre))
+    val ne = Seq((6L, Seq[java.lang.Float](1f, null, 3f),
+      Seq[java.lang.Float](1f, 2f, 3f))).toDF("id", "a", "b")
+    assert(pair(ne, Ann.cosine) === pair(ne, cosPre))
+    val dd = Seq((7L, Seq(0.5, -0.25, 0.125), Seq(1.0, 2.0, -4.0)))
+      .toDF("id", "a", "b")
+    assert(pair(dd, Ann.cosine) === pair(dd, cosPre))
   }
 
   test("fused LSH bucket and signature agreement match their " +
