@@ -37,21 +37,29 @@ object DiceRandom {
       schema: PairSchema = PairSchema.default): DataFrame = {
 
     val spark = lRecord.sparkSession
-    val pair = schema.assemblePair(lRecord, rRecord)
+    val pair0 = schema.assemblePair(lRecord, rRecord)
     val attrs = schema.pairAttributes(dataset)
-      .filter(pair.columns.contains).toIndexedSeq
+      .filter(pair0.columns.contains).toIndexedSeq
 
-    val orig = model.predict(pair)
-      .select(col("nomatch_score"), col("match_score")).head()
-    val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
+    // full predicted row collected once; the pair re-binds as a
+    // LocalRelation so the sample cross-join below never re-plans the
+    // two source scans (r12)
+    val orig = model.predict(pair0).head()
+    val pc = if (orig.getAs[Double]("match_score") >
+      orig.getAs[Double]("nomatch_score")) 1 else 0
     val classScoreCol = if (pc == 1) "match_score" else "nomatch_score"
+    val pair = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+        pair0.columns.toIndexedSeq.map(c => orig.get(orig.fieldIndex(c))))),
+      pair0.schema)
 
     // bounded, deterministic domain sample per attribute — ALL
     // attributes in ONE job: unpivot to (attr, v), distinct, rank
     // within each attribute by the same (hash, value) order the
-    // per-attribute orderBy+limit used, keep rank ≤ maxDomain. One
-    // scan + one window shuffle replaces one full job per attribute
-    // (the domains dominated this explainer's job count).
+    // per-attribute orderBy+limit used, keep rank ≤ maxDomain. One JOB
+    // (N union branches each scanning `dataset` — not one scan) + one
+    // window shuffle replaces one full job per attribute (the domains
+    // dominated this explainer's job count).
     val domains: Map[String, IndexedSeq[String]] = {
       val stacked = attrs.map { a =>
         dataset.select(lit(a).as("__a"), col(a).cast("string").as("v"))

@@ -59,13 +59,20 @@ object EvidenceCf {
       schema: PairSchema = PairSchema.default): EvidenceCfResult = {
 
     val spark = lRecord.sparkSession
-    val pair = schema.assemblePair(lRecord, rRecord)
+    val pair0 = schema.assemblePair(lRecord, rRecord)
 
-    val orig = model.predict(pair)
-      .select(col("nomatch_score"), col("match_score")).head()
-    val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
+    // full predicted row collected once (r12): the scores drive pc, and
+    // the pair row itself re-binds as a LocalRelation so the prefix
+    // cross-join below never re-plans the two source scans
+    val orig = model.predict(pair0).head()
+    val pc = if (orig.getAs[Double]("match_score") >
+      orig.getAs[Double]("nomatch_score")) 1 else 0
     val scoreCol = if (pc == 1) "match_score" else "nomatch_score"
-    val originalScore = if (pc == 1) orig.getDouble(1) else orig.getDouble(0)
+    val originalScore = orig.getAs[Double](scoreCol)
+    val pair = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+        pair0.columns.toIndexedSeq.map(c => orig.get(orig.fieldIndex(c))))),
+      pair0.schema)
 
     // prefix L → the attributes actually blanked (eligible ∩ top-L)
     val maxL = math.min(ranked.size, maxFeatures)
@@ -89,15 +96,27 @@ object EvidenceCf {
         when(col("__L").isin(blankAtL: _*), lit("")).otherwise(col(a)))
     }
     val scored = model.predict(blanked)
-    val byL = scored.select(col("__L"), col(scoreCol).cast("double").as("__s"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ONE collect of the full scored rows (r12): byL AND the chosen
+    // counterfactual row both fall out of it — the old cf path
+    // re-executed the whole blanked predict pass for the one row it
+    // kept (the frame was uncached by design; nothing may stay pinned
+    // across EvalDriver's per-pair loop).
+    val scoredRows = scored.collect()
+    val lFieldIdx = scored.schema.fieldIndex("__L")
+    val sFieldIdx = scored.schema.fieldIndex(scoreCol)
+    val byL = scoredRows
+      .map(r => r.getLong(lFieldIdx) -> r.getDouble(sFieldIdx)).toMap
 
     (1 to maxL).find(l => byL(l.toLong) < threshold) match {
       case Some(l) =>
         val set = blankSets(l - 1)
-        val cf = scored.filter(col("__L") === l.toLong).drop("__L")
+        val keepIdxs = scored.schema.indices.filter(_ != lFieldIdx)
+        val cfRows = scoredRows.filter(_.getLong(lFieldIdx) == l.toLong)
+          .map(r => org.apache.spark.sql.Row.fromSeq(keepIdxs.map(r.get)))
+        val cfSchema = org.apache.spark.sql.types.StructType(
+          keepIdxs.map(scored.schema.fields))
         val cfLocal = spark.createDataFrame(
-          java.util.Arrays.asList(cf.collect().toIndexedSeq: _*), cf.schema)
+          java.util.Arrays.asList(cfRows.toIndexedSeq: _*), cfSchema)
         EvidenceCfResult(set.map(_._1), set.map(_._2), ranked.size,
           originalScore, byL(l.toLong), cfLocal)
       case None =>

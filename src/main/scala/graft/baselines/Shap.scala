@@ -35,20 +35,27 @@ object Shap {
       schema: PairSchema = PairSchema.default): DataFrame = {
 
     val spark = lRecord.sparkSession
-    val pair = schema.assemblePair(lRecord, rRecord)
+    val pair0 = schema.assemblePair(lRecord, rRecord)
     val prefix = if (side == "l") schema.lprefix else schema.rprefix
     val idCol = if (side == "l") schema.lid else schema.rid
-    val attrs = pair.columns.filter(c => c.startsWith(prefix) && c != idCol).toIndexedSeq
+    val attrs = pair0.columns.filter(c => c.startsWith(prefix) && c != idCol).toIndexedSeq
     val m = attrs.size
     require(m <= maxExactAttrs,
       s"exact coalition enumeration is 2^$m rows; raise maxExactAttrs or pre-select attributes")
 
     // predicted class → which score column the coalitions are valued in
-    // (reference: shap_values(...)[idx], idx = argmax proba)
-    val orig = model.predict(pair)
-      .select(col("nomatch_score"), col("match_score")).head()
-    val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
+    // (reference: shap_values(...)[idx], idx = argmax proba). The full
+    // predicted row is collected so the pair re-binds as a
+    // LocalRelation — the coalition cross-join below then never
+    // re-plans the two source scans (r12).
+    val orig = model.predict(pair0).head()
+    val pc = if (orig.getAs[Double]("match_score") >
+      orig.getAs[Double]("nomatch_score")) 1 else 0
     val scoreCol = if (pc == 1) "match_score" else "nomatch_score"
+    val pair = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+        pair0.columns.toIndexedSeq.map(c => orig.get(orig.fieldIndex(c))))),
+      pair0.schema)
 
     // one row per coalition bitmask; attribute j is "on" iff bit j set,
     // otherwise blanked to the off value

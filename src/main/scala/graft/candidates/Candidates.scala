@@ -48,33 +48,29 @@ object Candidates {
       case _ => df.count()
     }
 
-  /** J3 + A7 + O1 + O2 + P5: candidates for `probe` against `source`.
+  /** The J3+A7+O1 candidate-pair frame and its similarity ordering for
+    * one probe side — shared by [[findCandidates]] and [[support]]'s
+    * fused two-side search.
     *
-    * @param probeIsLeft true when the probe is the left record and
-    *                    `source` supplies right candidates (reference
-    *                    lj=True), false for the dual.
+    * J3, pluggable (SURVEY §4's scale swap): the default
+    * CrossJoinGenerator replicates the (single-record) probe against
+    * every source record — one BroadcastNestedLoopJoin pass with the
+    * probe side explicitly broadcast (without the hint the planner sees
+    * only "filtered frame × frame" and picks a CartesianProduct whose
+    * task count is |partsL| × |partsR|). LshBlockingGenerator swaps the
+    * full scan for a minhash-band collision filter; SampleGenerator
+    * bounds it — the scoring/early-exit pipeline is unchanged.
     */
-  def findCandidates(
+  private def candidatePairs(
       probe: DataFrame,
       source: DataFrame,
       probeIsLeft: Boolean,
       findPositives: Boolean,
-      model: ERModel,
       numCandidates: Int,
-      maxPredict: Int = -1,
-      seed: Long = 42L,
-      batched: Boolean = true,
-      schema: PairSchema = PairSchema.default,
-      gen: CandidateGenerator = CrossJoinGenerator): DataFrame = {
-
-    // J3, pluggable (SURVEY §4's scale swap): the default
-    // CrossJoinGenerator replicates the (single-record) probe against
-    // every source record — one BroadcastNestedLoopJoin pass with the
-    // probe side explicitly broadcast (without the hint the planner sees
-    // only "filtered frame × frame" and picks a CartesianProduct whose
-    // task count is |partsL| × |partsR|). LshBlockingGenerator swaps the
-    // full scan for a minhash-band collision filter; SampleGenerator
-    // bounds it — the scoring/early-exit pipeline below is unchanged.
+      maxPredict: Int,
+      seed: Long,
+      schema: PairSchema,
+      gen: CandidateGenerator): (DataFrame, Seq[Column]) = {
     val pairs0 = gen.pairs(probe, source, probeIsLeft, schema)
     // O7 prediction cap: seeded pseudo-random subset. xxhash64 of the
     // ids replaces the reference's unseeded sample(frac=1) — same
@@ -101,7 +97,29 @@ object Candidates {
     val ordCols: Seq[Column] =
       (if (findPositives) score.desc else score.asc) +:
         Seq(col(schema.lid).cast("string").asc, col(schema.rid).cast("string").asc)
+    (pairs, ordCols)
+  }
 
+  /** J3 + A7 + O1 + O2 + P5: candidates for `probe` against `source`.
+    *
+    * @param probeIsLeft true when the probe is the left record and
+    *                    `source` supplies right candidates (reference
+    *                    lj=True), false for the dual.
+    */
+  def findCandidates(
+      probe: DataFrame,
+      source: DataFrame,
+      probeIsLeft: Boolean,
+      findPositives: Boolean,
+      model: ERModel,
+      numCandidates: Int,
+      maxPredict: Int = -1,
+      seed: Long = 42L,
+      batched: Boolean = true,
+      schema: PairSchema = PairSchema.default,
+      gen: CandidateGenerator = CrossJoinGenerator): DataFrame = {
+    val (pairs, ordCols) = candidatePairs(probe, source, probeIsLeft,
+      findPositives, numCandidates, maxPredict, seed, schema, gen)
     val batch = numCandidates * 4
     if (!batched) {
       val scored = model.predict(pairs)
@@ -121,30 +139,39 @@ object Candidates {
       val capped = pairs.orderBy(ordCols: _*).limit(batch * 20)
       val scored = model.predict(capped)
       val rows = scored.orderBy(ordCols: _*).collect()
-      def qual(r: org.apache.spark.sql.Row): Boolean = {
-        val ms = r.getAs[Double]("match_score")
-        if (findPositives) ms > 0.5 else ms < 0.5
-      }
-      // reference splits = min(20, n/batch); we keep a final partial
-      // batch (max(1, ...)) so sub-batch-sized sources still yield
-      // support — the reference degenerates to empty there.
-      val splits = math.min(20L, math.max(1L, rows.length.toLong / batch)).toInt
-      // consume batches until numCandidates qualify (reference
-      // while len(result) < k && i < splits)
-      var cum = 0
-      var consumed = 0
-      while (cum < numCandidates && consumed < splits) {
-        val lo = consumed * batch
-        val hi = math.min(rows.length, lo + batch)
-        var i = lo
-        while (i < hi) { if (qual(rows(i))) cum += 1; i += 1 }
-        consumed += 1
-      }
-      val kept = rows.take(math.min(rows.length, consumed * batch)).filter(qual)
+      val kept = earlyExitKept(rows, batch, numCandidates, findPositives)
       val spark = probe.sparkSession
       spark.createDataFrame(java.util.Arrays.asList(kept.toIndexedSeq: _*),
         scored.schema)
     }
+  }
+
+  /** The reference's early-exit batch walk over the budget-capped,
+    * similarity-ordered scored rows: consume `batch`-sized windows until
+    * `numCandidates` qualify, keep the consumed prefix's qualifying rows.
+    * Splits = min(20, n/batch) with a final partial batch kept
+    * (max(1, ...)) so sub-batch-sized sources still yield support —
+    * the reference degenerates to empty there.
+    */
+  private def earlyExitKept(rows: Array[org.apache.spark.sql.Row], batch: Int,
+      numCandidates: Int, findPositives: Boolean): Array[org.apache.spark.sql.Row] = {
+    def qual(r: org.apache.spark.sql.Row): Boolean = {
+      val ms = r.getAs[Double]("match_score")
+      if (findPositives) ms > 0.5 else ms < 0.5
+    }
+    val splits = math.min(20L, math.max(1L, rows.length.toLong / batch)).toInt
+    // consume batches until numCandidates qualify (reference
+    // while len(result) < k && i < splits)
+    var cum = 0
+    var consumed = 0
+    while (cum < numCandidates && consumed < splits) {
+      val lo = consumed * batch
+      val hi = math.min(rows.length, lo + batch)
+      var i = lo
+      while (i < hi) { if (qual(rows(i))) cum += 1; i += 1 }
+      consumed += 1
+    }
+    rows.take(math.min(rows.length, consumed * batch)).filter(qual)
   }
 
   /** get_support (reference local_explain.py:162-197): symmetric
@@ -176,45 +203,129 @@ object Candidates {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
     }
 
-    // batched results are bounded LocalRelations (budget-capped driver
-    // collect inside findCandidates) — counting and re-reading them is
-    // free, so nothing is cached here. The rare useAll path returns a
-    // lazy distributed frame; its ≤3 recomputations (counts + final
-    // consumption) are accepted over pinning an unbounded cache across
-    // EvalDriver's per-row explain loop.
-    val c4r1 = if (useRight)
-      findCandidates(lRecord, rsource, probeIsLeft = true, findPositives, model,
-        numCandidates, maxPredict, seed, batched = !useAll, schema, gen)
-    else empty
-    val c4r2 = if (useLeft)
-      findCandidates(rRecord, lsource, probeIsLeft = false, findPositives, model,
-        numCandidates, maxPredict, seed, batched = !useAll, schema, gen)
-    else empty
+    if (useAll) {
+      // the rare useAll path returns a lazy distributed frame; its ≤3
+      // recomputations (counts + final consumption) are accepted over
+      // pinning an unbounded cache across EvalDriver's per-row explain
+      // loop.
+      val c4r1 = if (useRight)
+        findCandidates(lRecord, rsource, probeIsLeft = true, findPositives, model,
+          numCandidates, maxPredict, seed, batched = false, schema, gen)
+      else empty
+      val c4r2 = if (useLeft)
+        findCandidates(rRecord, lsource, probeIsLeft = false, findPositives, model,
+          numCandidates, maxPredict, seed, batched = false, schema, gen)
+      else empty
 
-    val n1 = if (useRight) boundedCount(c4r1) else 0L
-    val n2 = if (useLeft) boundedCount(c4r2) else 0L
+      val n1 = if (useRight) boundedCount(c4r1) else 0L
+      val n2 = if (useLeft) boundedCount(c4r2) else 0L
+      val both = math.min(n1, n2)
+      val maxLen = if (both == 0) math.max(n1, n2) else both
+
+      // O6 balance via seeded sample-to-n (reference sample(n=max_len))
+      def cap(df: DataFrame, n: Long, have: Long): DataFrame =
+        if (have > n)
+          df.orderBy(shuffleKey(col(schema.lid), col(schema.rid), seed)).limit(n.toInt)
+        else df
+
+      val parts = Seq(
+        if (n1 > 0) Some(cap(c4r1, maxLen, n1)) else None,
+        if (n2 > 0) Some(cap(c4r2, maxLen, n2)) else None).flatten
+      if (parts.isEmpty) return (findPositives, empty)
+
+      // O5 seeded shuffle of the union (reference sample(frac=1))
+      val candidates = parts.reduce(_ unionByName _)
+        .withColumn("id", schema.pairId(col(schema.lid), col(schema.rid)))
+        .withColumn("__shuffle", shuffleKey(col("id"), lit(""), seed + 1))
+
+      val neighborhood =
+        if (findPositives) candidates.filter(col("match_score") >= 0.5)
+        else candidates.filter(col("match_score") < 0.5)
+      return (findPositives, neighborhood)
+    }
+
+    // Batched (default) path, fused (r12, guide §1.2): the two sides'
+    // budget-capped scored searches are INDEPENDENT bounded subtrees, so
+    // they ride ONE union + ONE collect (one scheduler round-trip where
+    // two findCandidates collects ran sequentially before); everything
+    // after the collect — the reference's early-exit batch walk, the O6
+    // balance cap, the O5 union/shuffle keys and the polarity filter —
+    // is driver arithmetic over the ≤ 2·batch·20 collected rows and the
+    // result is a true LocalRelation (downstream counts are job-free).
+    // Row-for-row identical to the sequential path: each side keeps its
+    // own similarity ordering via a per-side row_number (__rank) over
+    // the same ordCols the sequential collect sorted by, and the cap /
+    // shuffle keys are computed IN-frame by the same expressions
+    // (xxhash64, pairId) the lazy path evaluated, so no driver
+    // re-implementation of Spark semantics is involved.
+    import org.apache.spark.sql.expressions.Window
+    val batch = numCandidates * 4
+    val sides: Seq[(DataFrame, DataFrame, Boolean)] = Seq(
+      if (useRight) Some((lRecord, rsource, true)) else None,
+      if (useLeft) Some((rRecord, lsource, false)) else None).flatten
+    if (sides.isEmpty) return (findPositives, empty)
+    var scoredSchema: org.apache.spark.sql.types.StructType = null
+    val tagged = sides.zipWithIndex.map { case ((probe, src, isL), i) =>
+      val (pairs, ordCols) = candidatePairs(probe, src, isL, findPositives,
+        numCandidates, maxPredict, seed, schema, gen)
+      val capped = pairs.orderBy(ordCols: _*).limit(batch * 20)
+      val scored = model.predict(capped)
+      if (scoredSchema == null) scoredSchema = scored.schema
+      scored
+        .withColumn("__rank", row_number().over(Window.orderBy(ordCols: _*)))
+        .withColumn("__side", lit(i))
+        .withColumn("__capkey", shuffleKey(col(schema.lid), col(schema.rid), seed))
+        .withColumn("__supid", schema.pairId(col(schema.lid), col(schema.rid)))
+        .withColumn("__supshuffle", shuffleKey(
+          schema.pairId(col(schema.lid), col(schema.rid)), lit(""), seed + 1))
+    }
+    val all = tagged.reduce(_ unionByName _).collect()
+    val sideIdx = all.headOption.map(_.fieldIndex("__side"))
+      .getOrElse(-1)
+    val rankIdx = all.headOption.map(_.fieldIndex("__rank")).getOrElse(-1)
+    val keptBySide: IndexedSeq[Array[org.apache.spark.sql.Row]] =
+      sides.indices.map { i =>
+        val rows = all.filter(_.getInt(sideIdx) == i).sortBy(_.getInt(rankIdx))
+        earlyExitKept(rows, batch, numCandidates, findPositives)
+      }
+    // O6 balance semantics, exactly as before: n1 is the right-search
+    // count when enabled else 0, n2 the left-search count; both = min,
+    // maxLen = max when one side is empty/disabled.
+    def sideN(isRightSearch: Boolean): Long =
+      sides.zipWithIndex.collectFirst {
+        case ((_, _, isL), i) if isL == isRightSearch => keptBySide(i).length.toLong
+      }.getOrElse(0L)
+    val n1 = sideN(true)
+    val n2 = sideN(false)
     val both = math.min(n1, n2)
     val maxLen = if (both == 0) math.max(n1, n2) else both
-
-    // O6 balance via seeded sample-to-n (reference sample(n=max_len))
-    def cap(df: DataFrame, n: Long, have: Long): DataFrame =
-      if (have > n)
-        df.orderBy(shuffleKey(col(schema.lid), col(schema.rid), seed)).limit(n.toInt)
-      else df
-
-    val parts = Seq(
-      if (n1 > 0) Some(cap(c4r1, maxLen, n1)) else None,
-      if (n2 > 0) Some(cap(c4r2, maxLen, n2)) else None).flatten
-    if (parts.isEmpty) return (findPositives, empty)
-
-    // O5 seeded shuffle of the union (reference sample(frac=1))
-    val candidates = parts.reduce(_ unionByName _)
-      .withColumn("id", schema.pairId(col(schema.lid), col(schema.rid)))
-      .withColumn("__shuffle", shuffleKey(col("id"), lit(""), seed + 1))
-
-    val neighborhood =
-      if (findPositives) candidates.filter(col("match_score") >= 0.5)
-      else candidates.filter(col("match_score") < 0.5)
-    (findPositives, neighborhood)
+    val capIdx = all.headOption.map(_.fieldIndex("__capkey")).getOrElse(-1)
+    val capped = keptBySide.map { rows =>
+      if (rows.length > maxLen) rows.sortBy(_.getLong(capIdx)).take(maxLen.toInt)
+      else rows
+    }
+    val candidateRows = capped.flatten
+    if (candidateRows.isEmpty && n1 == 0 && n2 == 0) return (findPositives, empty)
+    // polarity filter (O5 keys already ride the rows) + projection back
+    // to the neighborhood schema: scored columns + id + __shuffle
+    val msIdx = scoredSchema.fieldIndex("match_score")
+    val keepRow: org.apache.spark.sql.Row => Boolean =
+      if (findPositives) r => r.getDouble(msIdx) >= 0.5
+      else r => r.getDouble(msIdx) < 0.5
+    val supIdIdx = all.headOption.map(_.fieldIndex("__supid")).getOrElse(-1)
+    val supShufIdx = all.headOption.map(_.fieldIndex("__supshuffle")).getOrElse(-1)
+    val nScored = scoredSchema.length
+    val outRows = candidateRows.filter(keepRow).map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        (0 until nScored).map(r.get) ++ Seq(r.get(supIdIdx), r.get(supShufIdx)))
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      scoredSchema.fields.toIndexedSeq ++ Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("__shuffle",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    (findPositives, spark.createDataFrame(
+      java.util.Arrays.asList(outRows.toIndexedSeq: _*), outSchema))
   }
 }

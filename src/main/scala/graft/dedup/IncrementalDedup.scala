@@ -242,12 +242,19 @@ object IncrementalDedup {
     val batchKeys = sigged.select(col(idCol), col("__sig"),
       posexplode(array(keyExprs: _*)).as(Seq("band", "key")))
 
-    // 2. drop batch rows near-matching history
+    // 2. drop batch rows near-matching history. PERSISTED (r12): the
+    // dropped-id set is consumed by three downstream actions per batch
+    // (the edge/closure job via freshKeys, the survivor aggregate and
+    // the state append via fresh) and the history side is the
+    // corpus-proportional table — unpersisted, every consumer re-ran
+    // the history scan + probe join. The id set itself is
+    // micro-batch-bounded.
     val histMatches = batchKeys
       .join(history.select(col("band"), col("key"), col("sig").as("__hsig")),
         Seq("band", "key"))
       .filter(sigAgreement(col("__sig"), col("__hsig"), nh) >= threshold)
       .select(col(idCol)).distinct()
+      .persist()
     val fresh = sigged.join(histMatches, Seq(idCol), "left_anti")
 
     // 3. within-batch near-dup closure over the remaining rows
@@ -269,12 +276,22 @@ object IncrementalDedup {
       .filter(sigAgreement(col("__sa"), col("__sb"), nh) >= threshold)
       .select(col("id_a"), col("id_b")).distinct()
     // the closure's mapping is released here (the SemDedup pattern);
-    // losers joins ride the handle's pinned set until close()
+    // losers joins ride the handle's pinned set until close(). When the
+    // closure came back as a driver-local mapping (the usual micro-batch
+    // case), the loser set folds to a LocalRelation — no persist, no
+    // materializing count job (r12; one scheduler round-trip per batch).
     val mapping = Components.connectedComponents(edges)
-    val losers = mapping.filter(col("id") =!= col("rep"))
-      .select(col("id").as(idCol)).persist()
-    losers.count() // materialize while the mapping cache is alive
-    mapping.unpersist()
+    val losers0 = mapping.filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    val losers = losers0.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        losers0
+      case _ =>
+        val l = losers0.persist()
+        l.count() // materialize while the mapping cache is alive
+        mapping.unpersist()
+        l
+    }
     val keptSig = fresh.join(losers, Seq(idCol), "left_anti")
 
     val survivors = batch.filter(col(textCol).isNull)
@@ -282,6 +299,6 @@ object IncrementalDedup {
     val historyRows = keptSig.select(col(idCol), col("__sig"),
         posexplode(array(keyExprs.map(e => e): _*)).as(Seq("band", "key")))
       .select(col(idCol), col("band"), col("key"), col("__sig").as("sig"))
-    NearDupBatch(survivors, historyRows, Seq(sigged, losers))
+    NearDupBatch(survivors, historyRows, Seq(sigged, histMatches, losers))
   }
 }

@@ -1,7 +1,6 @@
 package graft.explain
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.candidates.Candidates
 import graft.matcher.ERModel
@@ -163,11 +162,21 @@ class CertaExplainer(
     val attrLength =
       if (attrLengthOpt > 0) attrLengthOpt else math.min(lAttrs.size, rAttrs.size)
 
-    // stage 2: original prediction (1-row job; driver argmax O8)
-    val pairUnderExplanation = schema.assemblePair(lRecord, rRecord)
-    val orig = staged("original prediction")(model.predict(pairUnderExplanation)
-      .select(col("nomatch_score"), col("match_score")).head())
-    val pc = if (orig.getDouble(1) > orig.getDouble(0)) 1 else 0
+    // stage 2: original prediction (1-row job; driver argmax O8). The
+    // WHOLE predicted row is collected (not just the two scores): the
+    // pair row itself re-binds as a LocalRelation so the support-pair
+    // assembly below never re-plans the two source scans (r12 —
+    // scheduler-round-trip diet, guide §1.2).
+    val pairUnderExplanation0 = schema.assemblePair(lRecord, rRecord)
+    val orig = staged("original prediction")(
+      model.predict(pairUnderExplanation0).head())
+    val pc = if (orig.getAs[Double]("match_score") >
+      orig.getAs[Double]("nomatch_score")) 1 else 0
+    val pairUnderExplanation = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+        pairUnderExplanation0.columns.toIndexedSeq
+          .map(c => orig.get(orig.fieldIndex(c))))),
+      pairUnderExplanation0.schema)
 
     // stage 3: support search (batched → bounded LocalRelation result)
     val (_, neighborhood0) = staged("support search")(Candidates.support(
@@ -182,10 +191,19 @@ class CertaExplainer(
     // stages resolve against (explain.py:67). The generated frames are
     // tiny (2·Σ(tokens-1) rows per probe attribute) — localized so the
     // repeated counts and the extended-source unions replay nothing.
-    var neighborhood = neighborhood0
+    //
+    // r12: the support rows live driver-side from here on (the fused
+    // search returns true LocalRelations, so the collect is job-free) —
+    // the count, the G2 union, the O3 truncation sort and the F9
+    // labeling below are driver arithmetic over ≤ 2·numTriangles
+    // bounded rows, replacing a count job, a union job and the
+    // window+localize job per explanation.
+    var nbRows: IndexedSeq[org.apache.spark.sql.Row] =
+      neighborhood0.collect().toIndexedSeq
+    val nbSchema = neighborhood0.schema
     var extendedL = lsource
     var extendedR = rsource
-    val n0 = staged("support count")(boundedCount(neighborhood0))
+    val n0 = nbRows.size.toLong
     if (n0 < numTriangles) {
       // both source maxima in ONE job (these are the only two full-source
       // aggregates in the fallback; two sequential 1-row jobs doubled the
@@ -205,38 +223,72 @@ class CertaExplainer(
           lRecord, rRecord, genFromR, genFromL, pc, model, numTriangles,
           maxPredict, useLeft, useRight, seed = seed, schema = schema,
           gen = gen))
-        if (support2.columns.nonEmpty && boundedCount(support2) > 0) {
-          neighborhood = neighborhood0.unionByName(support2)
-          extendedL = lsource.unionByName(genFromR)
-          extendedR = rsource.unionByName(genFromL)
+        if (support2.columns.nonEmpty) {
+          val rows2 = support2.collect() // LocalRelation — job-free
+          if (rows2.nonEmpty) {
+            nbRows = nbRows ++ rows2
+            extendedL = lsource.unionByName(genFromR)
+            extendedR = rsource.unionByName(genFromL)
+          }
         }
       }
     }
 
-    val nSupport = if (neighborhood eq neighborhood0) n0 else boundedCount(neighborhood)
+    val nSupport = nbRows.size.toLong
     if (nSupport == 0) return emptyExplanation()
 
-    // O3 head+tail truncation in the seeded shuffle order
-    // (reference local_explain.py:63-64)
+    // O3 head+tail truncation in the seeded shuffle order (reference
+    // local_explain.py:63-64), driver-side: sort by (__shuffle, id) with
+    // Spark's exact ordering (long asc; the id tie-break — reachable
+    // only on an xxhash64 collision — compares the UTF-8 bytes unsigned,
+    // UTF8String's binary order).
     val half = numTriangles / 2
-    val seqd = neighborhood.withColumn("__seq",
-      row_number().over(Window.orderBy(col("__shuffle"), col("id"))))
-    val truncated =
+    val shufIdx = nbSchema.fieldIndex("__shuffle")
+    val idIdx = nbSchema.fieldIndex("id")
+    val sortedRows = nbRows.sortWith { (x, y) =>
+      val sx = x.getLong(shufIdx); val sy = y.getLong(shufIdx)
+      if (sx != sy) sx < sy
+      else {
+        val ix = x.getString(idIdx); val iy = y.getString(idIdx)
+        if (ix == null) iy != null
+        else if (iy == null) false
+        else java.util.Arrays.compareUnsigned(
+          ix.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          iy.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      }
+    }
+    val truncatedRows =
       if (nSupport > numTriangles)
-        seqd.filter(col("__seq") <= half || col("__seq") > lit(nSupport) - half)
-      else seqd
+        sortedRows.zipWithIndex.collect {
+          case (r, i) if i < half || i >= nSupport - half => r
+        }
+      else sortedRows
 
     // F9 label from score; pair under explanation labeled with pc
     val pairCols = pairUnderExplanation.columns.toIndexedSeq
-    val support = truncated
-      .withColumn("label", when(col("match_score") >= 0.5, 1).otherwise(0))
-      .select((pairCols.map(col) :+ col("id") :+ col("label")): _*)
-    val firstRow = pairUnderExplanation
+    val msIdx = nbSchema.fieldIndex("match_score")
+    val pairIdxs = pairCols.map(nbSchema.fieldIndex)
+    val supportRows = truncatedRows.map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        pairIdxs.map(r.get) ++ Seq(r.get(idIdx),
+          if (r.getDouble(msIdx) >= 0.5) 1 else 0))
+    }
+    // firstRow's id/label via the same expressions over the LOCAL pair
+    // row (Catalyst folds deterministic projections over LocalRelation,
+    // so this collect is job-free too)
+    val firstRowRows = pairUnderExplanation
       .withColumn("id", schema.pairId(col(schema.lid), col(schema.rid)))
       .withColumn("label", lit(pc))
-    // ≤ numTriangles+1 rows after truncation — localize once; the
-    // triangle self-joins below read rows, not lineage
-    val supportPairs = localize(firstRow.unionByName(support))
+      .collect()
+    val supportPairsSchema = org.apache.spark.sql.types.StructType(
+      pairUnderExplanation.schema.fields.toIndexedSeq ++ Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val supportPairs = spark.createDataFrame(
+      java.util.Arrays.asList((firstRowRows.toIndexedSeq ++ supportRows): _*),
+      supportPairsSchema)
 
     // stage 4: triangle discovery (pos×neg self-joins over the bounded
     // local support set; result localized — ≤ (numTriangles/2)² rows)
@@ -273,22 +325,34 @@ class CertaExplainer(
     val classScoreCol = if (pc == 1) "match_score" else "nomatch_score"
     var allGood = false
     var totalFlipped = 0L
-    val rankings = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // per-set flip counts accumulate DRIVER-side (r12): every set is
+    // powerset-bounded, depth-a sets have exactly a attributes, so the
+    // old cross-depth union+groupBy re-grouped rows that were already
+    // disjoint — the per-depth census below IS the final ranking.
+    val rankingRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], Long)]
     val flippedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var anyDepth = false
 
     for (a <- 1 until attrLength) {
       val perturbations = Perturb.forDepth(resolved, a, pc, schema)
       if (!allGood) {
         val preds = cached(model.predict(perturbations)
           .withColumn("__flip", col(classScoreCol) < 0.5))
-        val cnts = staged(s"perturb depth $a")(
-          preds.agg(count(lit(1)), sum(when(col("__flip"), 1L).otherwise(0L)))
-            .head())
-        val nPert = cnts.getLong(0)
-        val nFlip = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
+        // ONE job per depth (r12): the per-set flip census is collected
+        // directly — its marginals are the old nPert/nFlip aggregate,
+        // and its rows are the ranking entries the old code re-derived
+        // from the cache in a second distributed pass at stage 6.
+        val sets = staged(s"perturb depth $a")(
+          preds.groupBy(col("alteredAttributes"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("__flip"), 1L).otherwise(0L)).as("cnt"))
+            .collect())
+        val nPert = sets.map(_.getLong(1)).sum
+        val nFlip = sets.map(_.getLong(2)).sum
         if (nPert > 0) {
-          rankings += preds.groupBy(col("alteredAttributes"))
-            .agg(sum(when(col("__flip"), 1L).otherwise(0L)).as("cnt"))
+          anyDepth = true
+          rankingRows ++= sets.map(r => (r.getSeq[String](0), r.getLong(2)))
           flippedParts += preds.filter(col("__flip")).drop("__flip")
           totalFlipped += nFlip
           if (nFlip == nPert) allGood = true
@@ -298,26 +362,30 @@ class CertaExplainer(
         val synth = cached(perturbations
           .withColumn("match_score", lit(if (pc == 1) 0.0 else 1.0))
           .withColumn("nomatch_score", lit(if (pc == 1) 1.0 else 0.0)))
-        val nPert = staged(s"perturb depth $a (synthesized)")(synth.count())
-        rankings += synth.groupBy(col("alteredAttributes"))
-          .agg(count(lit(1)).as("cnt"))
+        val sets = staged(s"perturb depth $a (synthesized)")(
+          synth.groupBy(col("alteredAttributes"))
+            .agg(count(lit(1)).as("cnt")).collect())
+        anyDepth = true
+        rankingRows ++= sets.map(r => (r.getSeq[String](0), r.getLong(1)))
         flippedParts += synth
-        totalFlipped += nPert
+        totalFlipped += sets.map(_.getLong(1)).sum
       }
     }
-    if (rankings.isEmpty) return emptyExplanation()
+    if (!anyDepth) return emptyExplanation()
 
     // stage 6a: A2 aggregate rankings → probability of sufficiency.
     // The result is bounded by the attribute powerset (≤ Σ C(n,a) rows,
-    // data-size independent), so it materializes driver-side — exactly
-    // the reference's pandas Series — and the returned frame carries no
-    // recomputable lineage into later stages.
-    val rankingsAll = rankings.reduce(_ unionByName _)
-    val pssRows = staged("aggregate rankings")(rankingsAll
-      .groupBy(col("alteredAttributes"))
-      .agg((sum(col("cnt")) / lit(nTriangles.toDouble)).as("pos"))
-      .withColumn("attrSet", array_join(col("alteredAttributes"), "/"))
-      .collect().toIndexedSeq)
+    // data-size independent) and already aggregated per depth, so it
+    // assembles driver-side — exactly the reference's pandas Series —
+    // with zero additional jobs (the old union+groupBy collect here was
+    // a whole distributed pass over the per-depth prediction caches).
+    // pos = cnt / nTriangles with the same double ops Spark's
+    // Divide(cast(long), double) runs.
+    val pssRows: IndexedSeq[org.apache.spark.sql.Row] =
+      rankingRows.map { case (set, cnt) =>
+        org.apache.spark.sql.Row(set, cnt.toDouble / nTriangles.toDouble,
+          set.mkString("/"))
+      }.toIndexedSeq
     val pssSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("alteredAttributes",
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
@@ -331,20 +399,30 @@ class CertaExplainer(
           .SeqHasAsJava(rows).asJava), pssSchema)
     val pss = localFrame(pssRows)
 
-    // stage 6b: A3 saliency = base + per-attribute flip mass
+    // stage 6b: A3 saliency = base + per-attribute flip mass — driver
+    // arithmetic over the same bounded ranking rows (r12; the old
+    // explode+groupBy+join job re-read the per-depth caches a third
+    // time). flipCnt is an exact long sum; base + flipCnt/flips are the
+    // identical IEEE double ops the old column program ran.
     val flips = (totalFlipped + nTriangles).toDouble
     val base = nTriangles / flips
     val pairAttrNames =
       lAttrs.map(schema.lprefix + _) ++ rAttrs.map(schema.rprefix + _)
-    import spark.implicits._
-    val attrFrame = pairAttrNames.toDF("attribute")
-    val perAttrFlips = rankingsAll
-      .select(explode(col("alteredAttributes")).as("attribute"), col("cnt"))
-      .groupBy(col("attribute")).agg(sum(col("cnt")).as("flipCnt"))
-    val saliency = staged("saliency")(localize(attrFrame
-      .join(perAttrFlips, Seq("attribute"), "left")
-      .select(col("attribute"),
-        (lit(base) + coalesce(col("flipCnt"), lit(0L)) / lit(flips)).as("saliency"))))
+    val saliencyRows = pairAttrNames.map { attr =>
+      var flipCnt = 0L
+      rankingRows.foreach { case (set, cnt) =>
+        if (set.contains(attr)) flipCnt += cnt
+      }
+      org.apache.spark.sql.Row(attr, base + flipCnt.toDouble / flips)
+    }
+    val saliencySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("attribute",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("saliency",
+        org.apache.spark.sql.types.DoubleType)))
+    val saliency = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(saliencyRows).asJava), saliencySchema)
 
     // stage 6c: A4 cf_summary — max-probability sets, minimal antichain
     // (reference cf_summary, triangles_method.py:254-263). Driver-side

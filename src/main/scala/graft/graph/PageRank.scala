@@ -28,9 +28,20 @@ object PageRank {
     * damped rounds. Returns (id, pr) with `pr` on the integer scale
     * `base` (initial mass per node).
     */
-  def rankInt(edges: DataFrame, iters: Int, dampPct: Int = 85,
+  def rankInt(edges0: DataFrame, iters: Int, dampPct: Int = 85,
       base: Long = 1000000L): DataFrame = {
     require(iters >= 0 && dampPct >= 0 && dampPct <= 100)
+    // Lineage truncation (r12, guide §5): every iteration references
+    // the edge list again (eDeg) and the node set rides three joins, so
+    // an un-truncated final plan embeds the caller's edge-GENERATION
+    // subtree 2·iters+3 times and re-executes it per reference — q128's
+    // 3-NN build (the 4M-pair quantized distance scan) ran ~10× per
+    // action. One eager localCheckpoint pins the edge rows (O(k·n) for
+    // kNN graphs, orders below the corpus); every downstream reference
+    // re-reads blocks. This is the scaladoc's own "truncate lineage"
+    // rule applied unconditionally — at 2-3 iterations the plan stayed
+    // SHALLOW, but each copy still re-executed.
+    val edges = edges0.localCheckpoint()
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))

@@ -48,8 +48,18 @@ object PipelineQueries {
     val empty = tagged.filter(lit(false)).drop("__chunk").coalesce(1)
     (0 until nChunks).foreach { i =>
       val dir = new java.io.File(s"$stage/__chunk=$i")
-      val part = Option(dir.listFiles())
-        .flatMap(_.find(_.getName.endsWith(".parquet")))
+      val parts = Option(dir.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+      // each tag lands in exactly one task (hash-repartition on the
+      // tag) and so one file — but if a writer conf ever splits a
+      // partition dir (e.g. spark.sql.files.maxRecordsPerFile), moving
+      // only the first file would silently DROP the rest from the
+      // stream; fail loudly instead
+      require(parts.size <= 1,
+        s"stageChunksTagged: ${parts.size} parquet files under " +
+          s"__chunk=$i — single-file-per-chunk invariant broken " +
+          "(maxRecordsPerFile set?)")
+      val part = parts.headOption
       val dest = java.nio.file.Paths.get(s"$inDir/chunk-$i.parquet")
       part match {
         case Some(p) => java.nio.file.Files.move(p.toPath, dest)
@@ -63,6 +73,18 @@ object PipelineQueries {
       java.nio.file.Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
     }
+    // tag-domain guard: a tag outside 0..nChunks-1 (or a null tag →
+    // __HIVE_DEFAULT_PARTITION__) writes a partition dir the move loop
+    // never visits — those rows would silently vanish from the stream.
+    // After the moves every visited dir is empty, so ANY parquet left
+    // under the stage dir is orphaned data: fail loudly.
+    val leftovers = Option(new java.io.File(stage).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory &&
+        Option(d.listFiles()).toSeq.flatten.exists(_.getName.endsWith(".parquet")))
+    require(leftovers.isEmpty,
+      s"stageChunksTagged: unmoved parquet under " +
+        s"${leftovers.map(_.getName).mkString(", ")} — __chunk tag " +
+        s"outside 0..${nChunks - 1} (or null); rows would be dropped")
   }
 
   /** [[stageChunksTagged]] over explicit chunk frames (k-dependent
@@ -6193,6 +6215,13 @@ object PipelineQueries {
     * cache (four consumers), group-arithmetic pair counts, Hamming-1
     * probe edge census, survivors at Hamming 0/1, result row built
     * eagerly, cache released.
+    *
+    * PRECONDITION: `media_id` must be unique per fingerprint row. The
+    * n_survivors_h0 = n_hashes shortcut below counts one survivor per
+    * DISTINCT hash; duplicate ids within a hash group would have made
+    * the old d=0 dedup count diverge from it. True for q191/q192/q193
+    * (ids are source primary keys); a future caller with non-unique
+    * ids must run the d=0 pass instead.
     */
   private def perceptualCensus(fp0: DataFrame, nRowsName: String,
       nHashesName: String): DataFrame = {

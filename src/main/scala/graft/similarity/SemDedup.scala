@@ -233,13 +233,18 @@ object SemDedup {
         "density-derived defaults change with corpus size and would " +
         "break the full-replay equivalence across batches")
     // an empty crawl window is the routine idle case for a
-    // maintenance op — all of the batch (nothing) survives
-    if (batch.isEmpty) {
+    // maintenance op — all of the batch (nothing) survives. ONE probe
+    // job answers both batch questions (r12): a head(1) over the
+    // embedding size is the emptiness check AND the cell dimension —
+    // the separate isEmpty + head() pair cost two scheduler
+    // round-trips per micro-batch.
+    val dimProbe = batch.select(size(col(embCol))).head(1)
+    if (dimProbe.isEmpty) {
       val losers = batch.select(col(idCol)).persist()
       losers.count()
       return Dedup.NearDupResult(batch, losers)
     }
-    val dim = batch.select(size(col(embCol))).head().getInt(0)
+    val dim = dimProbe(0).getInt(0)
     // per-row self-norms (r12, the nearDuplicatePairs treatment): one
     // dot loop per probe-join candidate, bit-identical cosine
     def cells(df: DataFrame): DataFrame = df.select(col(idCol), col(embCol),
