@@ -77,8 +77,14 @@ object Blocking {
   def orPairCompleteness(df: DataFrame, blockCols: Seq[String],
       truthCol: String, idCol: String): DataFrame = {
     require(blockCols.nonEmpty, "at least one block-key column required")
+    // base is BOUNDED by this method's contract (sampled truth sets) but
+    // its lineage usually carries the caller's sketch pass (minhash
+    // band keys) — and it sits under SIX branch executions below (the
+    // truth census, both sides of each per-band covered join, n_rows).
+    // One eager localCheckpoint computes the sketch once; every branch
+    // re-reads rows (r12, guide §5 — the q128/q136 multi-branch rule).
     val base = df.select(col(truthCol).as("__t") +: col(idCol).as("__i") +:
-      blockCols.map(col): _*)
+      blockCols.map(col): _*).localCheckpoint()
     val truth = base.groupBy(col("__t")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(pairs(col("c"))), lit(0L)).as("truth_pairs"))
     val right = base.select(col("__t").as("__t2") +: col("__i").as("__i2") +:

